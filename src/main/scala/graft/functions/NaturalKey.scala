@@ -1,0 +1,119 @@
+package graft.functions
+
+/** Natural ("explorer-style") total order over strings, as a
+  * binary-comparable sort key.
+  *
+  * Semantics follow the reference comparator
+  * (`ViewModels/MainViewModel.cs:942-982`):
+  *   - `'.'` sorts before every other character;
+  *   - runs of ASCII digits on both sides compare numerically
+  *     (arbitrary precision);
+  *   - otherwise characters compare case-insensitively by code unit;
+  *   - when the common traversal exhausts one string, raw lengths decide.
+  *
+  * The comparator switches digit-vs-char mode per position, but a single
+  * order-preserving byte encoding still exists because ASCII digits are a
+  * contiguous code-point range: any non-digit char is either below '0' or
+  * above '9', so digit *runs* order totally between those two char classes.
+  *
+  * Key layout, per token:
+  *   0x01                      '.'
+  *   0x03 <hi> <lo>            char with lowercase code unit < '0'
+  *   0x04 <len:4BE> <digits>   digit run, leading zeros stripped
+  *   0x05 <hi> <lo>            char with lowercase code unit > '9'
+  * terminated by 0x00 <rawLength:4BE>, which encodes the final length
+  * tiebreak (shorter raw string first when token streams tie).
+  *
+  * Documented deviation: the reference comparator is not a strict total
+  * order when digit runs contain leading zeros (e.g. it reports
+  * "a07" == "a7x"); this key is a strict refinement that agrees with the
+  * comparator on all strings whose digit runs have no leading zeros
+  * (the url domain used everywhere in this engine). Covered by
+  * NaturalKeySpec property tests.
+  *
+  * Used for deterministic representative election: the cluster member with
+  * the minimum key is `keep` — the Spark analog of "first in scan order
+  * wins" (`ViewModels/MainViewModel.cs:877-882, 1226-1240`).
+  */
+object NaturalKey {
+
+  /** Order-preserving binary key: unsigned-lexicographic compare of
+    * key(a), key(b) == compare(a, b) on the no-leading-zero domain. */
+  def key(s: String): Array[Byte] = {
+    val n = s.length
+    val out = new java.io.ByteArrayOutputStream(n * 2 + 8)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '.') {
+        out.write(0x01)
+        i += 1
+      } else if (isAsciiDigit(c)) {
+        var j = i
+        while (j < n && isAsciiDigit(s.charAt(j))) j += 1
+        var k = i
+        while (k < j - 1 && s.charAt(k) == '0') k += 1 // strip leading zeros
+        // all-zero run normalizes to the single digit '0'
+        val len = j - k
+        out.write(0x04)
+        writeInt(out, len)
+        var p = k
+        while (p < j) { out.write(s.charAt(p)); p += 1 }
+        i = j
+      } else {
+        val lc = Character.toLowerCase(c)
+        out.write(if (lc < '0') 0x03 else 0x05)
+        out.write((lc >>> 8) & 0xFF)
+        out.write(lc & 0xFF)
+        i += 1
+      }
+    }
+    out.write(0x00)
+    writeInt(out, n)
+    out.toByteArray
+  }
+
+  @inline private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  private def writeInt(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+    out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+  }
+
+  /** Direct comparator with the reference's exact semantics; used by the
+    * sequential test oracle and to property-test `key`. */
+  def compare(a: String, b: String): Int = {
+    var ai = 0; var bi = 0
+    while (ai < a.length && bi < b.length) {
+      val ca = a.charAt(ai); val cb = b.charAt(bi)
+      if (ca == '.' && cb != '.') return -1
+      if (cb == '.' && ca != '.') return 1
+      if (isAsciiDigit(ca) && isAsciiDigit(cb)) {
+        val sa = ai; val sb = bi
+        while (ai < a.length && isAsciiDigit(a.charAt(ai))) ai += 1
+        while (bi < b.length && isAsciiDigit(b.charAt(bi))) bi += 1
+        val na = BigInt(a.substring(sa, ai))
+        val nb = BigInt(b.substring(sb, bi))
+        val cmp = na.compare(nb)
+        if (cmp != 0) return cmp
+      } else {
+        val cmp = Character.toLowerCase(ca).compareTo(Character.toLowerCase(cb))
+        if (cmp != 0) return cmp
+        ai += 1; bi += 1
+      }
+    }
+    java.lang.Integer.compare(a.length, b.length)
+  }
+
+  /** Unsigned lexicographic byte-array compare (Spark BinaryType order). */
+  def compareKeys(x: Array[Byte], y: Array[Byte]): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val cmp = java.lang.Integer.compare(x(i) & 0xFF, y(i) & 0xFF)
+      if (cmp != 0) return cmp
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
+}

@@ -1,0 +1,238 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions for the engine's non-built-in scalar functions.
+  *
+  * Each implements `doGenCode` as a single static call into the pure kernels
+  * (Hash64 / MinHashImpl / NaturalKey / TextExtract), so they participate in
+  * whole-stage codegen rather than falling back to interpreted eval — the
+  * hot path (signature computation over every document) stays inside one
+  * generated loop with the parquet scan and the downstream projections.
+  *
+  * Parameters (k, n, seed, …) are plan-time constants held in the case
+  * class, not child expressions: they are fixed per run (reference analog:
+  * the persisted config record, `ViewModels/MainViewModel.cs:114-145`).
+  */
+object codegenHelpers {
+  /** Static entry points invoked from generated Java. */
+  def minhash(u: UTF8String, k: Int, n: Int, seed: Long): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(MinHashImpl.sig(u.toString, k, n, seed))
+  def simhash(u: UTF8String, k: Int, seed: Long): Long =
+    MinHashImpl.simhash(u.toString, k, seed)
+  def naturalKey(u: UTF8String): Array[Byte] =
+    NaturalKey.key(u.toString)
+  def extractText(bytes: Array[Byte]): UTF8String =
+    UTF8String.fromString(TextExtract.extractText(bytes))
+  def winnow(u: UTF8String, k: Int, w: Int): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(MinHashImpl.winnowFingerprints(u.toString, k, w))
+  def bandBuckets(sig: org.apache.spark.sql.catalyst.util.ArrayData,
+                  bands: Int, rowsPerBand: Int, seed: Long): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      MinHashImpl.bandBuckets(sig.toLongArray(), bands, rowsPerBand, seed))
+  def sigDigest(sig: org.apache.spark.sql.catalyst.util.ArrayData): Long =
+    MinHashImpl.sigDigest(sig.toLongArray())
+  def simhashBlocks(h: Long): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(MinHashImpl.simhashBlocks(h))
+  def estJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                 b: org.apache.spark.sql.catalyst.util.ArrayData): Double =
+    MinHashImpl.estJaccard(a.toLongArray(), b.toLongArray())
+  def exactJaccard(a: UTF8String, b: UTF8String, k: Int, seed: Long): Double =
+    MinHashImpl.exactJaccard(a.toString, b.toString, k, seed)
+  def hamming(a: Long, b: Long): Int = MinHashImpl.hamming(a, b)
+  def commonSubstring(a: UTF8String, b: UTF8String, l: Int): Boolean =
+    MinHashImpl.commonSubstringAtLeast(a.toString, b.toString, l)
+  def vecSimHash(v: org.apache.spark.sql.catalyst.util.ArrayData, bits: Int, seed: Long): Long =
+    MinHashImpl.vecSimHash(v.toFloatArray(), bits, seed)
+}
+
+private[graft] trait GraftUnary extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  protected final val H = "graft.functions.codegenHelpers"
+  protected def staticCall(c: String): String
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => staticCall(c))
+}
+
+/** html binary → canonical extracted text (FIXTURES.md extractor contract). */
+case class ExtractText(child: Expression) extends GraftUnary {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.extractText(v.asInstanceOf[Array[Byte]])
+  override protected def staticCall(c: String): String = s"$H.extractText($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "extract_text"
+}
+
+/** string → binary-comparable natural-sort key (reference comparator,
+  * `ViewModels/MainViewModel.cs:942-982`). */
+case class NaturalSortKey(child: Expression) extends GraftUnary {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.naturalKey(v.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String = s"$H.naturalKey($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "natural_sort_key"
+}
+
+/** text → MinHash signature (array<long>, length n). */
+case class MinHashSig(child: Expression, k: Int, n: Int, seed: Long) extends GraftUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.minhash(v.asInstanceOf[UTF8String], k, n, seed)
+  override protected def staticCall(c: String): String = s"$H.minhash($c, $k, $n, ${seed}L)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** text → 64-bit SimHash fingerprint. */
+case class SimHash64(child: Expression, k: Int, seed: Long) extends GraftUnary {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.simhash(v.asInstanceOf[UTF8String], k, seed)
+  override protected def staticCall(c: String): String = s"$H.simhash($c, $k, ${seed}L)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** minhash signature → per-band LSH bucket ids (array<long>, length bands). */
+case class BandBuckets(child: Expression, bands: Int, rowsPerBand: Int, seed: Long)
+    extends GraftUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.bandBuckets(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bands, rowsPerBand, seed)
+  override protected def staticCall(c: String): String =
+    s"$H.bandBuckets($c, $bands, $rowsPerBand, ${seed}L)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "band_buckets"
+}
+
+/** minhash signature → single 64-bit digest (identical-signature grouping). */
+case class SigDigest(child: Expression) extends GraftUnary {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.sigDigest(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def staticCall(c: String): String = s"$H.sigDigest($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "sig_digest"
+}
+
+/** simhash → 4 tagged 16-bit block keys (complete candidates for Hamming≤3). */
+case class SimHashBlocks(child: Expression) extends GraftUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.simhashBlocks(v.asInstanceOf[Long])
+  override protected def staticCall(c: String): String = s"$H.simhashBlocks($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash_blocks"
+}
+
+/** text → winnowed substring fingerprints (array<long>); pairs sharing one
+  * are candidates for a ≥ (w + k - 1)-char common substring. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends GraftUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.winnow(v.asInstanceOf[UTF8String], k, w)
+  override protected def staticCall(c: String): String = s"$H.winnow($c, $k, $w)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
+private[graft] trait GraftBinary extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  protected final val H = "graft.functions.codegenHelpers"
+  protected def staticCall(l: String, r: String): String
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => staticCall(l, r))
+}
+
+/** (sigA, sigB) → estimated Jaccard (component agreement fraction). */
+case class EstJaccard(left: Expression, right: Expression) extends GraftBinary {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    codegenHelpers.estJaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def staticCall(l: String, r: String): String = s"$H.estJaccard($l, $r)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "est_jaccard"
+}
+
+/** (textA, textB) → exact k-shingle-set Jaccard (verification truth). */
+case class ShingleJaccard(left: Expression, right: Expression, k: Int, seed: Long)
+    extends GraftBinary {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    codegenHelpers.exactJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k, seed)
+  override protected def staticCall(l: String, r: String): String =
+    s"$H.exactJaccard($l, $r, $k, ${seed}L)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "shingle_jaccard"
+}
+
+/** (simhashA, simhashB) → Hamming distance. */
+case class HammingDist(left: Expression, right: Expression) extends GraftBinary {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    codegenHelpers.hamming(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def staticCall(l: String, r: String): String = s"$H.hamming($l, $r)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming_dist"
+}
+
+/** (textA, textB) → true iff an exact common substring of length ≥ L exists. */
+case class CommonSubstringGE(left: Expression, right: Expression, l: Int) extends GraftBinary {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    codegenHelpers.commonSubstring(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], l)
+  override protected def staticCall(x: String, y: String): String =
+    s"$H.commonSubstring($x, $y, $l)"
+  override protected def withNewChildrenInternal(x: Expression, y: Expression): Expression =
+    copy(left = x, right = y)
+  override def prettyName: String = "common_substring_ge"
+}
+
+/** embedding array<float> → sign-random-projection LSH signature. */
+case class VecSimHash(child: Expression, bits: Int, seed: Long) extends GraftUnary {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.vecSimHash(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits, seed)
+  override protected def staticCall(c: String): String = s"$H.vecSimHash($c, $bits, ${seed}L)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "vec_simhash"
+}
+
+/** Column-API surface for the custom expressions. */
+object gf {
+  private def expr(c: Column): Expression = org.apache.spark.sql.graft.bridge.expression(c)
+  private def col(e: Expression): Column = org.apache.spark.sql.graft.bridge.column(e)
+
+  def extract_text(c: Column): Column = col(ExtractText(expr(c)))
+  def natural_sort_key(c: Column): Column = col(NaturalSortKey(expr(c)))
+  def minhash_sig(c: Column, k: Int, n: Int, seed: Long): Column =
+    col(MinHashSig(expr(c), k, n, seed))
+  def simhash64(c: Column, k: Int, seed: Long): Column = col(SimHash64(expr(c), k, seed))
+  def band_buckets(c: Column, bands: Int, rowsPerBand: Int, seed: Long): Column =
+    col(BandBuckets(expr(c), bands, rowsPerBand, seed))
+  def sig_digest(c: Column): Column = col(SigDigest(expr(c)))
+  def simhash_blocks(c: Column): Column = col(SimHashBlocks(expr(c)))
+  def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
+    col(WinnowFingerprints(expr(c), k, w))
+  def est_jaccard(a: Column, b: Column): Column = col(EstJaccard(expr(a), expr(b)))
+  def shingle_jaccard(a: Column, b: Column, k: Int, seed: Long): Column =
+    col(ShingleJaccard(expr(a), expr(b), k, seed))
+  def hamming_dist(a: Column, b: Column): Column = col(HammingDist(expr(a), expr(b)))
+  def common_substring_ge(a: Column, b: Column, l: Int): Column =
+    col(CommonSubstringGE(expr(a), expr(b), l))
+  def vec_simhash(c: Column, bits: Int, seed: Long): Column =
+    col(VecSimHash(expr(c), bits, seed))
+}

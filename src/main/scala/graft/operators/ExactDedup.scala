@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-duplicate stage: content identity via `sha2(text, 256)`.
+  *
+  * Reference semantics: blocking-before-compare (size index,
+  * `ViewModels/MainViewModel.cs:586-588`), then byte-equality intent of the
+  * content compare (`:1093-1146` — we implement the intent, not its
+  * remove-while-iterating bug) and the cryptographic digest equality
+  * (`:1155-1218`, algorithms `:25-38`). At web scale the digest group *is*
+  * the byte-equality check (sha256 collision odds ≈ 1 in 10⁷⁵, the
+  * reference's own published tradeoff at `MainViewModel.cs:33-34`).
+  *
+  * Scale notes:
+  *   - `groupBy(sha)` does map-side partial aggregation, so a mega-group of
+  *     identical boilerplate (the skew bomb) never concentrates on one task
+  *     during rep election.
+  *   - edges are a star to the natural-sort-min member (linear in group
+  *     size, never quadratic) — CC flattens stars in one iteration.
+  */
+object ExactDedup {
+
+  /** (rep, url) star edges within every sha block of size ≥ 2, plus the
+    * per-url block size. Input needs columns: url, nk, sha. */
+  def repsAndEdges(docs: DataFrame): (DataFrame, DataFrame) = {
+    val groups = docs
+      .groupBy(col("sha"))
+      .agg(
+        min(struct(col("nk"), col("url"))).as("m"),
+        count(lit(1)).as("block_cnt"))
+      .select(col("sha"), col("m.url").as("rep"), col("block_cnt"))
+
+    val joined = docs.join(groups, "sha")
+    val edges = joined
+      .where(col("block_cnt") > 1 && col("url") =!= col("rep"))
+      .select(col("rep").as("src"), col("url").as("dst"))
+    val withRep = joined.select(
+      docs.columns.map(col) :+ col("rep").as("exact_rep") :+ col("block_cnt"): _*)
+    (withRep, edges)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.gf
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Three tiers, trading recall for scale:
+  *   1. `bruteForceTopK` — exact cosine top-k; the baseline and the oracle.
+  *      Query side is broadcast (it is small by construction); the corpus
+  *      side streams through one codegen'd projection — no shuffle at all.
+  *   2. `ivfTopK` — inverted-file ANN: vectors assigned to their nearest
+  *      centroid; queries probe only `nProbe` nearest cells. At 100 TB this
+  *      turns a full scan into a partition-pruned fraction ≈ nProbe/C.
+  *   3. LSH bucketing via `gf.vec_simhash` (sign random projection,
+  *      Charikar 2002) for self-join dedup of embeddings (see
+  *      SparkEntry "ann_lsh_buckets").
+  *
+  * Dot products use `zip_with` + `aggregate` — built-in higher-order
+  * functions, codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ via built-ins. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query row. `queries` must be small
+    * (broadcast); corpus scanned once. Output: (query_id, vec_id, cos, rank). */
+  def bruteForceTopK(
+      corpus: DataFrame, // vec_id, embedding
+      queries: DataFrame, // query_id, q_embedding
+      k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(col("embedding"), col("q_embedding")))
+      .where(col("vec_id") =!= col("query_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Deterministic, training-free IVF: centroids = every `step`-th vector.
+    * Returns (assignments, centroids). Assignment is a broadcast argmin —
+    * one scan, no shuffle. */
+  def ivfAssign(corpus: DataFrame, step: Int): (DataFrame, DataFrame) = {
+    val centroids = corpus
+      .where(col("vec_id") % step === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_embedding"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("centroid_id"))
+    val assigned = corpus
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", -cosine(col("embedding"), col("c_embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    (assigned, centroids)
+  }
+
+  /** IVF ANN top-k: probe the query's `nProbe` nearest cells only. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      step: Int,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val (assigned, centroids) = ivfAssign(corpus, step)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("qdist").asc, col("centroid_id"))
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("qdist", -cosine(col("q_embedding"), col("c_embedding")))
+      .withColumn("rnk", row_number().over(wq))
+      .where(col("rnk") <= nProbe)
+      .select(col("query_id"), col("q_embedding"), col("centroid_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned
+      .join(broadcast(probes), "centroid_id")
+      .withColumn("cos", cosine(col("embedding"), col("q_embedding")))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Embedding near-dup buckets via sign-random-projection LSH. */
+  def lshBuckets(corpus: DataFrame, bits: Int, seed: Long): DataFrame =
+    corpus.withColumn("bucket", gf.vec_simhash(col("embedding"), bits, seed))
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data text analysis over a document corpus: language
+  * identification, quality scoring, token counting and document
+  * fingerprinting. All built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs) so they fuse into the same whole-stage-codegen span as the
+  * scan — these run over every document at 100 TB, the cheapest possible
+  * plan shape matters more than anywhere else.
+  */
+object TextAnalysis {
+
+  // ---- token counting -------------------------------------------------------
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: word pieces + standalone punctuation, the usual
+    * pre-tokenizer regex shape. */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  // ---- language id ----------------------------------------------------------
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"))
+
+  /** Count of stopword hits for one language (word-boundary regex). */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val pattern = stopwords(lang).mkString("\\b(", "|", ")\\b")
+    regexp_count(lower(text), lit(pattern))
+  }
+
+  /** n-gram/stopword heuristic language id: the language with the most
+    * stopword hits, or "und" (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val hits = stopwords.keys.toSeq.sorted.map(l => (l, stopwordHits(text, l)))
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldLeft(when(best === 0, lit("und"))) { case (acc, (l, h)) =>
+      acc.when(h === best, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  // ---- quality scoring ------------------------------------------------------
+
+  /** Heuristic quality features + a [0,1] score: length band, punctuation
+    * ratio, mean word length, digit ratio. */
+  def withQuality(df: DataFrame, text: Column): DataFrame = {
+    val len = length(text).cast("double")
+    val words = tokenCountWs(text).cast("double")
+    val punct = regexp_count(text, lit("[.,;:!?]")).cast("double")
+    val digits = regexp_count(text, lit("[0-9]")).cast("double")
+    df
+      .withColumn("q_len", len)
+      .withColumn("q_words", words)
+      .withColumn("q_mean_word_len", when(words > 0, (len - (words - 1)) / words).otherwise(lit(0.0)))
+      .withColumn("q_punct_ratio", when(len > 0, punct / len).otherwise(lit(0.0)))
+      .withColumn("q_digit_ratio", when(len > 0, digits / len).otherwise(lit(0.0)))
+      .withColumn(
+        "quality",
+        // each factor in [0,1]; product penalizes any bad dimension
+        least(col("q_len") / 200.0, lit(1.0)) *
+          (lit(1.0) - least(col("q_punct_ratio") * 5.0, lit(1.0))) *
+          (lit(1.0) - least(col("q_digit_ratio") * 5.0, lit(1.0))) *
+          when(col("q_mean_word_len").between(3.0, 12.0), 1.0).otherwise(0.5))
+  }
+
+  // ---- fingerprinting -------------------------------------------------------
+
+  /** Cheap 64-bit content fingerprint (xxhash64 of the text). */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Oracle-friendly content fingerprint: first 16 hex chars of md5 —
+    * expressible identically in DuckDB for the correctness gate. */
+  def fingerprintHex(text: Column): Column = substring(md5(text), 1, 16)
+}

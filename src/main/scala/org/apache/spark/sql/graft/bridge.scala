@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the converters package-private
+  * (`org.apache.spark.sql.classic.ExpressionUtils`), so this one-file shim
+  * lives in the spark namespace — the same pattern used by public Spark
+  * extension libraries (cf. SNIPPETS.md [2], [3]). No Spark internals are
+  * modified; this only re-exports the two converters.
+  */
+object bridge {
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+}
