@@ -12,13 +12,14 @@ import org.apache.spark.storage.StorageLevel
   * which elects exactly the same representative (the natural-order minimum)
   * without any order-dependent sequential state.
   *
-  * Algorithm: min-label propagation over undirected edges.
+  * Algorithm: min-label propagation + pointer jumping over undirected edges.
   *   labels ← (url, own natural key)
-  *   repeat: label(u) ← min(label(u), min over neighbors v of label(v))
-  * Convergence is O(cluster diameter) joins. Dedup cluster topology is
-  * star/clique-shaped (exact stars, LSH clique edges), so diameter is small
-  * (substring chains bound it by the chain length). Determinism comes from
-  * the label *values* (natural keys), never from partition order.
+  *   repeat: label(u) ← min(label(u), min over neighbors v of label(v));
+  *           label(u) ← min(label(u), label(label(u).url))   // compression
+  * Convergence is O(log diameter) rounds. Dedup cluster topology is mostly
+  * star/clique-shaped (exact stars, LSH clique edges); the compression step
+  * keeps pathological substring-transitivity chains cheap too. Determinism
+  * comes from the label *values* (natural keys), never from partition order.
   *
   * Scale notes: each iteration is two shuffles (edges ⋈ labels on src;
   * re-agg by dst). Lineage is truncated every iteration with
@@ -53,12 +54,24 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // 1. propagate labels one hop over the edge list
       val msgs = und
         .join(labels.withColumnRenamed("url", "src"), "src")
         .select(col("dst").as("url"), col("lbl"))
-      val next = labels.unionByName(msgs)
+      val prop = labels.unionByName(msgs)
         .groupBy(col("url"))
         .agg(min(col("lbl")).as("lbl"))
+      // 2. pointer jumping: follow the label's own label (path compression),
+      //    turning O(diameter) convergence into O(log diameter) — long
+      //    chains (substring-dup transitivity) stay cheap at scale
+      val next = prop.alias("a")
+        .join(
+          prop.select(col("url").as("curl"), col("lbl").as("plbl")).alias("p"),
+          col("a.lbl.url") === col("curl"), "left")
+        .select(
+          col("a.url").as("url"),
+          when(col("plbl").isNotNull, least(col("plbl"), col("a.lbl")))
+            .otherwise(col("a.lbl")).as("lbl"))
         .localCheckpoint()
       val changed = next.alias("n")
         .join(labels.alias("o"), "url")

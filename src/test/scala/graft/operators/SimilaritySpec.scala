@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def corpus(n: Int, dim: Int) = {
+    import spark.implicits._
+    val r = new scala.util.Random(42)
+    (0 until n).map { i =>
+      (i.toLong, Array.fill(dim)(r.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force topk: self excluded, ranks contiguous, cosine in [-1,1]") {
+    val c = corpus(200, 16)
+    val q = c.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val top = Similarity.bruteForceTopK(c, q, k = 10).collect()
+    assert(top.length == 50)
+    top.foreach { r =>
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("vec_id"))
+      val cos = r.getAs[Double]("cos")
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
+    val ranks = top.groupBy(_.getAs[Long]("query_id"))
+    ranks.values.foreach(rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 10)))
+  }
+
+  test("brute-force finds the planted nearest neighbor at rank 1") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val v = Array.fill(16)(r.nextFloat())
+    val almost = v.clone(); almost(0) = almost(0) + 0.001f
+    val rows = Seq((0L, v), (1L, almost)) ++
+      (2 until 100).map(i => (i.toLong, Array.fill(16)(r.nextFloat() * 2 - 1)))
+    val c = rows.toDF("vec_id", "embedding")
+    val q = c.where(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val first = Similarity.bruteForceTopK(c, q, 1).collect().head
+    assert(first.getAs[Long]("vec_id") == 1L)
+  }
+
+  test("IVF recall vs brute force is reasonable at nProbe=4") {
+    val c = corpus(300, 16)
+    val q = c.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val bf = Similarity.bruteForceTopK(c, q, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.ivfTopK(c, q, step = 20, nProbe = 4, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall $recall") // ANN tradeoff, sanity floor
+  }
+
+  test("vector LSH buckets: identical vectors share a bucket") {
+    import spark.implicits._
+    val r = new scala.util.Random(3)
+    val v = Array.fill(16)(r.nextFloat())
+    val df = Seq((0L, v), (1L, v.clone)).toDF("vec_id", "embedding")
+    val buckets = Similarity.lshBuckets(df, bits = 16, seed = 42L)
+      .select("bucket").as[Long].collect()
+    assert(buckets(0) == buckets(1))
+  }
+}
