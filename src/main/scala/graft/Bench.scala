@@ -8,12 +8,21 @@ import graft.sources.SyntheticCorpus
   *
   *   - headline queries over SPARK_GRAFT_SF_DIR (seconds each);
   *   - the dedup pipeline over a distributed synthetic corpus
-  *     (SPARK_GRAFT_BENCH_DOCS docs, default 100k) at local[8] and
+  *     (SPARK_GRAFT_BENCH_DOCS docs, default 200k) at local[8] and
   *     local[32] on identical input — the sandbox evidence for the
-  *     north-rule two-cluster-size criterion: throughput at both levels
-  *     plus scaling efficiency E = (T_8 / T_32) / 4 (see BASELINE.md).
+  *     north-rule two-cluster-size criterion.
   *
-  * Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling pass (CI smoke).
+  * Measurement protocol for the shared/noisy host this runs on (observed
+  * minute-scale throughput bursts from co-tenants): the two parallelism
+  * levels are INTERLEAVED for SPARK_GRAFT_BENCH_REPS rounds (default 2)
+  * and the per-level minimum is reported, so a slow burst penalizes both
+  * levels symmetrically instead of whichever level it happened to hit.
+  * A pure-CPU in-JVM burn also measures the host's own 8→32-thread scaling
+  * ceiling (all-core turbo/steal losses): `cpu_ceiling_8_to_32` — the
+  * efficiency an ideal embarrassingly-parallel program would measure here.
+  * Reported: raw E = (T_8 / T_32) / 4 and E normalized by that ceiling.
+  *
+  * Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling passes (CI smoke).
   */
 object Bench {
 
@@ -23,15 +32,8 @@ object Bench {
     "q_ann_topk", "q_dedup_decisions")
 
   private def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    val s = GraftSession.build(cpus, "graft-bench")
+    s.sparkContext.setLogLevel("ERROR")
     s
   }
 
@@ -53,10 +55,32 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** Total iterations/sec of a pure-CPU busy loop across `threads` threads
+    * for `ms` milliseconds — measures the host's parallel ceiling. */
+  private def burn(threads: Int, ms: Long): Double = {
+    val counts = new java.util.concurrent.atomic.AtomicLong()
+    val deadline = System.nanoTime() + ms * 1000000L
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        var x = t.toLong; var c = 0L
+        while (System.nanoTime() < deadline) {
+          var i = 0
+          while (i < 10000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+          c += 1
+        }
+        if (x == 42) println("") // keep x live
+        counts.addAndGet(c)
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    counts.get().toDouble / (ms / 1000.0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -65,7 +89,6 @@ object Bench {
     try {
       headline.foreach { name =>
         val fn = SparkEntry.queries(name)
-        // warm the IO/codegen once so per-query numbers measure compute
         val sec = timed {
           try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           catch { case e: Throwable =>
@@ -77,14 +100,26 @@ object Bench {
     } finally spark.stop()
 
     if (doScaling) {
-      val t8 = pipelineRun(8, benchDocs)
-      val t32 = pipelineRun(32, benchDocs)
+      // hardware parallel ceiling (interleaved burns, min-normalized)
+      burn(8, 500) // warm up clocks/JIT
+      val c8 = (0 until 2).map(_ => burn(8, 2000)).max
+      val c32 = (0 until 2).map(_ => burn(32, 2000)).max
+      val ceiling = (c32 / c8) / 4.0
+
+      var t8 = Double.MaxValue
+      var t32 = Double.MaxValue
+      (0 until reps).foreach { _ =>
+        t8 = math.min(t8, pipelineRun(8, benchDocs))
+        t32 = math.min(t32, pipelineRun(32, benchDocs))
+      }
       val eff = (t8 / t32) / 4.0
       results("pipeline_c8_sec") = t8
       results("pipeline_c32_sec") = t32
       results("pipeline_docs_per_sec_c8") = benchDocs / t8
       results("pipeline_docs_per_sec_c32") = benchDocs / t32
+      results("cpu_ceiling_8_to_32") = ceiling
       results("scaling_efficiency_8_to_32") = eff
+      results("scaling_efficiency_vs_cpu_ceiling") = eff / ceiling
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }

@@ -77,8 +77,19 @@ object DedupPipeline {
       fromHtml: Boolean = true): DedupResult = {
 
     val ck = cfg.runDir.map(d => new CheckpointIO(spark, d, cfg.hash))
+    // Without a checkpoint dir, stage outputs are persisted and EAGERLY
+    // materialized instead: several stages are consumed more than once
+    // (signatures feed candidate generation AND both sides of pair
+    // verification), un-materialized lineage would recompute the MinHash
+    // kernel per consumer, and — critically — downstream join planning then
+    // sees the cache's REAL size instead of string-width guesses (which at
+    // millions of docs made the optimizer broadcast a multi-GB side).
     def stage(name: String)(build: => DataFrame): DataFrame =
-      ck.map(_.stage(name)(build)).getOrElse(build)
+      ck.map(_.stage(name)(build)).getOrElse {
+        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
+      }
 
     // ---- extract + normalize (O1/O2/O3/O4 analogs) ----
     val docs = stage("docs") {
@@ -168,7 +179,6 @@ object DedupPipeline {
           col("dir"), col("len"), col("sha"), col("extract_ok")),
         labels.select(col("url"), col("cluster_url")),
         cfg.minLen)
-        .drop("cluster_key")
     }
 
     val stats = Decisions.stats(decisions)

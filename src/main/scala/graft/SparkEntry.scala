@@ -174,6 +174,29 @@ object SparkEntry {
         .select(col("user_id"), col("event_id").as("top_event"))
     }),
 
+    // ---- reporting surface (O20/O21/O27) ----
+    "q_tri_state" -> ((s, dir) =>
+      Reporting.triState(docs(s, dir), col("source"), col("n_chars") > 250)),
+
+    "q_visibility" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(block)
+      val states = docs(s, dir)
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("min_id", min(col("doc_id")).over(w))
+        .withColumn(
+          "state",
+          when(length(col("text")) < 20, "ignored")
+            .when(col("cnt") === 1, "unique")
+            .when(col("doc_id") === col("min_id"), "keep")
+            .otherwise("delete"))
+      Reporting.visibleStates(states, Seq("keep", "unique")).select(col("doc_id"))
+    }),
+
+    "q_human_bytes" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), Reporting.humanBytes(col("n_chars")).as("size_h"))),
+
     // ---- natural sort (O3; rows-only: comparator is not SQL-expressible) ----
     "q_natural_sort_topk" -> ((s, dir) =>
       docs(s, dir)
@@ -317,6 +340,32 @@ object SparkEntry {
     "q_events_by_type" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1""".stripMargin,
+    "q_tri_state" ->
+      """SELECT source AS grp, bool_and(n_chars > 250) AS all_true,
+        |  bool_or(n_chars > 250) AS any_true,
+        |  CASE WHEN bool_and(n_chars > 250) THEN 'all'
+        |       WHEN NOT bool_or(n_chars > 250) THEN 'none'
+        |       ELSE 'mixed' END AS tri_state
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_visibility" ->
+      """WITH st AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) < 20 THEN 'ignored'
+        |         WHEN count(*) OVER (PARTITION BY md5(text)) = 1 THEN 'unique'
+        |         WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 'keep'
+        |         ELSE 'delete' END AS state
+        |  FROM documents)
+        |SELECT doc_id FROM st WHERE state IN ('keep', 'unique')""".stripMargin,
+    "q_human_bytes" ->
+      """SELECT doc_id,
+        |  CASE WHEN n_chars < 1024 THEN cast(n_chars AS varchar) || ' B'
+        |       WHEN n_chars < 1048576
+        |         THEN cast(round(n_chars / 1024.0, 1) AS varchar) || ' KiB'
+        |       WHEN n_chars < 1073741824
+        |         THEN cast(round(n_chars / 1048576.0, 1) AS varchar) || ' MiB'
+        |       ELSE cast(round(n_chars / 1073741824.0, 1) AS varchar) || ' GiB'
+        |  END AS size_h
+        |FROM documents""".stripMargin,
     "q_ts_dups" ->
       """SELECT epoch_us(ts) AS ts_us, count(*) AS cnt
         |FROM events GROUP BY 1 HAVING count(*) > 1""".stripMargin,

@@ -23,36 +23,59 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale notes: each iteration is two shuffles (edges ⋈ labels on src;
   * re-agg by dst). Lineage is truncated every iteration with
-  * `localCheckpoint` so plans don't grow; the converged check is a single
-  * count of changed labels. For graphs with huge diameters the
+  * `localCheckpoint` so plans don't grow; the converged check is one tiny
+  * order-free checksum aggregation. For graphs with huge diameters the
   * large-star/small-star algorithm (or BTS, ICDE 2024 — see PAPERS.md)
   * halves iteration counts; dedup graphs don't need it and it would double
   * the shuffle volume per round.
   */
 object ConnectedComponents {
 
+  /** Edge lists at or below this size resolve on the driver (adaptive
+    * execution): a union-find over a few million pairs is milliseconds,
+    * while every distributed round costs whole-job latencies regardless of
+    * data volume. The distributed path takes over beyond it (and is forced
+    * in tests via maxDriverEdges = 0). */
+  val DefaultMaxDriverEdges = 4000000L
+
   /** @param nodes (url, nk) — one row per node (nk = natural-sort key)
     * @param edges (src, dst) — undirected pairs, endpoints ⊆ nodes
-    * @return (url, cluster) where cluster = min nk in the component,
-    *         paired with the winning member's url as `cluster_url`. */
+    * @return (url, cluster_url) where cluster_url = the component member
+    *         with the minimum natural-sort key. */
   def run(
       spark: SparkSession,
       nodes: DataFrame,
       edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      maxDriverEdges: Long = DefaultMaxDriverEdges): DataFrame = {
 
     // symmetric closure once; reused by every iteration
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    val edgeCount = und.count() / 2
+    if (edgeCount <= maxDriverEdges) {
+      val out = runOnDriver(spark, nodes, edges)
+      und.unpersist(blocking = false)
+      return out
+    }
+
+    // Iterate only over edge-touched nodes: everything else is a singleton
+    // whose label is itself. In a dedup graph the touched set is a small
+    // fraction of the corpus (most docs are unique), so this shrinks every
+    // iteration's shuffle by that fraction.
+    val touched = und.select(col("src").as("url")).distinct()
+
     // label = struct(nk, url): min is by nk with url as deterministic tiebreak
     var labels = nodes
+      .join(touched, "url")
       .select(col("url"), struct(col("nk"), col("url")).as("lbl"))
       .localCheckpoint()
 
     var iter = 0
     var converged = false
+    var prevSig: java.math.BigDecimal = null
     while (!converged && iter < maxIter) {
       // 1. propagate labels one hop over the edge list
       val msgs = und
@@ -64,7 +87,7 @@ object ConnectedComponents {
       // 2. pointer jumping: follow the label's own label (path compression),
       //    turning O(diameter) convergence into O(log diameter) — long
       //    chains (substring-dup transitivity) stay cheap at scale
-      val next = prop.alias("a")
+      val jumped = prop.alias("a")
         .join(
           prop.select(col("url").as("curl"), col("lbl").as("plbl")).alias("p"),
           col("a.lbl.url") === col("curl"), "left")
@@ -72,19 +95,79 @@ object ConnectedComponents {
           col("a.url").as("url"),
           when(col("plbl").isNotNull, least(col("plbl"), col("a.lbl")))
             .otherwise(col("a.lbl")).as("lbl"))
-        .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), "url")
-        .where(col("n.lbl") =!= col("o.lbl"))
-        .limit(1).count()
+      // hard lineage truncation every round: plans otherwise snowball
+      // across rounds (each self-join doubles references) and optimizer
+      // time dwarfs the tiny label shuffle
+      val next = jumped.localCheckpoint()
+      // convergence via an order-free checksum of the label assignment —
+      // one tiny aggregation instead of a self-join per iteration
+      val sig = next
+        .agg(sum(xxhash64(col("url"), col("lbl.url")).cast("decimal(30,0)")))
+        .head().getDecimal(0)
+      converged = prevSig != null && prevSig == sig
+      prevSig = sig
       labels = next
-      converged = changed == 0
       iter += 1
     }
     und.unpersist(blocking = false)
-    labels.select(
-      col("url"),
-      col("lbl.nk").as("cluster_key"),
-      col("lbl.url").as("cluster_url"))
+    val part = labels.select(col("url"), col("lbl.url").as("cluster_url"))
+    // singletons (never touched by an edge) label themselves
+    nodes
+      .join(part, Seq("url"), "left")
+      .select(
+        col("url"),
+        coalesce(col("cluster_url"), col("url")).as("cluster_url"))
+  }
+
+  /** Driver-side union-find for small edge lists. Semantically identical to
+    * the distributed path: representative = natural-key minimum member. */
+  private def runOnDriver(
+      spark: SparkSession,
+      nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    import graft.functions.NaturalKey
+    val pairs = edges.select(col("src"), col("dst")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+
+    val parent = new java.util.HashMap[String, String]()
+    def find(x0: String): String = {
+      var r = x0
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x0
+      while (parent.getOrDefault(c, c) != c) {
+        val nx = parent.get(c); parent.put(c, r); c = nx
+      }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(ra, rb)
+    }
+    // representative per component = natural-order minimum member
+    val best = new java.util.HashMap[String, String]()
+    val members = new java.util.HashSet[String]()
+    pairs.foreach { case (a, b) => members.add(a); members.add(b) }
+    val it = members.iterator()
+    while (it.hasNext) {
+      val m = it.next()
+      val r = find(m)
+      val cur = best.get(r)
+      if (cur == null || NaturalKey.compare(m, cur) < 0) best.put(r, m)
+    }
+    import spark.implicits._
+    val labels = {
+      val buf = new scala.collection.mutable.ArrayBuffer[(String, String)](members.size)
+      val it2 = members.iterator()
+      while (it2.hasNext) {
+        val m = it2.next()
+        buf += ((m, best.get(find(m))))
+      }
+      buf.toSeq.toDF("url", "cluster_url")
+    }
+    nodes
+      .join(labels, Seq("url"), "left")
+      .select(
+        col("url"),
+        coalesce(col("cluster_url"), col("url")).as("cluster_url"))
   }
 }

@@ -36,7 +36,15 @@ object Lsh {
       bucketCap: Int = 64,
       maxBucketRead: Int = 8192,
       estJPrefilter: Double = 0.6,
-      hamMax: Int = 3) {
+      hamMax: Int = 3,
+      /** SimHash 16-bit-block candidate generation (complete for Hamming≤3
+        * by pigeonhole) is OFF by default: the block key space is only
+        * 2^16, so beyond ~10^5 docs every block bucket goes quadratic
+        * (observed: 16M+ false candidates at 757k docs). MinHash banding
+        * alone misses a J≥0.8 pair with P≈(1-0.8⁴)³²≈5e-8. The scale path
+        * for Hamming-only retrieval is Manku et al.'s permuted prefix
+        * tables (WWW'07), not block buckets. */
+      useSimhashBuckets: Boolean = false) {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
   }
 
@@ -72,15 +80,18 @@ object Lsh {
         xxhash64(col("band"), col("bucket")).as("bkey"),
         col("url"), col("nk"), col("sigd"))
 
-    val simhashBuckets = docs
-      .select(
-        col("url"), col("nk"), col("sigd"),
-        explode(gf.simhash_blocks(col("simhash"))).as("bucket"))
-      .select(
-        xxhash64(lit(0x51AB17L), col("bucket")).as("bkey"),
-        col("url"), col("nk"), col("sigd"))
-
-    val all = minhashBuckets.unionByName(simhashBuckets)
+    val all =
+      if (!cfg.useSimhashBuckets) minhashBuckets
+      else {
+        val simhashBuckets = docs
+          .select(
+            col("url"), col("nk"), col("sigd"),
+            explode(gf.simhash_blocks(col("simhash"))).as("bucket"))
+          .select(
+            xxhash64(lit(0x51AB17L), col("bucket")).as("bkey"),
+            col("url"), col("nk"), col("sigd"))
+        minhashBuckets.unionByName(simhashBuckets)
+      }
 
     // sorted groupWithin: one group per (band, bucket); bounded read
     val cap = cfg.bucketCap
@@ -148,18 +159,29 @@ object Lsh {
       docs: DataFrame, // url, text, sig, simhash
       cfg: Config,
       tau: Double): DataFrame = {
-    val a = docs.select(
-      col("url").as("src"), col("text").as("text_a"),
-      col("sig").as("sig_a"), col("simhash").as("sim_a"))
-    val b = docs.select(
-      col("url").as("dst"), col("text").as("text_b"),
-      col("sig").as("sig_b"), col("simhash").as("sim_b"))
-    candidates
-      .join(a, "src")
-      .join(b, "dst")
+    // cheap prefilter first, against signatures only (no texts shuffled yet)
+    val sa = docs.select(col("url").as("src"), col("sig").as("sig_a"), col("simhash").as("sim_a"))
+    val sb = docs.select(col("url").as("dst"), col("sig").as("sig_b"), col("simhash").as("sim_b"))
+    val prefiltered = candidates
+      .join(sa, "src")
+      .join(sb, "dst")
       .withColumn("est_j", gf.est_jaccard(col("sig_a"), col("sig_b")))
       .withColumn("ham", gf.hamming_dist(col("sim_a"), col("sim_b")))
       .where(col("same_sig") || col("est_j") >= cfg.estJPrefilter || col("ham") <= cfg.hamMax)
+      .select(col("src"), col("dst"), col("est_j"), col("ham"))
+
+    // expensive exact verification: join texts, then REBALANCE before the
+    // shingle-set kernel — join output is partitioned by the join key, and
+    // hot bucket representatives concentrate thousands of pairs on one
+    // task; hashing on the full pair spreads the kernel evenly (the skew
+    // discipline of the reference's per-disk scheduler,
+    // ViewModels/MainViewModel.cs:1166-1213, applied to CPU)
+    val ta = docs.select(col("url").as("src"), col("text").as("text_a"))
+    val tb = docs.select(col("url").as("dst"), col("text").as("text_b"))
+    prefiltered
+      .join(ta, "src")
+      .join(tb, "dst")
+      .repartition(col("src"), col("dst"))
       .withColumn("jaccard", gf.shingle_jaccard(col("text_a"), col("text_b"), cfg.shingleK, cfg.seed))
       .where(col("jaccard") >= tau)
       .select(col("src"), col("dst"), col("jaccard"), col("est_j"), col("ham"))

@@ -41,12 +41,18 @@ object SyntheticCorpus {
 
   private val baseEpoch = 1767225600L // 2026-01-01T00:00:00Z, fixed (no wall clock)
 
-  /** 1000 deterministic pseudo-words incl. UTF-8 multi-byte chars. */
+  /** Deterministic pseudo-words incl. UTF-8 multi-byte chars. 50k words
+    * (not the 1k first drafted in FIXTURES.md): with a 1k vocabulary the
+    * background Jaccard between *unrelated* docs is high enough at ≥10⁶
+    * docs that LSH bands collide quadratically (observed: 18M false
+    * candidates at 1M docs) — a fixture artifact real web text does not
+    * have. 50k words puts background shingle overlap near zero while
+    * keeping generation cheap. */
   lazy val vocab: Array[String] = {
     val rnd = new scala.util.Random(Seed)
     val letters = "abcdefghijklmnopqrstuvwxyz"
     val accents = "éüöçñ中界テスト"
-    Array.tabulate(1000) { i =>
+    Array.tabulate(50000) { i =>
       val len = 3 + rnd.nextInt(6)
       val sb = new StringBuilder
       (0 until len).foreach { _ =>

@@ -1,0 +1,37 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft._
+import graft.operators._
+import graft.functions.gf
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+
+    println("=== PLAN 1: q1_agg (pushdown & pruning) ===")
+    SparkEntry.queries("q1_agg")(spark, sf).explain("formatted")
+
+    println("=== PLAN 2: q_length_filter (filter pushdown) ===")
+    SparkEntry.queries("q_length_filter")(spark, sf).explain("formatted")
+
+    println("=== PLAN 3: signature projection (codegen?) ===")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Lsh.withSignatures(docs, Lsh.Config()).explain("formatted")
+
+    println("=== PLAN 4: exact rep election (partial agg?) ===")
+    val d2 = docs.selectExpr("cast(doc_id as string) as url", "text")
+      .withColumn("nk", gf.natural_sort_key(col("url")))
+      .withColumn("sha", sha2(col("text"), 256))
+    ExactDedup.repsAndEdges(d2.select(col("url"), col("nk"), col("sha")))._2.explain("formatted")
+
+    println("=== PLAN 5: brute-force ANN (broadcast?) ===")
+    SparkEntry.queries("q_ann_topk")(spark, sf).explain("formatted")
+    spark.stop()
+  }
+}

@@ -5,10 +5,7 @@ import graft._
 import graft.sources._
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions","8")
-      .config("spark.sql.session.timeZone","UTC")
-      .config("spark.ui.enabled","false").getOrCreate()
+    val spark = GraftSession.build(8, "graft-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     val runDir = "/tmp/probe_ck"

@@ -32,8 +32,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .withColumn("nk", graft.functions.gf.natural_sort_key(
         org.apache.spark.sql.functions.col("url")))
     val edgeDf = edges.map { case (a, b) => (urls(a), urls(b)) }.toDF("src", "dst")
-    val got = ConnectedComponents.run(spark, nodes, edgeDf)
+    // force the DISTRIBUTED path (driver union-find covered separately)
+    val got = ConnectedComponents.run(spark, nodes, edgeDf, maxDriverEdges = 0)
       .select("url", "cluster_url").as[(String, String)].collect().toMap
+    // driver path must agree exactly with the distributed path
+    val viaDriver = ConnectedComponents.run(spark, nodes, edgeDf)
+      .select("url", "cluster_url").as[(String, String)].collect().toMap
+    assert(got == viaDriver, "driver union-find diverged from distributed CC")
 
     val truth = unionFind(n, edges)
     // same partition?
