@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[n,cores,mem] (multi-executor scaling bench) needs these to
+// spawn executor JVMs from a binary Spark dist:
+run / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13",
+  "SPARK_WORKER_DIR" -> sys.env.getOrElse("SPARK_WORKER_DIR", "/tmp/spark-work"),
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

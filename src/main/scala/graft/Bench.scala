@@ -43,11 +43,22 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Full pipeline wall time over `n` synthetic docs at `cpus` threads. */
-  private def pipelineRun(cpus: Int, n: Int): Double = {
-    val spark = session(cpus)
+  /** Full pipeline wall time over `n` synthetic docs. When the environment
+    * can spawn executor JVMs, `executors` real executors × `coresPerExec`
+    * are used (the north-rule "N executors" reading); otherwise falls back
+    * to local[executors × coresPerExec] threads. */
+  private val useClusterJvms =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTER", "0") == "1"
+
+  private def pipelineRun(executors: Int, coresPerExec: Int, n: Int): Double = {
+    val totalCores = executors * coresPerExec
+    val spark =
+      if (useClusterJvms && GraftSession.clusterCapable)
+        GraftSession.buildCluster(executors, coresPerExec,
+          memMbPerExec = 5120, appName = "graft-bench-cluster")
+      else session(totalCores)
     try {
-      val pages = SyntheticCorpus.distributed(spark, n, partitions = cpus * 2)
+      val pages = SyntheticCorpus.distributed(spark, n, partitions = totalCores * 2)
       timed {
         val r = DedupPipeline.run(spark, pages.toDF(), DedupConfig(), fromHtml = true)
         r.decisions.write.mode("overwrite").format("noop").save()
@@ -106,19 +117,23 @@ object Bench {
       val c32 = (0 until 2).map(_ => burn(32, 2000)).max
       val ceiling = (c32 / c8) / 4.0
 
-      var t8 = Double.MaxValue
-      var t32 = Double.MaxValue
+      // N = 2 executors × 4 cores, 4N = 8 executors × 4 cores (falls back
+      // to local[8] / local[32] threads when executor JVMs can't spawn)
+      var tN = Double.MaxValue
+      var t4N = Double.MaxValue
       (0 until reps).foreach { _ =>
-        t8 = math.min(t8, pipelineRun(8, benchDocs))
-        t32 = math.min(t32, pipelineRun(32, benchDocs))
+        tN = math.min(tN, pipelineRun(2, 4, benchDocs))
+        t4N = math.min(t4N, pipelineRun(8, 4, benchDocs))
       }
-      val eff = (t8 / t32) / 4.0
-      results("pipeline_c8_sec") = t8
-      results("pipeline_c32_sec") = t32
-      results("pipeline_docs_per_sec_c8") = benchDocs / t8
-      results("pipeline_docs_per_sec_c32") = benchDocs / t32
+      val eff = (tN / t4N) / 4.0
+      val mode = if (useClusterJvms && GraftSession.clusterCapable) 1.0 else 0.0
+      results("pipeline_n2exec_sec") = tN
+      results("pipeline_n8exec_sec") = t4N
+      results("pipeline_docs_per_sec_n2exec") = benchDocs / tN
+      results("pipeline_docs_per_sec_n8exec") = benchDocs / t4N
+      results("multi_executor_jvms") = mode
       results("cpu_ceiling_8_to_32") = ceiling
-      results("scaling_efficiency_8_to_32") = eff
+      results("scaling_efficiency_n_to_4n") = eff
       results("scaling_efficiency_vs_cpu_ceiling") = eff / ceiling
     }
 
