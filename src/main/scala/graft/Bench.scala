@@ -8,7 +8,7 @@ import graft.sources.SyntheticCorpus
   *
   *   - headline queries over SPARK_GRAFT_SF_DIR (seconds each);
   *   - the dedup pipeline over a distributed synthetic corpus
-  *     (SPARK_GRAFT_BENCH_DOCS docs, default 200k) at local[8] and
+  *     (SPARK_GRAFT_BENCH_DOCS docs, default 500k) at local[8] and
   *     local[32] on identical input — the sandbox evidence for the
   *     north-rule two-cluster-size criterion.
   *
@@ -90,7 +90,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "500000").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 
