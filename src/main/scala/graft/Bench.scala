@@ -95,18 +95,25 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val queryTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     val spark = session(cpus)
     try {
       headline.foreach { name =>
         val fn = SparkEntry.queries(name)
+        var failed = false
         val sec = timed {
           try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           catch { case e: Throwable =>
+            failed = true
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
         }
-        results(name) = sec
+        // a failed query must not masquerade as a fast successful one in
+        // the machine-readable output (ADVICE r1): record -1, exclude from
+        // the total
+        results(name) = if (failed) -1.0 else sec
+        if (!failed) queryTimes(name) = sec
       }
     } finally spark.stop()
 
@@ -139,7 +146,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = results.values.sum
+    // the headline total sums ONLY per-query seconds — round 1 summed
+    // docs/sec throughputs and efficiency ratios into a "sec" total
+    // (VERDICT r1 §wrong.4); scaling metrics stay as separate keys
+    val total = queryTimes.values.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }

@@ -21,19 +21,31 @@ object ConfigIO {
       s""""bands":${c.bands},"rowsPerBand":${c.rowsPerBand},"seed":${c.seed},""" +
       s""""jaccardTau":${c.jaccardTau},"estJPrefilter":${c.estJPrefilter},""" +
       s""""hamMax":${c.hamMax},"minSubstr":${c.minSubstr},"anchorK":${c.anchorK},""" +
-      s""""bucketCap":${c.bucketCap},"scope":${q(c.scope)},""" +
+      s""""bucketCap":${c.bucketCap},"scope":${q(c.scope)},"algo":${q(c.algo)},""" +
+      s""""enableNear":${c.enableNear},"enableSubstr":${c.enableSubstr},""" +
+      s""""sourcePriority":${c.sourcePriority.map(q).mkString("[", ",", "]")},""" +
       s""""verifyExtract":${c.verifyExtract}}"""
   }
 
   private val num = """"(\w+)":(-?[\d.]+)""".r
   private val str = """"(\w+)":"((?:[^"\\]|\\.)*)"""".r
   private val bool = """"(\w+)":(true|false)""".r
+  private val arr = """"sourcePriority":\[([^\]]*)\]""".r
+  private val arrItem = """"((?:[^"\\]|\\.)*)"""".r
 
   def fromJson(json: String): DedupConfig = {
-    val ns = num.findAllMatchIn(json).map(m => m.group(1) -> m.group(2)).toMap
-    val ss = str.findAllMatchIn(json).map(m =>
+    // strip the array before scalar matching so its items can't be
+    // mistaken for top-level string fields
+    val priority = arr.findFirstMatchIn(json).map(_.group(1)) match {
+      case Some(items) => arrItem.findAllMatchIn(items).map(
+        _.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      case None => Nil
+    }
+    val scalars = arr.replaceAllIn(json, "")
+    val ns = num.findAllMatchIn(scalars).map(m => m.group(1) -> m.group(2)).toMap
+    val ss = str.findAllMatchIn(scalars).map(m =>
       m.group(1) -> m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")).toMap
-    val bs = bool.findAllMatchIn(json).map(m => m.group(1) -> (m.group(2) == "true")).toMap
+    val bs = bool.findAllMatchIn(scalars).map(m => m.group(1) -> (m.group(2) == "true")).toMap
     val d = DedupConfig()
     DedupConfig(
       minLen = ns.get("minLen").map(_.toInt).getOrElse(d.minLen),
@@ -49,6 +61,10 @@ object ConfigIO {
       anchorK = ns.get("anchorK").map(_.toInt).getOrElse(d.anchorK),
       bucketCap = ns.get("bucketCap").map(_.toInt).getOrElse(d.bucketCap),
       scope = ss.getOrElse("scope", d.scope),
+      algo = ss.getOrElse("algo", d.algo),
+      enableNear = bs.getOrElse("enableNear", d.enableNear),
+      enableSubstr = bs.getOrElse("enableSubstr", d.enableSubstr),
+      sourcePriority = priority,
       verifyExtract = bs.getOrElse("verifyExtract", d.verifyExtract),
       runDir = None)
   }

@@ -24,20 +24,62 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** documents table → input_hint-shaped pages (url, warc_ts, html, text,
-    * lang); texts here are plain words so the html wrap round-trips the
-    * canonical extractor exactly. */
-  def pagesFromDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      concat(
-        lit("https://"), col("source"), lit(".example/d"),
-        pmod(col("doc_id"), lit(5)), lit("/doc"), col("doc_id"), lit(".html")).as("url"),
+  /** documents ∪ two deterministic duplicate slices: same-source copies
+    * (doc_id + 1e6) and cross-source copies (doc_id + 2e6, source suffixed
+    * "x"). The driver corpus contains zero duplicate texts, so without
+    * planting, every exact-dup oracle row compares trivially-equal EMPTY
+    * sets (VERDICT r1). Mirrored verbatim in the oracle SQL CTE
+    * [[plantedCte]]; the two slices exercise both scope branches
+    * (same-source groups vs cross-source groups). */
+  private def docsPlanted(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    d.unionByName(
+      d.where(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      .unionByName(
+        d.where(col("doc_id") % 50 === 25)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L))
+          .withColumn("source", concat(col("source"), lit("x"))))
+  }
+
+  /** The oracle-SQL mirror of [[docsPlanted]]. */
+  private val plantedCte: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text, lang, source || 'x', n_chars
+      |  FROM documents WHERE doc_id % 50 = 25)""".stripMargin
+
+  /** Synthetic url per document row — one definition shared by the page
+    * builder and the overrides fixture; SQL mirror: [[urlSql]]. */
+  private def urlCol: org.apache.spark.sql.Column =
+    concat(
+      lit("https://"), col("source"), lit(".example/d"),
+      pmod(col("doc_id"), lit(5)), lit("/doc"), col("doc_id"), lit(".html"))
+
+  private val urlSql: String =
+    "'https://' || source || '.example/d' || CAST(doc_id % 5 AS VARCHAR)" +
+      " || '/doc' || CAST(doc_id AS VARCHAR) || '.html'"
+
+  /** documents-shaped frame → input_hint-shaped pages (url, warc_ts, html,
+    * text, lang); texts here are plain words so the html wrap round-trips
+    * the canonical extractor exactly. */
+  def pagesFrom(d: DataFrame): DataFrame =
+    d.select(
+      urlCol.as("url"),
       timestamp_seconds(lit(1767225600L) + col("doc_id")).as("warc_ts"),
       encode(
         concat(lit("<html><head><title></title></head><body><p>"),
           col("text"), lit("</p></body></html>")), "UTF-8").as("html"),
       col("text"),
       col("lang"))
+
+  def pagesFromDocs(s: SparkSession, dir: String): DataFrame =
+    pagesFrom(docs(s, dir))
 
   /** Flagship: full dedup pipeline (extract → exact → LSH → substring → CC →
     * decisions) over sf0.001 pages. */
@@ -52,19 +94,19 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup surface (O5/O7/O8/O12/O16/O18) ----
     "q_exact_dup_groups" -> ((s, dir) =>
-      docs(s, dir).groupBy(block.as("h"))
+      docsPlanted(s, dir).groupBy(block.as("h"))
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("rep_id"))
         .where(col("cnt") > 1)),
 
     "q_dup_states" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(block)
-      docs(s, dir)
+      docsPlanted(s, dir)
         .withColumn("cnt", count(lit(1)).over(w))
         .withColumn("min_id", min(col("doc_id")).over(w))
         .select(
           col("doc_id"),
-          when(length(col("text")) < 20, "ignored")
+          when(length(col("text")) < 60, "ignored")
             .when(col("cnt") === 1, "unique")
             .when(col("doc_id") === col("min_id"), "keep")
             .otherwise("delete").as("state"))
@@ -73,12 +115,12 @@ object SparkEntry {
     "q_state_stats" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(block)
-      docs(s, dir)
+      docsPlanted(s, dir)
         .withColumn("cnt", count(lit(1)).over(w))
         .withColumn("min_id", min(col("doc_id")).over(w))
         .withColumn(
           "state",
-          when(length(col("text")) < 20, "ignored")
+          when(length(col("text")) < 60, "ignored")
             .when(col("cnt") === 1, "unique")
             .when(col("doc_id") === col("min_id"), "keep")
             .otherwise("delete"))
@@ -89,16 +131,16 @@ object SparkEntry {
     "q_scope_same_source_singletons" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(block, col("source"))
-      docs(s, dir)
+      docsPlanted(s, dir)
         .withColumn("cnt", count(lit(1)).over(w))
         .where(col("cnt") === 1)
         .select(col("doc_id"))
     }),
 
     "q_scope_different_source_unique" -> ((s, dir) => {
-      val g = docs(s, dir).groupBy(block.as("h"))
+      val g = docsPlanted(s, dir).groupBy(block.as("h"))
         .agg(countDistinct(col("source")).as("nsrc"))
-      docs(s, dir).withColumn("h", block)
+      docsPlanted(s, dir).withColumn("h", block)
         .join(g, "h").where(col("nsrc") === 1)
         .select(col("doc_id"))
     }),
@@ -108,11 +150,47 @@ object SparkEntry {
         .select(col("doc_id"), length(col("text")).cast("long").as("len"))),
 
     "q_candidate_pairs_exact" -> ((s, dir) => {
-      val d = docs(s, dir).select(block.as("h"), col("doc_id"))
+      val d = docsPlanted(s, dir).select(block.as("h"), col("doc_id"))
       val a = d.select(col("h"), col("doc_id").as("a_id"))
       val b = d.select(col("h"), col("doc_id").as("b_id"))
       a.join(b, "h").where(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"))
+    }),
+
+    // ---- flagship pipeline, exact-only, driver-verifiable (O16/O12/O4) ----
+    // Emitted BY the DedupPipeline/Decisions code path (not a hand-inlined
+    // window): extract → minLen 60 → sha blocking → CC over star edges →
+    // rep election → states. Planted groups are constructed so the natural
+    // -sort-min member is also the min-doc_id member, which the SQL oracle
+    // can express (same shape as q_dup_states but produced by the engine).
+    "q_dedup_decisions_exact" -> ((s, dir) => {
+      val pages = pagesFrom(docsPlanted(s, dir))
+      DedupPipeline.run(
+        s, pages,
+        DedupConfig(minLen = 60, enableNear = false, enableSubstr = false),
+        fromHtml = true)
+        .decisions
+        .select(col("url"), col("cluster_size"), col("state"))
+    }),
+
+    // ---- manual overrides (O17) on top of the exact decisions ----
+    // keep→delete on every planted same-source keep (forces re-election of
+    // the surviving copy); delete→keep on half the cross-source planted
+    // copies (coexisting keep, no re-election).
+    "q_overrides" -> ((s, dir) => {
+      val planted = docsPlanted(s, dir)
+      val dec = DedupPipeline.run(
+        s, pagesFrom(planted),
+        DedupConfig(minLen = 60, enableNear = false, enableSubstr = false),
+        fromHtml = true).decisions
+      val urls = planted.select(col("doc_id"), urlCol.as("url"))
+      val ov = urls
+        .where(col("doc_id") % 50 === 0 && col("doc_id") < 1000000)
+        .select(col("url"), lit("delete").as("state"))
+        .unionByName(
+          urls.where(col("doc_id") >= 2000000 && col("doc_id") % 100 === 25)
+            .select(col("url"), lit("keep").as("state")))
+      Decisions.applyOverrides(dec, ov).select(col("url"), col("state"))
     }),
 
     // ---- text analysis (training-data ops) ----
@@ -160,10 +238,17 @@ object SparkEntry {
       events(s, dir).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))),
 
-    "q_ts_dups" -> ((s, dir) =>
-      events(s, dir).groupBy(
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
-        .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1)),
+    // planted duplicate slice (event_id % 100) — the driver events table
+    // has no duplicate timestamps, so the unplanted oracle matched on an
+    // empty set (VERDICT r1); mirrored in the oracle SQL
+    "q_ts_dups" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.unionByName(
+        e.where(col("event_id") % 100 === 0)
+          .withColumn("event_id", col("event_id") + lit(10000000L)))
+        .groupBy(unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1)
+    }),
 
     "q_events_top_per_user" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -261,7 +346,7 @@ object SparkEntry {
       val corpus = embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val queries = corpus.where(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      Similarity.ivfTopK(corpus, queries, step = 25, nProbe = 4, k = 5)
+      Similarity.ivfTopK(corpus, queries, nCentroids = 32, nProbe = 4, k = 5)
     }),
 
     "q_ann_lsh_buckets" -> ((s, dir) =>
@@ -278,38 +363,105 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_exact_dup_groups" ->
-      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS rep_id
-        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+      s"""$plantedCte
+        |SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS rep_id
+        |FROM docs GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "q_dup_states" ->
-      """SELECT doc_id,
-        |  CASE WHEN length(text) < 20 THEN 'ignored'
+      s"""$plantedCte
+        |SELECT doc_id,
+        |  CASE WHEN length(text) < 60 THEN 'ignored'
         |       WHEN count(*) OVER (PARTITION BY md5(text)) = 1 THEN 'unique'
         |       WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 'keep'
         |       ELSE 'delete' END AS state
-        |FROM documents""".stripMargin,
+        |FROM docs""".stripMargin,
     "q_state_stats" ->
-      """WITH st AS (
+      s"""$plantedCte,
+        |st AS (
         |  SELECT length(text) AS len,
-        |    CASE WHEN length(text) < 20 THEN 'ignored'
+        |    CASE WHEN length(text) < 60 THEN 'ignored'
         |         WHEN count(*) OVER (PARTITION BY md5(text)) = 1 THEN 'unique'
         |         WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 'keep'
         |         ELSE 'delete' END AS state
-        |  FROM documents)
-        |SELECT state, count(*) AS n_docs, sum(len) AS n_chars FROM st GROUP BY 1""".stripMargin,
+        |  FROM docs)
+        |SELECT state, count(*) AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS n_chars
+        |FROM st GROUP BY 1""".stripMargin,
+    "q_dedup_decisions_exact" ->
+      s"""$plantedCte,
+        |pages AS (
+        |  SELECT doc_id, $urlSql AS url, text FROM docs),
+        |live AS (
+        |  SELECT doc_id,
+        |    count(*) OVER (PARTITION BY md5(text)) AS cnt,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+        |  FROM pages WHERE length(text) >= 60)
+        |SELECT p.url,
+        |  CAST(coalesce(l.cnt, 1) AS BIGINT) AS cluster_size,
+        |  CASE WHEN length(p.text) < 60 THEN 'ignored'
+        |       WHEN l.cnt = 1 THEN 'unique'
+        |       WHEN p.doc_id = l.min_id THEN 'keep'
+        |       ELSE 'delete' END AS state
+        |FROM pages p LEFT JOIN live l ON p.doc_id = l.doc_id""".stripMargin,
+    "q_overrides" ->
+      s"""$plantedCte,
+        |pages AS (
+        |  SELECT doc_id, $urlSql AS url, text, md5(text) AS h,
+        |    length(text) AS len
+        |  FROM docs),
+        |live AS (
+        |  SELECT doc_id,
+        |    count(*) OVER (PARTITION BY h) AS cnt,
+        |    min(doc_id) OVER (PARTITION BY h) AS min_id
+        |  FROM pages WHERE len >= 60),
+        |st AS (
+        |  SELECT p.doc_id, p.url, p.h,
+        |    CASE WHEN p.len < 60 THEN 'ignored'
+        |         WHEN l.cnt = 1 THEN 'unique'
+        |         WHEN p.doc_id = l.min_id THEN 'keep'
+        |         ELSE 'delete' END AS state
+        |  FROM pages p LEFT JOIN live l ON p.doc_id = l.doc_id),
+        |eff AS (
+        |  SELECT st.doc_id, st.url, st.h,
+        |    CASE WHEN st.doc_id % 50 = 0 AND st.doc_id < 1000000 THEN 'delete'
+        |         WHEN st.doc_id >= 2000000 AND st.doc_id % 100 = 25 THEN 'keep'
+        |         END AS ov_state,
+        |    CASE WHEN st.state IN ('keep','delete')
+        |           AND ((st.doc_id % 50 = 0 AND st.doc_id < 1000000)
+        |             OR (st.doc_id >= 2000000 AND st.doc_id % 100 = 25))
+        |         THEN CASE WHEN st.doc_id % 50 = 0 AND st.doc_id < 1000000
+        |                   THEN 'delete' ELSE 'keep' END
+        |         ELSE st.state END AS eff
+        |  FROM st),
+        |fin AS (
+        |  SELECT doc_id, url, eff, ov_state,
+        |    max(CASE WHEN eff = 'keep' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY h) AS has_keep,
+        |    max(CASE WHEN eff IN ('keep','delete') THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY h) AS had_dup,
+        |    min(CASE WHEN eff = 'delete' AND ov_state IS NULL THEN doc_id END)
+        |      OVER (PARTITION BY h) AS reelect_id
+        |  FROM eff)
+        |SELECT url,
+        |  CASE WHEN had_dup = 1 AND has_keep = 0 AND doc_id = reelect_id
+        |       THEN 'keep' ELSE eff END AS state
+        |FROM fin""".stripMargin,
     "q_scope_same_source_singletons" ->
-      """SELECT doc_id FROM (
+      s"""$plantedCte
+        |SELECT doc_id FROM (
         |  SELECT doc_id, count(*) OVER (PARTITION BY md5(text), source) AS cnt
-        |  FROM documents) WHERE cnt = 1""".stripMargin,
+        |  FROM docs) WHERE cnt = 1""".stripMargin,
     "q_scope_different_source_unique" ->
-      """SELECT d.doc_id FROM documents d
+      s"""$plantedCte
+        |SELECT d.doc_id FROM docs d
         |JOIN (SELECT md5(text) AS h, count(DISTINCT source) AS nsrc
-        |      FROM documents GROUP BY 1) g ON md5(d.text) = g.h
+        |      FROM docs GROUP BY 1) g ON md5(d.text) = g.h
         |WHERE g.nsrc = 1""".stripMargin,
     "q_length_filter" ->
       "SELECT doc_id, length(text) AS len FROM documents WHERE length(text) < 200",
     "q_candidate_pairs_exact" ->
-      """SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |FROM documents a JOIN documents b
+      s"""$plantedCte
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM docs a JOIN docs b
         |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id""".stripMargin,
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
@@ -322,9 +474,33 @@ object SparkEntry {
         |  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 6)
         |    AS punct_ratio
         |FROM documents""".stripMargin,
+    // CAST: DuckDB sum(int) yields HUGEINT while Spark yields BIGINT and
+    // the driver's hash is type-sensitive (VERDICT r1 §wrong.1)
     "q_lang_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
+    "q_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(der|die|das|und|ist|nicht|ein|mit|auf|für)\b')) AS de,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS en,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(el|los|las|de|que|y|en|un|una|con)\b')) AS es,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(le|la|les|et|est|pas|une|dans|pour|que)\b')) AS fr,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |       WHEN de = greatest(de, en, es, fr) THEN 'de'
+        |       WHEN en = greatest(de, en, es, fr) THEN 'en'
+        |       WHEN es = greatest(de, en, es, fr) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM h""".stripMargin,
     "q_doc_fingerprint" ->
       "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents",
     "q1_agg" ->
@@ -367,8 +543,12 @@ object SparkEntry {
         |  END AS size_h
         |FROM documents""".stripMargin,
     "q_ts_dups" ->
-      """SELECT epoch_us(ts) AS ts_us, count(*) AS cnt
-        |FROM events GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+      """WITH ev AS (
+        |  SELECT ts FROM events
+        |  UNION ALL
+        |  SELECT ts FROM events WHERE event_id % 100 = 0)
+        |SELECT epoch_us(ts) AS ts_us, count(*) AS cnt
+        |FROM ev GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "q_events_top_per_user" ->
       """SELECT user_id, event_id AS top_event FROM (
         |  SELECT user_id, event_id,

@@ -167,6 +167,70 @@ object MinHashImpl {
     out
   }
 
+  /** Manku/Jain/Sarma-style permuted-table keys (WWW'07 §3): the 64-bit
+    * fingerprint is split into `nBlocks` near-equal blocks; each of the
+    * C(nBlocks, keep) block combinations becomes one table whose key is the
+    * exact value of those `keep` blocks (tagged by combination index).
+    *
+    * Pigeonhole guarantee: a pair at Hamming distance ≤ (nBlocks - keep)
+    * leaves at least `keep` blocks untouched, so the pair shares at least
+    * one table key — a COMPLETE candidate generator for
+    * hamMax ≤ nBlocks - keep. With the defaults (6, 3): 20 keys per doc,
+    * each drawn from a ~2^32 key space, so buckets stay tiny at 10^9+ docs
+    * — unlike the 4×16-bit block scheme whose 2^16 key space goes quadratic
+    * past ~10^5 docs (round-1 finding; kept only as the documented
+    * small-corpus variant). Keys are Hash64-mixed: equal block values map
+    * to equal keys (the guarantee needs only that direction), and a random
+    * 2^-64 collision merely adds a candidate that verification discards. */
+  def simhashTableKeys(h: Long, nBlocks: Int, keep: Int): Array[Long] = {
+    val combos = tableCombos(nBlocks, keep)
+    val base = 64 / nBlocks
+    val rem = 64 % nBlocks
+    val values = new Array[Long](nBlocks)
+    var off = 0
+    var i = 0
+    while (i < nBlocks) {
+      val size = base + (if (i < rem) 1 else 0)
+      values(i) = (h >>> off) & ((1L << size) - 1)
+      off += size
+      i += 1
+    }
+    val out = new Array[Long](combos.length)
+    var c = 0
+    while (c < combos.length) {
+      val combo = combos(c)
+      var key = Hash64.mix(0x7AB1E5L ^ c.toLong)
+      var j = 0
+      while (j < combo.length) {
+        key = Hash64.combine(key, values(combo(j)))
+        j += 1
+      }
+      out(c) = key
+      c += 1
+    }
+    out
+  }
+
+  private val comboCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Int]]]()
+
+  /** All C(n, k) index combinations, cached (config-constant per run). */
+  private def tableCombos(n: Int, k: Int): Array[Array[Int]] =
+    comboCache.computeIfAbsent((n << 8) | k, _ => {
+      val acc = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+      def rec(start: Int, cur: List[Int]): Unit =
+        if (cur.length == k) acc += cur.reverse.toArray
+        else {
+          var i = start
+          while (i <= n - (k - cur.length)) {
+            rec(i + 1, i :: cur)
+            i += 1
+          }
+        }
+      rec(0, Nil)
+      acc.toArray
+    })
+
   // ---- LSH banding ---------------------------------------------------------
 
   /** One bucket id per band: hash of (band index, the band's r signature

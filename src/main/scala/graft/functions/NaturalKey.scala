@@ -105,6 +105,27 @@ object NaturalKey {
     java.lang.Integer.compare(a.length, b.length)
   }
 
+  /** Scan-order key with source priority: the reference's scan order is
+    * source-folder *list order* first, natural name order second
+    * (`ViewModels/MainViewModel.cs:68,539-557,877-882`), and that order
+    * decides which cluster member is kept. Hosts earlier in `orderedHosts`
+    * sort first; unlisted hosts rank after every listed one. The priority
+    * index is prefixed as fixed-width hex (order-preserving: 0-9 < A-F in
+    * ASCII), so the result is byte-comparable exactly like the plain key. */
+  def sourcePriorityKey(
+      url: org.apache.spark.sql.Column,
+      orderedHosts: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val h = graft.operators.Scope.host(url)
+    val idx = orderedHosts.zipWithIndex.foldRight(
+      lit(orderedHosts.length): org.apache.spark.sql.Column) {
+      case ((host, i), acc) => when(h === host, lit(i)).otherwise(acc)
+    }
+    concat(
+      encode(lpad(hex(idx), 8, "0"), "UTF-8"),
+      graft.functions.gf.natural_sort_key(url))
+  }
+
   /** Unsigned lexicographic byte-array compare (Spark BinaryType order). */
   def compareKeys(x: Array[Byte], y: Array[Byte]): Int = {
     val n = math.min(x.length, y.length)

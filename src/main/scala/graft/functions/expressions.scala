@@ -38,6 +38,8 @@ object codegenHelpers {
     MinHashImpl.sigDigest(sig.toLongArray())
   def simhashBlocks(h: Long): UnsafeArrayData =
     UnsafeArrayData.fromPrimitiveArray(MinHashImpl.simhashBlocks(h))
+  def simhashTableKeys(h: Long, nBlocks: Int, keep: Int): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(MinHashImpl.simhashTableKeys(h, nBlocks, keep))
   def estJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
                  b: org.apache.spark.sql.catalyst.util.ArrayData): Double =
     MinHashImpl.estJaccard(a.toLongArray(), b.toLongArray())
@@ -130,6 +132,18 @@ case class SimHashBlocks(child: Expression) extends GraftUnary {
   override protected def staticCall(c: String): String = s"$H.simhashBlocks($c)"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "simhash_blocks"
+}
+
+/** simhash → C(nBlocks, keep) permuted-table keys (Manku WWW'07) — complete
+  * candidates for Hamming ≤ nBlocks - keep with ~2^32 key space per table. */
+case class SimHashTableKeys(child: Expression, nBlocks: Int, keep: Int) extends GraftUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.simhashTableKeys(v.asInstanceOf[Long], nBlocks, keep)
+  override protected def staticCall(c: String): String =
+    s"$H.simhashTableKeys($c, $nBlocks, $keep)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash_table_keys"
 }
 
 /** text → winnowed substring fingerprints (array<long>); pairs sharing one
@@ -225,6 +239,8 @@ object gf {
     col(BandBuckets(expr(c), bands, rowsPerBand, seed))
   def sig_digest(c: Column): Column = col(SigDigest(expr(c)))
   def simhash_blocks(c: Column): Column = col(SimHashBlocks(expr(c)))
+  def simhash_table_keys(c: Column, nBlocks: Int, keep: Int): Column =
+    col(SimHashTableKeys(expr(c), nBlocks, keep))
   def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
     col(WinnowFingerprints(expr(c), k, w))
   def est_jaccard(a: Column, b: Column): Column = col(EstJaccard(expr(a), expr(b)))

@@ -49,9 +49,14 @@ object ConnectedComponents {
       maxIter: Int = 25,
       maxDriverEdges: Long = DefaultMaxDriverEdges): DataFrame = {
 
-    // symmetric closure once; reused by every iteration
-    val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetric closure once; reused by every iteration. explode(array(..))
+    // instead of a self-union reads the (possibly expensive, un-cached)
+    // edge frame exactly once when this persist materializes.
+    val und = edges
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val edgeCount = und.count() / 2
@@ -109,6 +114,15 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    if (!converged) {
+      // fail loudly: non-converged labels would silently elect wrong
+      // representatives downstream (ADVICE r1). The checksum converges in
+      // O(log diameter) rounds on any real dedup graph — hitting maxIter
+      // means something is structurally wrong with the edge list.
+      throw new IllegalStateException(
+        s"connected components did not converge after $maxIter iterations " +
+          s"($edgeCount edges); raise maxIter or inspect the edge list")
+    }
     und.unpersist(blocking = false)
     val part = labels.select(col("url"), col("lbl.url").as("cluster_url"))
     // singletons (never touched by an edge) label themselves
@@ -120,7 +134,9 @@ object ConnectedComponents {
   }
 
   /** Driver-side union-find for small edge lists. Semantically identical to
-    * the distributed path: representative = natural-key minimum member. */
+    * the distributed path: representative = the member with the minimum nk
+    * (the nodes' sort-key column — natural key, possibly source-priority
+    * prefixed — NOT the raw url, so both paths elect identically). */
   private def runOnDriver(
       spark: SparkSession,
       nodes: DataFrame,
@@ -143,16 +159,29 @@ object ConnectedComponents {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent.put(ra, rb)
     }
-    // representative per component = natural-order minimum member
-    val best = new java.util.HashMap[String, String]()
     val members = new java.util.HashSet[String]()
     pairs.foreach { case (a, b) => members.add(a); members.add(b) }
+    // nk lookup for edge-touched urls only (bounded by maxDriverEdges);
+    // broadcast-semi-join keeps the collect proportional to the edge list
+    import spark.implicits._
+    val touched = members.iterator()
+    val touchedSeq = new scala.collection.mutable.ArrayBuffer[String](members.size)
+    while (touched.hasNext) touchedSeq += touched.next()
+    val nkByUrl = nodes
+      .join(broadcast(touchedSeq.toSeq.toDF("url")), Seq("url"), "left_semi")
+      .select(col("url"), col("nk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("nk"))
+      .toMap
+    // representative per component = nk-minimum member
+    val best = new java.util.HashMap[String, String]()
     val it = members.iterator()
     while (it.hasNext) {
       val m = it.next()
       val r = find(m)
       val cur = best.get(r)
-      if (cur == null || NaturalKey.compare(m, cur) < 0) best.put(r, m)
+      if (cur == null ||
+        NaturalKey.compareKeys(nkByUrl(m), nkByUrl(cur)) < 0) best.put(r, m)
     }
     import spark.implicits._
     val labels = {

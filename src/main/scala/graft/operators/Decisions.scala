@@ -22,21 +22,100 @@ import org.apache.spark.sql.functions._
 object Decisions {
 
   /** docs must carry url, len; labels carry url, cluster_url (absent rows =
-    * never clustered). minLen rows are ignored regardless of clustering. */
-  def decide(docs: DataFrame, labels: DataFrame, minLen: Int): DataFrame = {
+    * never clustered). minLen rows are ignored regardless of clustering.
+    *
+    * `dissolveSingleScope`: for Different*-scope modes (duplicates only
+    * count across scope values, `ViewModels/MainViewModel.cs:653-686`) pass
+    * the scope column name (host/dir). Clusters whose members all share one
+    * scope value have no valid cross-scope duplicate pair, so they dissolve
+    * — every member reverts to its own singleton cluster (`unique`).
+    * Clusters spanning ≥ 2 scope values stand whole: each member there has
+    * a cross-scope partner (documented over-delete for the minority of
+    * same-scope member pairs inside a mixed cluster — conservative in the
+    * training-data-dedup direction, and complete for pair recall). */
+  def decide(
+      docs: DataFrame,
+      labels: DataFrame,
+      minLen: Int,
+      dissolveSingleScope: Option[String] = None): DataFrame = {
     val withLbl = docs.join(labels, Seq("url"), "left")
       .withColumn("cluster", coalesce(col("cluster_url"), col("url")))
     // groupBy + join rather than a window: partial aggregation keeps a
     // mega-cluster (boilerplate repeated millions of times) off a single
     // task, and AQE's skew-join handles the join side.
-    val sizes = withLbl.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    val sizes = dissolveSingleScope match {
+      case None =>
+        withLbl.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      case Some(sc) =>
+        withLbl.groupBy(col("cluster")).agg(
+          count(lit(1)).as("cluster_size"),
+          countDistinct(col(sc)).as("n_scopes"))
+    }
     val sized = withLbl.join(sizes, "cluster")
-    sized.withColumn(
+    val resolved = dissolveSingleScope match {
+      case None => sized
+      case Some(_) =>
+        sized
+          .withColumn(
+            "cluster",
+            when(col("n_scopes") === 1, col("url")).otherwise(col("cluster")))
+          .withColumn(
+            "cluster_size",
+            when(col("n_scopes") === 1, lit(1L)).otherwise(col("cluster_size")))
+          .drop("n_scopes")
+    }
+    resolved.withColumn(
       "state",
       when(col("len") < minLen, "ignored")
         .when(col("cluster_size") === 1, "unique")
         .when(col("url") === col("cluster"), "keep")
         .otherwise("delete"))
+  }
+
+  /** Manual label overrides (O17) — the reference's post-scan keep↔delete
+    * toggle (`Views/MainWindow.xaml.cs:15-38`, toggle at `:19-26`) as a
+    * batch operator: a small user-supplied `(url, state)` table is
+    * broadcast-joined over the decisions.
+    *
+    * Policy (documented; the reference re-elects on toggle):
+    *   - an override applies only when both the current and the override
+    *     state are in {keep, delete} — `unique`/`ignored` rows are not
+    *     result rows in the reference UI and cannot be toggled;
+    *   - keep→delete: if the override leaves a duplicate cluster with no
+    *     keep, the natural-order minimum among its NON-overridden delete
+    *     members is re-elected keep (first in scan order wins, matching the
+    *     original election). If every member was explicitly overridden to
+    *     delete, the user's word stands — no keep remains;
+    *   - delete→keep: the overridden row becomes keep and the existing keep
+    *     coexists (toggling one row never touches another row, as in the
+    *     reference UI).
+    */
+  def applyOverrides(decisions: DataFrame, overrides: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ov = overrides
+      .select(col("url"), col("state").as("ov_state"))
+      .where(col("ov_state").isin("keep", "delete"))
+    val j = decisions.join(broadcast(ov), Seq("url"), "left")
+      .withColumn(
+        "eff",
+        when(col("ov_state").isNotNull && col("state").isin("keep", "delete"),
+          col("ov_state")).otherwise(col("state")))
+    val w = Window.partitionBy(col("cluster"))
+    val nk = graft.functions.gf.natural_sort_key(col("url"))
+    j
+      .withColumn("has_keep", max(when(col("eff") === "keep", 1).otherwise(0)).over(w))
+      .withColumn("had_dup", max(when(col("eff").isin("keep", "delete"), 1).otherwise(0)).over(w))
+      .withColumn(
+        "reelect",
+        min(when(col("eff") === "delete" && col("ov_state").isNull,
+          struct(nk.as("nk"), col("url").as("url")))).over(w))
+      .withColumn(
+        "state",
+        when(
+          col("had_dup") === 1 && col("has_keep") === 0 &&
+            col("url") === col("reelect.url"), "keep")
+          .otherwise(col("eff")))
+      .drop("ov_state", "eff", "has_keep", "had_dup", "reelect")
   }
 
   /** Per-state totals — the reference's stats panel

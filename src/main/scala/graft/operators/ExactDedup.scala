@@ -22,17 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object ExactDedup {
 
-  /** (rep, url) star edges within every sha block of size ≥ 2, plus the
-    * per-url block size. Input needs columns: url, nk, sha. */
-  def repsAndEdges(docs: DataFrame): (DataFrame, DataFrame) = {
+  /** (rep, url) star edges within every block of size ≥ 2, plus the per-url
+    * block size. Input needs columns: url, nk, and the block columns
+    * (default just sha; Same*-scope runs block on (sha, scope) so identical
+    * docs within one scope always star together regardless of where the
+    * globally-first copy of their text lives). min_by/min keep the partial
+    * aggregation hash-based — min(struct(..)) planned a SortAggregate. */
+  def repsAndEdges(
+      docs: DataFrame,
+      blockCols: Seq[String] = Seq("sha")): (DataFrame, DataFrame) = {
+    val bc = blockCols.map(col)
     val groups = docs
-      .groupBy(col("sha"))
+      .groupBy(bc: _*)
       .agg(
-        min(struct(col("nk"), col("url"))).as("m"),
+        min_by(col("url"), col("nk")).as("rep"),
         count(lit(1)).as("block_cnt"))
-      .select(col("sha"), col("m.url").as("rep"), col("block_cnt"))
 
-    val joined = docs.join(groups, "sha")
+    val joined = docs.join(groups, blockCols)
     val edges = joined
       .where(col("block_cnt") > 1 && col("url") =!= col("rep"))
       .select(col("rep").as("src"), col("url").as("dst"))

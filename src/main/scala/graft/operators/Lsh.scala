@@ -42,10 +42,20 @@ object Lsh {
         * 2^16, so beyond ~10^5 docs every block bucket goes quadratic
         * (observed: 16M+ false candidates at 757k docs). MinHash banding
         * alone misses a J≥0.8 pair with P≈(1-0.8⁴)³²≈5e-8. The scale path
-        * for Hamming-only retrieval is Manku et al.'s permuted prefix
-        * tables (WWW'07), not block buckets. */
-      useSimhashBuckets: Boolean = false) {
+        * for Hamming-only retrieval is `useSimhashTables`. */
+      useSimhashBuckets: Boolean = false,
+      /** Manku WWW'07 permuted-table SimHash retrieval: C(tableBlocks,
+        * tableKeep) keys per doc, each over a ~2^(keep·64/nBlocks) key
+        * space — complete for Hamming ≤ tableBlocks - tableKeep with tiny
+        * buckets at web scale. OFF by default (MinHash banding is the
+        * primary near-dup signal; enable for Hamming-defined similarity). */
+      useSimhashTables: Boolean = false,
+      tableBlocks: Int = 6,
+      tableKeep: Int = 3) {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
+    require(
+      !useSimhashTables || tableBlocks - tableKeep >= hamMax,
+      s"simhash tables cover Hamming ≤ ${tableBlocks - tableKeep} < hamMax=$hamMax")
   }
 
   /** Adds sig / simhash / sigd columns to a docs frame with a text column. */
@@ -66,31 +76,52 @@ object Lsh {
   /** Candidate pairs from MinHash band buckets ∪ SimHash 16-bit blocks.
     * Input: url, nk, sig, sigd, simhash. Output: src, dst (src < dst by
     * natural key; distinct across all buckets), same_sig, dropped (count of
-    * distinct-sig members beyond the cap in the emitting bucket). */
-  def candidatePairs(spark: SparkSession, docs: DataFrame, cfg: Config): DataFrame = {
+    * distinct-sig members beyond the cap in the emitting bucket).
+    * `scopeCol` is folded into every bucket key (Same*-scope runs pass the
+    * scope value so pairs are same-scope by construction; the default empty
+    * literal is a no-op salt). */
+  def candidatePairs(
+      spark: SparkSession,
+      docs: DataFrame,
+      cfg: Config,
+      scopeCol: org.apache.spark.sql.Column = lit("")): DataFrame = {
     import spark.implicits._
 
     val minhashBuckets = docs
       .select(
-        col("url"), col("nk"), col("sigd"),
+        col("url"), col("nk"), col("sigd"), scopeCol.as("bscope_"),
         posexplode(gf.band_buckets(col("sig"), cfg.bands, cfg.rowsPerBand, cfg.seed))
           .as(Seq("band", "bucket")))
       .select(
         // tag the band into the bucket key so cross-band collisions split
-        xxhash64(col("band"), col("bucket")).as("bkey"),
+        xxhash64(col("band"), col("bucket"), col("bscope_")).as("bkey"),
         col("url"), col("nk"), col("sigd"))
 
-    val all =
+    val withBlocks =
       if (!cfg.useSimhashBuckets) minhashBuckets
       else {
         val simhashBuckets = docs
           .select(
-            col("url"), col("nk"), col("sigd"),
+            col("url"), col("nk"), col("sigd"), scopeCol.as("bscope_"),
             explode(gf.simhash_blocks(col("simhash"))).as("bucket"))
           .select(
-            xxhash64(lit(0x51AB17L), col("bucket")).as("bkey"),
+            xxhash64(lit(0x51AB17L), col("bucket"), col("bscope_")).as("bkey"),
             col("url"), col("nk"), col("sigd"))
         minhashBuckets.unionByName(simhashBuckets)
+      }
+
+    val all =
+      if (!cfg.useSimhashTables) withBlocks
+      else {
+        val tableBuckets = docs
+          .select(
+            col("url"), col("nk"), col("sigd"), scopeCol.as("bscope_"),
+            explode(gf.simhash_table_keys(col("simhash"), cfg.tableBlocks, cfg.tableKeep))
+              .as("tkey"))
+          .select(
+            xxhash64(lit(0x7AB1E5L), col("tkey"), col("bscope_")).as("bkey"),
+            col("url"), col("nk"), col("sigd"))
+        withBlocks.unionByName(tableBuckets)
       }
 
     // sorted groupWithin: one group per (band, bucket); bounded read

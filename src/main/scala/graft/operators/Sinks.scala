@@ -19,15 +19,25 @@ object Sinks {
       .parquet(outDir)
 
   /** Copy-unique sink analog (O23, `ViewModels/MainViewModel.cs:1348-1469`):
-    * the deduplicated corpus, partitioned by source host — the Spark analog
-    * of "preserve source-relative directory structure". */
-  def writeDedupedCorpus(pages: DataFrame, decisions: DataFrame, outDir: String): Unit =
+    * the deduplicated corpus. "Preserve source structure" is expressed as a
+    * `source_host` COLUMN plus a partition on a bounded hash derivative of
+    * it: a web corpus has millions of hosts, and `partitionBy(host)` would
+    * mean millions of directories — a small-files explosion and a
+    * driver-side partition-tracking blowup at 100 TB (VERDICT r1 §wrong.5).
+    * `hostBuckets` bounds directory fan-out; all pages of one host still
+    * land in one bucket, so per-host reads prune to a single partition. */
+  def writeDedupedCorpus(
+      pages: DataFrame,
+      decisions: DataFrame,
+      outDir: String,
+      hostBuckets: Int = 1024): Unit =
     pages
       .join(
         decisions.where(col("state") === "delete").select(col("url")),
         Seq("url"), "left_anti")
       .withColumn("source_host", Scope.host(col("url")))
+      .withColumn("host_bucket", pmod(xxhash64(col("source_host")), lit(hostBuckets)))
       .write.mode("overwrite")
-      .partitionBy("source_host")
+      .partitionBy("host_bucket")
       .parquet(outDir)
 }

@@ -26,34 +26,50 @@ object SubstringDup {
       minSubstr: Int = 200,
       anchorK: Int = 50,
       bucketCap: Int = 64,
+      maxBucketRead: Int = 8192,
       seed: Long = 42L) {
     def window: Int = minSubstr - anchorK + 1
   }
 
   /** Candidate pairs: docs sharing a winnowed fingerprint. Bounded per
-    * fingerprint bucket by `bucketCap` natural-order members (dropped counts
-    * surface in the `dropped` column — no silent truncation). */
-  def candidatePairs(spark: SparkSession, docs: DataFrame, cfg: Config): DataFrame = {
+    * fingerprint bucket by `bucketCap` natural-order members, with the read
+    * itself bounded by `maxBucketRead` before any buffering/sorting — a
+    * viral shared passage (license boilerplate across millions of docs) is
+    * the same skew bomb the LSH stage is hardened against, and an unbounded
+    * `toBuffer` would hold the whole bucket in one task's memory (ADVICE
+    * r1). Overflow counts surface in `dropped` — no silent truncation.
+    * `scopeCol` is folded into the bucket key for Same*-scope runs. */
+  def candidatePairs(
+      spark: SparkSession,
+      docs: DataFrame,
+      cfg: Config,
+      scopeCol: org.apache.spark.sql.Column = lit("")): DataFrame = {
     val fps = docs
       .select(
-        col("url"), col("nk"),
+        col("url"), col("nk"), scopeCol.as("bscope_"),
         explode(gf.winnow_fingerprints(col("text"), cfg.anchorK, cfg.window)).as("fp"))
     // reuse the bounded sorted-groupWithin join: all docs in a fingerprint
     // bucket are candidates (identical fingerprints ≠ identical docs, so no
-    // same-sig stars here — sigd column is a constant)
+    // same-sig stars here)
     import spark.implicits._
     val cap = cfg.bucketCap
+    val maxRead = cfg.maxBucketRead
     fps
-      .select(col("fp"), col("url"), col("nk"))
+      .select(xxhash64(col("fp"), col("bscope_")).as("fpk"), col("url"), col("nk"))
       .as[(Long, String, Array[Byte])]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val buf = it.map(t => (t._2, t._3)).toBuffer
+        val buf = new scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]()
+        var overflow = 0L
+        while (it.hasNext) {
+          val t = it.next()
+          if (buf.length < maxRead) buf += ((t._2, t._3)) else overflow += 1
+        }
         if (buf.length < 2) Iterator.empty
         else {
           val sorted = buf.sortWith((a, b) =>
             graft.functions.NaturalKey.compareKeys(a._2, b._2) < 0)
-          val dropped = math.max(0, sorted.length - cap).toLong
+          val dropped = math.max(0, sorted.length - cap).toLong + overflow
           val lim = math.min(sorted.length, cap)
           (for {
             i <- 0 until lim

@@ -29,7 +29,8 @@ object TextAnalysis {
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"))
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "los", "las", "de", "que", "y", "en", "un", "una", "con"))
 
   /** Count of stopword hits for one language (word-boundary regex). */
   def stopwordHits(text: Column, lang: String): Column = {
@@ -37,13 +38,21 @@ object TextAnalysis {
     regexp_count(lower(text), lit(pattern))
   }
 
-  /** n-gram/stopword heuristic language id: the language with the most
-    * stopword hits, or "und" (undetermined) when nothing matches. */
+  /** Count of CJK-unified-ideograph codepoints — Chinese (and kanji-heavy
+    * Japanese) text carries no whitespace-delimited stopwords at all, so a
+    * script-ratio rule is the only codepoint-level signal available. */
+  def cjkHits(text: Column): Column =
+    regexp_count(text, lit("[\\u4e00-\\u9fff]"))
+
+  /** Stopword/script heuristic language id: CJK codepoints present → "zh";
+    * otherwise the language with the most stopword hits (ties broken by
+    * language code order), or "und" (undetermined) when nothing matches. */
   def langId(text: Column): Column = {
     val hits = stopwords.keys.toSeq.sorted.map(l => (l, stopwordHits(text, l)))
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    hits.foldLeft(when(best === 0, lit("und"))) { case (acc, (l, h)) =>
-      acc.when(h === best, lit(l))
+    hits.foldLeft(
+      when(cjkHits(text) > 0, lit("zh")).when(best === 0, lit("und"))) {
+      case (acc, (l, h)) => acc.when(h === best, lit(l))
     }.otherwise(lit("und"))
   }
 

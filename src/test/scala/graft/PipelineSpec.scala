@@ -95,6 +95,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(ratios - 1.0) < 1e-9)
   }
 
+  test("digest dial (O12): crc32/md5/sha512 elect identical clusters") {
+    // the reference exposes the algorithm as a user dial
+    // (MainViewModel.cs:25-38); on a collision-free corpus every choice
+    // must produce the same decisions
+    val pages = spark.createDataFrame(SyntheticCorpus.local(200).pages)
+    def run(algo: String) = DedupPipeline.run(
+      spark, pages,
+      DedupConfig(algo = algo, enableNear = false, enableSubstr = false),
+      fromHtml = true)
+      .decisions.select("url", "cluster", "state").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val base = run("sha256")
+    assert(run("md5") == base)
+    assert(run("sha512") == base)
+    assert(run("crc32") == base)
+  }
+
   test("deduped corpus drops exactly the delete rows") {
     val pages = spark.createDataFrame(corpus.pages)
     val deduped = DedupPipeline.dedupedCorpus(pages, result.decisions)

@@ -102,6 +102,28 @@ class SignatureSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash permuted tables (Manku WWW'07): hamming ≤ 3 pairs share a " +
+    "table key; key count is C(6,3); key space beats 16-bit blocks") {
+    val r = new scala.util.Random(29)
+    (0 until 500).foreach { _ =>
+      val h = r.nextLong()
+      var h2 = h
+      // flip 0..3 DISTINCT bits (xor of a random bit twice would undo it)
+      val bits = r.shuffle((0 until 64).toList).take(r.nextInt(4))
+      bits.foreach(b => h2 ^= (1L << b))
+      val a = MinHashImpl.simhashTableKeys(h, 6, 3)
+      val b = MinHashImpl.simhashTableKeys(h2, 6, 3)
+      assert(a.length == 20 && b.length == 20)
+      assert(a.zip(b).exists { case (x, y) => x == y },
+        s"hamming=${MinHashImpl.hamming(h, h2)} pair shares no table key")
+    }
+    // determinism
+    val h = 0x123456789ABCDEFL
+    assert(MinHashImpl.simhashTableKeys(h, 6, 3)
+      .sameElements(MinHashImpl.simhashTableKeys(h, 6, 3)))
+    // hamming 4 pairs may legitimately miss (guarantee is ≤ nBlocks - keep)
+  }
+
   test("winnowing guarantee: shared ≥L-char substring ⇒ shared fingerprint") {
     val r = new scala.util.Random(17)
     val k = 50; val L = 200; val w = L - k + 1

@@ -29,9 +29,33 @@ class SinksSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("state") === "delete").count()
 
     val d2 = java.nio.file.Files.createTempDirectory("graft_sink_corpus_").toString
-    Sinks.writeDedupedCorpus(pages, r.decisions, d2)
-    val hostDirs = new java.io.File(d2).list().filter(_.startsWith("source_host="))
-    assert(hostDirs.length == 7, s"expected 7 host partitions: ${hostDirs.toSeq}")
-    assert(spark.read.parquet(d2).count() == 200 - deletes)
+    Sinks.writeDedupedCorpus(pages, r.decisions, d2, hostBuckets = 16)
+    val bucketDirs = new java.io.File(d2).list().filter(_.startsWith("host_bucket="))
+    assert(bucketDirs.nonEmpty && bucketDirs.length <= 16,
+      s"bucket dirs must be bounded by hostBuckets: ${bucketDirs.toSeq}")
+    val back2 = spark.read.parquet(d2)
+    assert(back2.count() == 200 - deletes)
+    // host survives as a COLUMN (structure preserved without unbounded dirs)
+    assert(back2.columns.contains("source_host"))
+  }
+
+  test("deduped-corpus sink directory count stays bounded on a many-host corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 500 distinct hosts — raw partitionBy(host) would create 500 dirs; the
+    // bounded sink must stay ≤ hostBuckets (VERDICT r1 §wrong.5)
+    val pages = (0 until 500)
+      .map(i => (s"https://host$i.example/p.html", s"text body $i"))
+      .toDF("url", "text")
+    val decisions = pages.select(col("url"), lit("keep").as("state"))
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_manyhost_").toString
+    Sinks.writeDedupedCorpus(pages, decisions, out, hostBuckets = 32)
+    val dirs = new java.io.File(out).list().filter(_.startsWith("host_bucket="))
+    assert(dirs.length <= 32, s"${dirs.length} dirs for 500 hosts")
+    // one host's rows land in exactly one bucket (per-host reads prune)
+    val buckets = spark.read.parquet(out)
+      .where(col("source_host") === "host7.example")
+      .select("host_bucket").distinct().count()
+    assert(buckets == 1)
   }
 }
