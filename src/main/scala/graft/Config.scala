@@ -19,7 +19,7 @@ object ConfigIO {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     s"""{"minLen":${c.minLen},"shingleK":${c.shingleK},"numHashes":${c.numHashes},""" +
       s""""bands":${c.bands},"rowsPerBand":${c.rowsPerBand},"seed":${c.seed},""" +
-      s""""jaccardTau":${c.jaccardTau},"estJPrefilter":${c.estJPrefilter},""" +
+      s""""jaccardTau":${c.jaccardTau},"minSharedBands":${c.minSharedBands},""" +
       s""""hamMax":${c.hamMax},"minSubstr":${c.minSubstr},"anchorK":${c.anchorK},""" +
       s""""bucketCap":${c.bucketCap},"scope":${q(c.scope)},"algo":${q(c.algo)},""" +
       s""""enableNear":${c.enableNear},"enableSubstr":${c.enableSubstr},""" +
@@ -55,7 +55,7 @@ object ConfigIO {
       rowsPerBand = ns.get("rowsPerBand").map(_.toInt).getOrElse(d.rowsPerBand),
       seed = ns.get("seed").map(_.toLong).getOrElse(d.seed),
       jaccardTau = ns.get("jaccardTau").map(_.toDouble).getOrElse(d.jaccardTau),
-      estJPrefilter = ns.get("estJPrefilter").map(_.toDouble).getOrElse(d.estJPrefilter),
+      minSharedBands = ns.get("minSharedBands").map(_.toInt).getOrElse(d.minSharedBands),
       hamMax = ns.get("hamMax").map(_.toInt).getOrElse(d.hamMax),
       minSubstr = ns.get("minSubstr").map(_.toInt).getOrElse(d.minSubstr),
       anchorK = ns.get("anchorK").map(_.toInt).getOrElse(d.anchorK),

@@ -20,7 +20,11 @@ final case class DedupConfig(
     rowsPerBand: Int = 4,
     seed: Long = 42L,
     jaccardTau: Double = 0.8,
-    estJPrefilter: Double = 0.6,
+    /** Pairs enter exact verification when co-bucketed in ≥ this many LSH
+      * buckets (or same-signature / Hamming ≤ hamMax) — signals produced by
+      * candidate generation itself, replacing the round-1 est-Jaccard
+      * prefilter and its full-signature-table shuffle. */
+    minSharedBands: Int = 2,
     hamMax: Int = 3,
     minSubstr: Int = 200,
     anchorK: Int = 50,
@@ -54,7 +58,7 @@ final case class DedupConfig(
   def lshConfig: Lsh.Config = Lsh.Config(
     shingleK = shingleK, numHashes = numHashes, bands = bands,
     rowsPerBand = rowsPerBand, seed = seed, bucketCap = bucketCap,
-    estJPrefilter = estJPrefilter, hamMax = hamMax)
+    minSharedBands = minSharedBands, hamMax = hamMax)
 
   def substrConfig: SubstringDup.Config = SubstringDup.Config(
     minSubstr = minSubstr, anchorK = anchorK, bucketCap = bucketCap, seed = seed)
@@ -100,7 +104,7 @@ object DedupPipeline {
 
     val ck = cfg.runDir.map(d => new CheckpointIO(spark, d, cfg.hash))
     // Without a checkpoint dir, persist + EAGERLY count only the frames
-    // consumed more than once downstream (docs, reps, sigs, labels): the
+    // consumed more than once downstream (docs, reps, sigs): the
     // eager count both stops the MinHash kernel recomputing per consumer
     // and lets downstream join planning see the cache's REAL size instead
     // of string-width guesses (which at millions of docs made the optimizer
@@ -251,11 +255,19 @@ object DedupPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- clustering (O16) ----
-    val labels = stage("labels") {
+    // single consumer (decisions, which persists itself): no eager count —
+    // the CC output is either a driver-built LocalRelation or a join over
+    // localCheckpointed label tables, both with known sizes for planning
+    val labels = stage("labels", multiConsumer = false) {
       ConnectedComponents.run(
         spark,
         live.select(col("url"), col("nk")),
-        edges.select(col("src"), col("dst")))
+        edges.select(col("src"), col("dst")),
+        // source-priority keys are not derivable from the url alone — the
+        // driver union-find must then read them from the nodes frame
+        driverNk =
+          if (cfg.sourcePriority.isEmpty) Some(graft.functions.NaturalKey.key _)
+          else None)
     }
 
     // ---- decisions + stats (O16/O18/O19/O22) ----

@@ -126,6 +126,23 @@ object NaturalKey {
       graft.functions.gf.natural_sort_key(url))
   }
 
+  /** First 8 bytes of a natural key as an order-preserving signed long
+    * (big-endian, zero-padded, sign-flipped for unsigned order): a compact
+    * approximation of the natural order for the candidate-generation hot
+    * path, where ORDER only decides pair orientation, star centers, and
+    * cap membership — never representative election. Ties (keys sharing
+    * their first 8 bytes) are broken by doc id in the consumer; full-key
+    * order is used everywhere election semantics matter. */
+  def prefix64(key: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < key.length) key(i) & 0xFFL else 0L)
+      i += 1
+    }
+    v ^ Long.MinValue
+  }
+
   /** Unsigned lexicographic byte-array compare (Spark BinaryType order). */
   def compareKeys(x: Array[Byte], y: Array[Byte]): Int = {
     val n = math.min(x.length, y.length)

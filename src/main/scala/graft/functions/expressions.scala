@@ -26,6 +26,7 @@ object codegenHelpers {
     MinHashImpl.simhash(u.toString, k, seed)
   def naturalKey(u: UTF8String): Array[Byte] =
     NaturalKey.key(u.toString)
+  def nkPrefix64(key: Array[Byte]): Long = NaturalKey.prefix64(key)
   def extractText(bytes: Array[Byte]): UTF8String =
     UTF8String.fromString(TextExtract.extractText(bytes))
   def winnow(u: UTF8String, k: Int, w: Int): UnsafeArrayData =
@@ -79,6 +80,17 @@ case class NaturalSortKey(child: Expression) extends GraftUnary {
   override protected def staticCall(c: String): String = s"$H.naturalKey($c)"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "natural_sort_key"
+}
+
+/** natural key binary → order-preserving 8-byte prefix long (hot-path
+  * ordering only — see NaturalKey.prefix64). */
+case class NkPrefix64(child: Expression) extends GraftUnary {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.nkPrefix64(v.asInstanceOf[Array[Byte]])
+  override protected def staticCall(c: String): String = s"$H.nkPrefix64($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nk_prefix64"
 }
 
 /** text → MinHash signature (array<long>, length n). */
@@ -232,6 +244,7 @@ object gf {
 
   def extract_text(c: Column): Column = col(ExtractText(expr(c)))
   def natural_sort_key(c: Column): Column = col(NaturalSortKey(expr(c)))
+  def nk_prefix64(c: Column): Column = col(NkPrefix64(expr(c)))
   def minhash_sig(c: Column, k: Int, n: Int, seed: Long): Column =
     col(MinHashSig(expr(c), k, n, seed))
   def simhash64(c: Column, k: Int, seed: Long): Column = col(SimHash64(expr(c), k, seed))

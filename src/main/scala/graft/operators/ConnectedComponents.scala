@@ -42,12 +42,21 @@ object ConnectedComponents {
     * @param edges (src, dst) — undirected pairs, endpoints ⊆ nodes
     * @return (url, cluster_url) where cluster_url = the component member
     *         with the minimum natural-sort key. */
+  /** `driverNk`: how the driver union-find path derives a member's sort key
+    * from its url. The default matches the engine's standard `nk` column
+    * (plain natural key) with zero extra jobs; pass None when the nodes'
+    * nk column is NOT derivable from the url alone (e.g. source-priority
+    * prefixed) — the driver path then looks the keys up from `nodes` with
+    * one bounded broadcast-semi-join. The distributed path always uses the
+    * nk column directly. */
   def run(
       spark: SparkSession,
       nodes: DataFrame,
       edges: DataFrame,
       maxIter: Int = 25,
-      maxDriverEdges: Long = DefaultMaxDriverEdges): DataFrame = {
+      maxDriverEdges: Long = DefaultMaxDriverEdges,
+      driverNk: Option[String => Array[Byte]] =
+        Some(graft.functions.NaturalKey.key _)): DataFrame = {
 
     // symmetric closure once; reused by every iteration. explode(array(..))
     // instead of a self-union reads the (possibly expensive, un-cached)
@@ -61,7 +70,7 @@ object ConnectedComponents {
 
     val edgeCount = und.count() / 2
     if (edgeCount <= maxDriverEdges) {
-      val out = runOnDriver(spark, nodes, edges)
+      val out = runOnDriver(spark, nodes, edges, driverNk)
       und.unpersist(blocking = false)
       return out
     }
@@ -140,7 +149,8 @@ object ConnectedComponents {
   private def runOnDriver(
       spark: SparkSession,
       nodes: DataFrame,
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame,
+      driverNk: Option[String => Array[Byte]]): DataFrame = {
     import graft.functions.NaturalKey
     val pairs = edges.select(col("src"), col("dst")).collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -161,18 +171,24 @@ object ConnectedComponents {
     }
     val members = new java.util.HashSet[String]()
     pairs.foreach { case (a, b) => members.add(a); members.add(b) }
-    // nk lookup for edge-touched urls only (bounded by maxDriverEdges);
-    // broadcast-semi-join keeps the collect proportional to the edge list
+    // sort keys for edge-touched urls: derived in-process when possible
+    // (zero extra jobs — the common case), otherwise one bounded
+    // broadcast-semi-join collect (source-priority keys live only in the
+    // nodes' nk column)
     import spark.implicits._
-    val touched = members.iterator()
-    val touchedSeq = new scala.collection.mutable.ArrayBuffer[String](members.size)
-    while (touched.hasNext) touchedSeq += touched.next()
-    val nkByUrl = nodes
-      .join(broadcast(touchedSeq.toSeq.toDF("url")), Seq("url"), "left_semi")
-      .select(col("url"), col("nk"))
-      .collect()
-      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("nk"))
-      .toMap
+    val nkByUrl: String => Array[Byte] = driverNk match {
+      case Some(f) => f
+      case None =>
+        val touchedSeq = new scala.collection.mutable.ArrayBuffer[String](members.size)
+        val touched = members.iterator()
+        while (touched.hasNext) touchedSeq += touched.next()
+        nodes
+          .join(broadcast(touchedSeq.toSeq.toDF("url")), Seq("url"), "left_semi")
+          .select(col("url"), col("nk"))
+          .collect()
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]]("nk"))
+          .toMap
+    }
     // representative per component = nk-minimum member
     val best = new java.util.HashMap[String, String]()
     val it = members.iterator()

@@ -1,24 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
-import graft.functions.{gf, MinHashImpl, NaturalKey}
+import graft.functions.gf
 
-/** Near-duplicate candidate generation: MinHash LSH banding + SimHash block
-  * bucketing, with a bounded sorted-groupWithin pair join.
+/** Near-duplicate candidate generation: MinHash LSH banding (+ optional
+  * SimHash blocks / Manku tables), entirely in Catalyst.
   *
   * Pipeline: signature columns → posexplode band buckets (the engine's only
-  * generator, a Spark built-in) → group by (band, bucket) → within each
-  * bucket, sort members by natural key and emit
-  *   (a) star edges between identical-signature members (linear — the
-  *       hot-bucket "skew bomb" of repeated boilerplate never goes
-  *       quadratic; the exact stage already stars byte-identical docs, this
-  *       covers identical-signature-but-different-bytes), and
-  *   (b) all pairs among at most `bucketCap` distinct-signature
-  *       representatives (bounded B(B-1)/2), counting what was dropped —
-  *       no silent truncation.
+  * generator, a Spark built-in) → windows over (bucket): one member per
+  * (bucket, signature), ranked by (nk-prefix, id), kept up to `bucketCap`
+  * (counting what was dropped — no silent truncation) → bucket-aligned
+  * self-join on rank emits each pair once. Identical-signature docs star
+  * to their (nk-prefix, id)-first member via ONE global sigd grouping
+  * (linear — the hot-bucket "skew bomb" of repeated boilerplate never goes
+  * quadratic; the exact stage already stars byte-identical docs, this
+  * covers identical-signature-but-different-bytes).
   *
   * This is the scaled analog of the reference's per-device scheduling
   * discipline — bounded work per hot resource
@@ -34,8 +32,12 @@ object Lsh {
       rowsPerBand: Int = 4,
       seed: Long = 42L,
       bucketCap: Int = 64,
-      maxBucketRead: Int = 8192,
-      estJPrefilter: Double = 0.6,
+      /** Verification prefilter: pairs pass when same-signature, SimHash
+        * Hamming ≤ hamMax, or co-bucketed in ≥ minSharedBands buckets.
+        * All three signals fall out of candidate generation for free — no
+        * signature join. Recall-safe at the default: J ≥ 0.8 pairs share
+        * ≥ 2 of 32 bands with P ≈ 1 - 1e-6. */
+      minSharedBands: Int = 2,
       hamMax: Int = 3,
       /** SimHash 16-bit-block candidate generation (complete for Hamming≤3
         * by pigeonhole) is OFF by default: the block key space is only
@@ -67,19 +69,29 @@ object Lsh {
       .withColumn("simhash", gf.simhash64(col("text"), cfg.shingleK, cfg.seed))
   }
 
-  private val pairSchema = StructType(Seq(
-    StructField("src", StringType, nullable = false),
-    StructField("dst", StringType, nullable = false),
-    StructField("same_sig", BooleanType, nullable = false),
-    StructField("dropped", LongType, nullable = false)))
-
-  /** Candidate pairs from MinHash band buckets ∪ SimHash 16-bit blocks.
-    * Input: url, nk, sig, sigd, simhash. Output: src, dst (src < dst by
-    * natural key; distinct across all buckets), same_sig, dropped (count of
-    * distinct-sig members beyond the cap in the emitting bucket).
+  /** Candidate pairs from MinHash band buckets (∪ optional SimHash blocks /
+    * Manku tables). Input: url, nk, sig, sigd, simhash. Output: src, dst
+    * (src < dst by natural order; one row per pair), same_sig, ham (SimHash
+    * Hamming distance), nshared (number of buckets the pair co-occurred
+    * in), dropped (distinct-sig members beyond the cap in the pair's
+    * buckets).
+    *
+    * Hot-path design (round-2 rework): every bucket row is FIVE LONGS —
+    * doc id (xxhash64 of url), an 8-byte natural-key prefix for ordering,
+    * the signature digest, the SimHash, and the bucket key. No strings or
+    * byte arrays pass through the big explode-shuffle or the per-bucket
+    * sort: at 1M docs the old string-carrying rows made task CPU inflate
+    * 2.7× from 8→32 threads (allocation-rate bound, not compute bound).
+    * Ids resolve back to urls with two cheap joins on the (small) pair
+    * output. An id collision (~N²/2^65) merely duplicates a candidate,
+    * which exact verification discards.
+    *
+    * same_sig / ham / nshared come free from the buckets and replace the
+    * round-1 est-Jaccard prefilter, whose signature join shuffled the full
+    * 1 KB-per-row sig table (~1.5 GB at 1M docs) to score 0.27M pairs.
+    *
     * `scopeCol` is folded into every bucket key (Same*-scope runs pass the
-    * scope value so pairs are same-scope by construction; the default empty
-    * literal is a no-op salt). */
+    * scope value so pairs are same-scope by construction). */
   def candidatePairs(
       spark: SparkSession,
       docs: DataFrame,
@@ -87,119 +99,141 @@ object Lsh {
       scopeCol: org.apache.spark.sql.Column = lit("")): DataFrame = {
     import spark.implicits._
 
-    val minhashBuckets = docs
-      .select(
-        col("url"), col("nk"), col("sigd"), scopeCol.as("bscope_"),
+    val ids = docs.select(
+      xxhash64(col("url"), lit(0x1D5EEDL)).as("id"),
+      col("url"), col("nk"), col("sig"), col("sigd"), col("simhash"),
+      scopeCol.as("bscope_"))
+    val base = ids.select(
+      col("id"), gf.nk_prefix64(col("nk")).as("nkp"), col("sigd"),
+      col("simhash"), col("bscope_"), col("sig"))
+    def compact(df: DataFrame, keyCol: org.apache.spark.sql.Column) = df.select(
+      keyCol.as("bkey"), col("id"), col("nkp"), col("sigd"), col("simhash"))
+
+    val minhashBuckets = compact(
+      base.select(
+        col("id"), col("nkp"), col("sigd"), col("simhash"), col("bscope_"),
         posexplode(gf.band_buckets(col("sig"), cfg.bands, cfg.rowsPerBand, cfg.seed))
-          .as(Seq("band", "bucket")))
-      .select(
-        // tag the band into the bucket key so cross-band collisions split
-        xxhash64(col("band"), col("bucket"), col("bscope_")).as("bkey"),
-        col("url"), col("nk"), col("sigd"))
+          .as(Seq("band", "bucket"))),
+      // tag the band into the bucket key so cross-band collisions split
+      xxhash64(col("band"), col("bucket"), col("bscope_")))
 
     val withBlocks =
       if (!cfg.useSimhashBuckets) minhashBuckets
-      else {
-        val simhashBuckets = docs
-          .select(
-            col("url"), col("nk"), col("sigd"), scopeCol.as("bscope_"),
-            explode(gf.simhash_blocks(col("simhash"))).as("bucket"))
-          .select(
-            xxhash64(lit(0x51AB17L), col("bucket"), col("bscope_")).as("bkey"),
-            col("url"), col("nk"), col("sigd"))
-        minhashBuckets.unionByName(simhashBuckets)
-      }
+      else minhashBuckets.unionByName(compact(
+        base.select(
+          col("id"), col("nkp"), col("sigd"), col("simhash"), col("bscope_"),
+          explode(gf.simhash_blocks(col("simhash"))).as("bucket")),
+        xxhash64(lit(0x51AB17L), col("bucket"), col("bscope_"))))
 
     val all =
       if (!cfg.useSimhashTables) withBlocks
-      else {
-        val tableBuckets = docs
-          .select(
-            col("url"), col("nk"), col("sigd"), scopeCol.as("bscope_"),
-            explode(gf.simhash_table_keys(col("simhash"), cfg.tableBlocks, cfg.tableKeep))
-              .as("tkey"))
-          .select(
-            xxhash64(lit(0x7AB1E5L), col("tkey"), col("bscope_")).as("bkey"),
-            col("url"), col("nk"), col("sigd"))
-        withBlocks.unionByName(tableBuckets)
-      }
+      else withBlocks.unionByName(compact(
+        base.select(
+          col("id"), col("nkp"), col("sigd"), col("simhash"), col("bscope_"),
+          explode(gf.simhash_table_keys(col("simhash"), cfg.tableBlocks, cfg.tableKeep))
+            .as("tkey")),
+        xxhash64(lit(0x7AB1E5L), col("tkey"), col("bscope_"))))
 
-    // sorted groupWithin: one group per (band, bucket); bounded read
+    // Same-signature star edges are GLOBAL, not per-bucket: identical
+    // signatures imply identical band buckets, so grouping by sigd once
+    // (757k rows) replaces finding the same stars 32× inside the exploded
+    // bucket table. Star center = (nkp, id)-first member.
+    import org.apache.spark.sql.expressions.Window
+    val wSig = Window.partitionBy(col("sigd"), col("bscope_")).orderBy(col("nkp"), col("id"))
+    val sigStars = base
+      .select(
+        col("id"), col("nkp"), col("sigd"), col("simhash"), col("bscope_"),
+        first(col("id")).over(wSig).as("center_id"),
+        first(col("simhash")).over(wSig).as("center_sim"),
+        row_number().over(wSig).as("rn"))
+      .where(col("rn") > 1)
+      .select(
+        col("center_id").as("src_id"), col("id").as("dst_id"),
+        lit(true).as("same_sig"),
+        gf.hamming_dist(col("center_sim"), col("simhash")).as("ham"),
+        lit(0L).as("dropped"))
+
+    // Distinct-signature bucket pairs, entirely in Catalyst and with ONE
+    // exchange of the exploded bucket table (the round-2 groupByKey/
+    // flatMapGroups path deserialized 24M tuples per run and its object
+    // sort dominated task CPU; a self-join variant recomputed the whole
+    // chain per side). One window pass over hash(bkey) marks the first
+    // member per signature (lag) and its rank among kept members (running
+    // sum); rows beyond `bucketCap` drop with a count — never silently.
+    // A same-partitioning groupBy then assembles each bucket's ≤ cap
+    // members (collect_list is BOUNDED by the cap) and a higher-order
+    // transform expands the pairs — no second shuffle, no self-join.
     val cap = cfg.bucketCap
-    val maxRead = cfg.maxBucketRead
-    val pairs = all
-      .select(col("bkey"), col("url"), col("nk"), col("sigd"))
-      .as[(Long, String, Array[Byte], Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        emitBucketPairs(it, cap, maxRead)
-      }(org.apache.spark.sql.Encoders.row(pairSchema))
-    pairs.dropDuplicates("src", "dst")
+    val wB = Window.partitionBy(col("bkey")).orderBy(col("sigd"), col("nkp"), col("id"))
+    val wBu = Window.partitionBy(col("bkey"))
+    val keepFlag = coalesce(col("sigd") =!= lag(col("sigd"), 1).over(wB), lit(true))
+    val capped = all
+      .withColumn("keep", keepFlag)
+      .withColumn("krank", sum(when(col("keep"), 1).otherwise(0)).over(wB))
+      .withColumn("kcnt", sum(when(col("keep"), 1).otherwise(0)).over(wBu))
+      .where(col("keep") && col("krank") <= cap)
+    val grouped = capped
+      .groupBy(col("bkey"))
+      .agg(
+        sort_array(collect_list(struct(col("krank"), col("id"), col("simhash")))).as("ms"),
+        max(greatest(col("kcnt") - cap, lit(0))).cast("long").as("dropped"))
+      .where(size(col("ms")) >= 2)
+    val bucketPairs = grouped
+      .select(
+        explode(flatten(transform(col("ms"), (x, i) =>
+          transform(
+            slice(col("ms"), i + lit(2), size(col("ms"))),
+            y => struct(
+              x.getField("id").as("src_id"),
+              y.getField("id").as("dst_id"),
+              gf.hamming_dist(x.getField("simhash"), y.getField("simhash")).as("ham")))))).as("p"),
+        col("dropped"))
+      .select(
+        col("p.src_id"), col("p.dst_id"),
+        lit(false).as("same_sig"), col("p.ham"), col("dropped"))
+
+    // cross-bucket dedup + the free prefilter signals in one aggregation
+    val pairs = bucketPairs.unionByName(sigStars)
+      .groupBy(col("src_id"), col("dst_id"))
+      .agg(
+        max(col("same_sig")).as("same_sig"),
+        min(col("ham")).as("ham"),
+        count(lit(1)).as("nshared"),
+        max(col("dropped")).as("dropped"))
+
+    val m = ids.select(col("id"), col("url"))
+    pairs
+      .join(m.select(col("id").as("src_id"), col("url").as("src")), "src_id")
+      .join(m.select(col("id").as("dst_id"), col("url").as("dst")), "dst_id")
+      .select(
+        col("src"), col("dst"), col("same_sig"), col("ham"),
+        col("nshared"), col("dropped"))
   }
 
-  /** Pair emission for one bucket. Members sorted by natural key; identical
-    * signatures become star edges to their first member; distinct-signature
-    * representatives (first per signature, up to cap) pair all-to-all. */
-  private def emitBucketPairs(
-      it: Iterator[(Long, String, Array[Byte], Long)],
-      cap: Int,
-      maxRead: Int): Iterator[Row] = {
-    val buf = new scala.collection.mutable.ArrayBuffer[(String, Array[Byte], Long)]()
-    var overflow = 0L
-    while (it.hasNext) {
-      val (_, url, nk, sigd) = it.next()
-      if (buf.length < maxRead) buf += ((url, nk, sigd)) else overflow += 1
-    }
-    if (buf.length < 2) return Iterator.empty
-    val sorted = buf.sortWith((a, b) => NaturalKey.compareKeys(a._2, b._2) < 0)
 
-    val out = new scala.collection.mutable.ArrayBuffer[Row]()
-    // group by signature digest; reps keep the bucket's natural order
-    val firstBySig = new java.util.HashMap[java.lang.Long, String]()
-    val reps = new scala.collection.mutable.ArrayBuffer[String]()
-    sorted.foreach { case (url, _, sigd) =>
-      val first = firstBySig.get(java.lang.Long.valueOf(sigd))
-      if (first == null) {
-        firstBySig.put(java.lang.Long.valueOf(sigd), url)
-        reps += url
-      } else {
-        out += Row(first, url, true, 0L)
-      }
-    }
-    val dropped = math.max(0L, reps.length.toLong - cap) + overflow
-    val limit = math.min(reps.length, cap)
-    var i = 0
-    while (i < limit) {
-      var j = i + 1
-      while (j < limit) {
-        out += Row(reps(i), reps(j), false, dropped)
-        j += 1
-      }
-      i += 1
-    }
-    out.iterator
-  }
-
-  /** Verified near-dup edges: candidates are prefiltered on the cheap
-    * signature estimates (est. Jaccard or SimHash Hamming), then confirmed
-    * with the exact shingle-set Jaccard computed from both texts — the
-    * cheap→expensive cascade of the reference's predicate chain
-    * (`ViewModels/MainViewModel.cs:996-1218`) as pipeline stages. */
+  /** Verified near-dup edges: candidates are prefiltered on the signals the
+    * buckets already produced for free (identical signature, SimHash
+    * Hamming, shared-bucket count — for a true pair at J ≥ 0.8 the expected
+    * shared-band count is 32·0.8⁴ ≈ 13, so `nshared ≥ minSharedBands`
+    * misses it with P < 1e-5), then confirmed with the exact shingle-set
+    * Jaccard computed from both texts — the cheap→expensive cascade of the
+    * reference's predicate chain (`ViewModels/MainViewModel.cs:996-1218`)
+    * as pipeline stages. Only texts of candidate-touched docs are shuffled
+    * (semi-join reduction): the text side of the join is proportional to
+    * the candidate set, not the corpus. */
   def verifiedEdges(
-      candidates: DataFrame, // src, dst, same_sig
-      docs: DataFrame, // url, text, sig, simhash
+      candidates: DataFrame, // src, dst, same_sig, ham, nshared
+      docs: DataFrame, // url, text
       cfg: Config,
       tau: Double): DataFrame = {
-    // cheap prefilter first, against signatures only (no texts shuffled yet)
-    val sa = docs.select(col("url").as("src"), col("sig").as("sig_a"), col("simhash").as("sim_a"))
-    val sb = docs.select(col("url").as("dst"), col("sig").as("sig_b"), col("simhash").as("sim_b"))
-    val prefiltered = candidates
-      .join(sa, "src")
-      .join(sb, "dst")
-      .withColumn("est_j", gf.est_jaccard(col("sig_a"), col("sig_b")))
-      .withColumn("ham", gf.hamming_dist(col("sim_a"), col("sim_b")))
-      .where(col("same_sig") || col("est_j") >= cfg.estJPrefilter || col("ham") <= cfg.hamMax)
-      .select(col("src"), col("dst"), col("est_j"), col("ham"))
+    val pre = candidates.where(
+      col("same_sig") || col("ham") <= cfg.hamMax ||
+        col("nshared") >= cfg.minSharedBands)
+    val touched = pre.select(col("src").as("url"))
+      .unionByName(pre.select(col("dst").as("url")))
+      .distinct()
+    val texts = docs.select(col("url"), col("text"))
+      .join(touched, Seq("url"), "left_semi")
 
     // expensive exact verification: join texts, then REBALANCE before the
     // shingle-set kernel — join output is partitioned by the join key, and
@@ -207,14 +241,12 @@ object Lsh {
     // task; hashing on the full pair spreads the kernel evenly (the skew
     // discipline of the reference's per-disk scheduler,
     // ViewModels/MainViewModel.cs:1166-1213, applied to CPU)
-    val ta = docs.select(col("url").as("src"), col("text").as("text_a"))
-    val tb = docs.select(col("url").as("dst"), col("text").as("text_b"))
-    prefiltered
-      .join(ta, "src")
-      .join(tb, "dst")
+    pre
+      .join(texts.select(col("url").as("src"), col("text").as("text_a")), "src")
+      .join(texts.select(col("url").as("dst"), col("text").as("text_b")), "dst")
       .repartition(col("src"), col("dst"))
       .withColumn("jaccard", gf.shingle_jaccard(col("text_a"), col("text_b"), cfg.shingleK, cfg.seed))
       .where(col("jaccard") >= tau)
-      .select(col("src"), col("dst"), col("jaccard"), col("est_j"), col("ham"))
+      .select(col("src"), col("dst"), col("jaccard"), col("ham"), col("nshared"))
   }
 }

@@ -26,70 +26,80 @@ object SubstringDup {
       minSubstr: Int = 200,
       anchorK: Int = 50,
       bucketCap: Int = 64,
-      maxBucketRead: Int = 8192,
       seed: Long = 42L) {
     def window: Int = minSubstr - anchorK + 1
   }
 
   /** Candidate pairs: docs sharing a winnowed fingerprint. Bounded per
-    * fingerprint bucket by `bucketCap` natural-order members, with the read
-    * itself bounded by `maxBucketRead` before any buffering/sorting — a
-    * viral shared passage (license boilerplate across millions of docs) is
-    * the same skew bomb the LSH stage is hardened against, and an unbounded
-    * `toBuffer` would hold the whole bucket in one task's memory (ADVICE
-    * r1). Overflow counts surface in `dropped` — no silent truncation.
+    * fingerprint bucket by `bucketCap` members (a viral shared passage —
+    * license boilerplate across millions of docs — is the same skew bomb
+    * the LSH stage is hardened against); overflow counts surface in
+    * `dropped` — no silent truncation. Same single-exchange Catalyst shape
+    * as `Lsh.candidatePairs`: five-long bucket rows, a streaming window
+    * rank (no task-memory buffering — the round-1 `toBuffer` held whole
+    * buckets in memory, ADVICE r1), a same-partitioning groupBy whose
+    * collect_list is bounded by the cap, and higher-order pair expansion.
     * `scopeCol` is folded into the bucket key for Same*-scope runs. */
   def candidatePairs(
       spark: SparkSession,
       docs: DataFrame,
       cfg: Config,
       scopeCol: org.apache.spark.sql.Column = lit("")): DataFrame = {
-    val fps = docs
+    import org.apache.spark.sql.expressions.Window
+    val ids = docs.select(
+      xxhash64(col("url"), lit(0x5AB5EEDL)).as("id"),
+      col("url"), col("nk"), col("text"), scopeCol.as("bscope_"))
+    val fps = ids
       .select(
-        col("url"), col("nk"), scopeCol.as("bscope_"),
+        col("id"), gf.nk_prefix64(col("nk")).as("nkp"), col("bscope_"),
         explode(gf.winnow_fingerprints(col("text"), cfg.anchorK, cfg.window)).as("fp"))
-    // reuse the bounded sorted-groupWithin join: all docs in a fingerprint
-    // bucket are candidates (identical fingerprints ≠ identical docs, so no
-    // same-sig stars here)
-    import spark.implicits._
+      .select(xxhash64(col("fp"), col("bscope_")).as("bkey"), col("id"), col("nkp"))
+
     val cap = cfg.bucketCap
-    val maxRead = cfg.maxBucketRead
-    fps
-      .select(xxhash64(col("fp"), col("bscope_")).as("fpk"), col("url"), col("nk"))
-      .as[(Long, String, Array[Byte])]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val buf = new scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]()
-        var overflow = 0L
-        while (it.hasNext) {
-          val t = it.next()
-          if (buf.length < maxRead) buf += ((t._2, t._3)) else overflow += 1
-        }
-        if (buf.length < 2) Iterator.empty
-        else {
-          val sorted = buf.sortWith((a, b) =>
-            graft.functions.NaturalKey.compareKeys(a._2, b._2) < 0)
-          val dropped = math.max(0, sorted.length - cap).toLong + overflow
-          val lim = math.min(sorted.length, cap)
-          (for {
-            i <- 0 until lim
-            j <- (i + 1) until lim
-          } yield (sorted(i)._1, sorted(j)._1, dropped)).iterator
-        }
-      }
-      .toDF("src", "dst", "dropped")
-      .dropDuplicates("src", "dst")
+    val wB = Window.partitionBy(col("bkey")).orderBy(col("nkp"), col("id"))
+    val wBu = Window.partitionBy(col("bkey"))
+    val grouped = fps
+      .withColumn("rn", row_number().over(wB))
+      .withColumn("bcnt", count(lit(1)).over(wBu))
+      .where(col("rn") <= cap)
+      .groupBy(col("bkey"))
+      .agg(
+        sort_array(collect_list(struct(col("rn"), col("id")))).as("ms"),
+        max(greatest(col("bcnt") - cap, lit(0))).cast("long").as("dropped"))
+      .where(size(col("ms")) >= 2)
+    val pairs = grouped
+      .select(
+        explode(flatten(transform(col("ms"), (x, i) =>
+          transform(
+            slice(col("ms"), i + lit(2), size(col("ms"))),
+            y => struct(
+              x.getField("id").as("src_id"),
+              y.getField("id").as("dst_id")))))).as("p"),
+        col("dropped"))
+      .groupBy(col("p.src_id").as("src_id"), col("p.dst_id").as("dst_id"))
+      .agg(max(col("dropped")).as("dropped"))
+
+    val m = ids.select(col("id"), col("url"))
+    pairs
+      .join(m.select(col("id").as("src_id"), col("url").as("src")), "src_id")
+      .join(m.select(col("id").as("dst_id"), col("url").as("dst")), "dst_id")
+      .select(col("src"), col("dst"), col("dropped"))
   }
 
   /** Exact verification: keep pairs with a real common substring ≥ L chars
     * (rolling-hash candidate positions confirmed by direct character
-    * comparison — zero false positives). */
+    * comparison — zero false positives). Only texts of candidate-touched
+    * docs are shuffled (semi-join reduction). */
   def verifiedEdges(candidates: DataFrame, docs: DataFrame, cfg: Config): DataFrame = {
-    val a = docs.select(col("url").as("src"), col("text").as("text_a"))
-    val b = docs.select(col("url").as("dst"), col("text").as("text_b"))
+    val touched = candidates.select(col("src").as("url"))
+      .unionByName(candidates.select(col("dst").as("url")))
+      .distinct()
+    val texts = docs.select(col("url"), col("text"))
+      .join(touched, Seq("url"), "left_semi")
     candidates
-      .join(a, "src")
-      .join(b, "dst")
+      .join(texts.select(col("url").as("src"), col("text").as("text_a")), "src")
+      .join(texts.select(col("url").as("dst"), col("text").as("text_b")), "dst")
+      .repartition(col("src"), col("dst"))
       .where(gf.common_substring_ge(col("text_a"), col("text_b"), cfg.minSubstr))
       .select(col("src"), col("dst"))
   }

@@ -7,7 +7,7 @@ class ConfigSpec extends AnyFunSuite {
   test("config json round trip preserves every field") {
     val c = DedupConfig(
       minLen = 30, shingleK = 7, numHashes = 64, bands = 16, rowsPerBand = 4,
-      seed = 7L, jaccardTau = 0.75, estJPrefilter = 0.5, hamMax = 5,
+      seed = 7L, jaccardTau = 0.75, minSharedBands = 3, hamMax = 5,
       minSubstr = 150, anchorK = 40, bucketCap = 32, scope = "same_host",
       algo = "md5", enableNear = false, enableSubstr = true,
       sourcePriority = Seq("a.example", "b.example"),

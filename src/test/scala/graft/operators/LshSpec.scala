@@ -30,7 +30,9 @@ class LshSpec extends AnyFunSuite {
     val cands = Lsh.candidatePairs(spark, docs, cfg)
     val edges = Lsh.verifiedEdges(cands, docs, cfg, tau = 0.8)
       .select("src", "dst").collect().map(x => (x.getString(0), x.getString(1)))
-    assert(edges.toSet == Set(("u1", "u2")))
+    // orientation is a deterministic (nk-prefix, id) canonical order, not
+    // necessarily natural order — undirected consumers never care
+    assert(edges.map { case (a, b) => Set(a, b) }.toSet == Set(Set("u1", "u2")))
   }
 
   test("identical texts pair via same-sig star edges (linear, not quadratic)") {
@@ -42,9 +44,10 @@ class LshSpec extends AnyFunSuite {
     val stars = cands.where(col("same_sig")).count()
     val cross = cands.where(!col("same_sig")).count()
     assert(cross == 0)
-    assert(stars == 49, s"expected 49 star edges, got $stars") // one per non-first member
-    // all connect to the natural-order first member
-    assert(cands.where(col("src") =!= "u000").count() == 0)
+    assert(stars == 49, s"expected 49 star edges, got $stars") // one per non-center member
+    // a star, not a clique: ONE deterministic center emits every edge
+    val centers = cands.select("src").distinct().collect().map(_.getString(0))
+    assert(centers.length == 1, s"expected one star center, got ${centers.toSeq}")
   }
 
   test("bucket cap bounds cross-sig pairs and reports drops") {
@@ -69,14 +72,33 @@ class LshSpec extends AnyFunSuite {
     assert(nonStar.where(col("dropped") > 0).count() > 0, "drops must be reported")
   }
 
-  test("est_jaccard prefilter keeps verification off dissimilar candidates") {
+  test("verification rejects dissimilar pairs; prefilter skips weak candidates") {
     val r = new scala.util.Random(3)
     val a = randomDoc(r, 200)
     val b = randomDoc(r, 200)
     val docs = docsFrame(Seq(("a", a), ("b", b)))
-    // force-candidate the pair and verify: exact jaccard ≈ 0 → no edge
     import spark.implicits._
-    val cands = Seq(("a", "b", false, 0L)).toDF("src", "dst", "same_sig", "dropped")
-    assert(Lsh.verifiedEdges(cands, docs, cfg, tau = 0.8).count() == 0)
+    // force-candidate the pair with a PASSING prefilter (nshared high):
+    // exact jaccard ≈ 0 → verification drops it
+    val strong = Seq(("a", "b", false, 64, 32L))
+      .toDF("src", "dst", "same_sig", "ham", "nshared")
+    assert(Lsh.verifiedEdges(strong, docs, cfg, tau = 0.8).count() == 0)
+    // weak signals (1 shared bucket, far Hamming, different sigs) never
+    // reach the text join at all
+    val weak = Seq(("a", "b", false, 30, 1L))
+      .toDF("src", "dst", "same_sig", "ham", "nshared")
+    assert(Lsh.verifiedEdges(weak, docs, cfg, tau = 0.8).count() == 0)
+  }
+
+  test("candidate pairs carry free prefilter signals (ham, nshared)") {
+    val r = new scala.util.Random(9)
+    val base = randomDoc(r, 200)
+    val toks = base.split(' '); toks(5) = "x"; toks(50) = "y"
+    val docs = docsFrame(Seq(("u1", base), ("u2", toks.mkString(" "))))
+    val c = Lsh.candidatePairs(spark, docs, cfg)
+      .where(col("src").isin("u1", "u2") && col("dst").isin("u1", "u2")).head()
+    // near-identical docs: many shared bands, small Hamming distance
+    assert(c.getAs[Long]("nshared") >= 2, s"nshared=${c.getAs[Long]("nshared")}")
+    assert(c.getAs[Int]("ham") <= 10, s"ham=${c.getAs[Int]("ham")}")
   }
 }
