@@ -32,6 +32,18 @@ object Plans {
 
     println("=== PLAN 5: brute-force ANN (broadcast?) ===")
     SparkEntry.queries("q_ann_topk")(spark, sf).explain("formatted")
+
+    println("=== PLAN 6: LSH candidate pairs (one exchange, windows, HOF) ===")
+    val sigs = Lsh.withSignatures(
+      docs.selectExpr("cast(doc_id as string) as url", "text")
+        .withColumn("nk", gf.natural_sort_key(col("url"))),
+      Lsh.Config())
+    Lsh.candidatePairs(spark, sigs, Lsh.Config()).explain("formatted")
+
+    println("=== PLAN 7: IVF assignment (broadcast of fixed-C centroids) ===")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.ivfAssign(emb, nCentroids = 32)._1.explain("formatted")
     spark.stop()
   }
 }
