@@ -173,6 +173,20 @@ object SparkEntry {
         .select(col("url"), col("cluster_size"), col("state"))
     }),
 
+    // ---- state-scoped stats (O18/O19), engine-emitted, exact-only ----
+    "q_dedup_stats_exact" -> ((s, dir) => {
+      val pages = pagesFrom(docsPlanted(s, dir))
+      DedupPipeline.run(
+        s, pages,
+        DedupConfig(minLen = 60, enableNear = false, enableSubstr = false),
+        fromHtml = true)
+        .stats
+        .select(
+          col("state"), col("docs"), col("bytes").cast("long").as("bytes"),
+          round(col("doc_ratio"), 9).as("doc_ratio"),
+          round(col("byte_ratio"), 9).as("byte_ratio"))
+    }),
+
     // ---- manual overrides (O17) on top of the exact decisions ----
     // keep→delete on every planted same-source keep (forces re-election of
     // the surviving copy); delete→keep on half the cross-source planted
@@ -402,6 +416,30 @@ object SparkEntry {
         |       WHEN p.doc_id = l.min_id THEN 'keep'
         |       ELSE 'delete' END AS state
         |FROM pages p LEFT JOIN live l ON p.doc_id = l.doc_id""".stripMargin,
+    "q_dedup_stats_exact" ->
+      s"""$plantedCte,
+        |pages AS (
+        |  SELECT doc_id, length(text) AS len, md5(text) AS h FROM docs),
+        |live AS (
+        |  SELECT doc_id,
+        |    count(*) OVER (PARTITION BY h) AS cnt,
+        |    min(doc_id) OVER (PARTITION BY h) AS min_id
+        |  FROM pages WHERE len >= 60),
+        |st AS (
+        |  SELECT p.len,
+        |    CASE WHEN p.len < 60 THEN 'ignored'
+        |         WHEN l.cnt = 1 THEN 'unique'
+        |         WHEN p.doc_id = l.min_id THEN 'keep'
+        |         ELSE 'delete' END AS state
+        |  FROM pages p LEFT JOIN live l ON p.doc_id = l.doc_id),
+        |agg AS (
+        |  SELECT state, count(*) AS docs, CAST(sum(len) AS BIGINT) AS bytes
+        |  FROM st GROUP BY 1),
+        |tot AS (SELECT sum(docs) AS td, sum(bytes) AS tb FROM agg)
+        |SELECT a.state, a.docs, a.bytes,
+        |  round(a.docs / (1.0 * t.td), 9) AS doc_ratio,
+        |  round(a.bytes / (1.0 * t.tb), 9) AS byte_ratio
+        |FROM agg a CROSS JOIN tot t""".stripMargin,
     "q_overrides" ->
       s"""$plantedCte,
         |pages AS (

@@ -91,7 +91,6 @@ object Decisions {
     *     reference UI).
     */
   def applyOverrides(decisions: DataFrame, overrides: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ov = overrides
       .select(col("url"), col("state").as("ov_state"))
       .where(col("ov_state").isin("keep", "delete"))
@@ -100,15 +99,20 @@ object Decisions {
         "eff",
         when(col("ov_state").isNotNull && col("state").isin("keep", "delete"),
           col("ov_state")).otherwise(col("state")))
-    val w = Window.partitionBy(col("cluster"))
     val nk = graft.functions.gf.natural_sort_key(col("url"))
-    j
-      .withColumn("has_keep", max(when(col("eff") === "keep", 1).otherwise(0)).over(w))
-      .withColumn("had_dup", max(when(col("eff").isin("keep", "delete"), 1).otherwise(0)).over(w))
-      .withColumn(
-        "reelect",
-        min(when(col("eff") === "delete" && col("ov_state").isNull,
-          struct(nk.as("nk"), col("url").as("url")))).over(w))
+    // per-cluster summary via groupBy + broadcast-back join, NOT a window:
+    // an unordered whole-partition window frame buffers every row of the
+    // partition on one task — a mega-cluster (boilerplate repeated millions
+    // of times) would pin task memory, while groupBy aggregates map-side
+    val summary = j.groupBy(col("cluster")).agg(
+      max(when(col("eff") === "keep", 1).otherwise(0)).as("has_keep"),
+      max(when(col("eff").isin("keep", "delete"), 1).otherwise(0)).as("had_dup"),
+      min(when(col("eff") === "delete" && col("ov_state").isNull,
+        struct(nk.as("nk"), col("url").as("url")))).as("reelect"))
+    // plain equi-join (AQE picks broadcast when the summary is small; at
+    // web scale one-row-per-cluster is NOT broadcastable and shuffles on
+    // the same key the aggregation just produced)
+    j.join(summary, Seq("cluster"))
       .withColumn(
         "state",
         when(
