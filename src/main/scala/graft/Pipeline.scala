@@ -83,8 +83,9 @@ final case class DedupResult(
   *   → exact sha2 stage (blocking + singleton short-circuit + star edges)
   *   → signatures (MinHash + SimHash, exact-representatives only — the
   *     laziness of the reference's memoized digest: hash only what can
-  *     still collide) → LSH banding → bounded sorted-groupWithin candidate
-  *   pairs → exact-Jaccard verification → winnowed substring pass →
+  *     still collide) → LSH banding → single-exchange windowed candidate
+  *   pairs (cap-bounded, drops counted) → exact-Jaccard verification →
+  *   winnowed substring pass →
   *   iterative connected components → representative election → decisions
   *   + stats.
   *

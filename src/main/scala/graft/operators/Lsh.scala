@@ -9,10 +9,11 @@ import graft.functions.gf
   * SimHash blocks / Manku tables), entirely in Catalyst.
   *
   * Pipeline: signature columns → posexplode band buckets (the engine's only
-  * generator, a Spark built-in) → windows over (bucket): one member per
-  * (bucket, signature), ranked by (nk-prefix, id), kept up to `bucketCap`
-  * (counting what was dropped — no silent truncation) → bucket-aligned
-  * self-join on rank emits each pair once. Identical-signature docs star
+  * generator, a Spark built-in) → one window pass per bucket: one member
+  * per (bucket, signature), ranked by (nk-prefix, id), kept up to
+  * `bucketCap` (counting what was dropped — no silent truncation) → a
+  * same-partitioning groupBy assembles the capped members and a
+  * higher-order transform expands the pairs. Identical-signature docs star
   * to their (nk-prefix, id)-first member via ONE global sigd grouping
   * (linear — the hot-bucket "skew bomb" of repeated boilerplate never goes
   * quadratic; the exact stage already stars byte-identical docs, this
@@ -72,9 +73,10 @@ object Lsh {
   /** Candidate pairs from MinHash band buckets (∪ optional SimHash blocks /
     * Manku tables). Input: url, nk, sig, sigd, simhash. Output: src, dst
     * (src < dst by natural order; one row per pair), same_sig, ham (SimHash
-    * Hamming distance), nshared (number of buckets the pair co-occurred
-    * in), dropped (distinct-sig members beyond the cap in the pair's
-    * buckets).
+    * Hamming distance), nshared (for distinct-sig pairs: the number of
+    * buckets the pair co-occurred in; 1 for same-sig star pairs, which the
+    * prefilter passes on same_sig), dropped (distinct-sig members beyond
+    * the cap in the pair's buckets).
     *
     * Hot-path design (round-2 rework): every bucket row is FIVE LONGS —
     * doc id (xxhash64 of url), an 8-byte natural-key prefix for ordering,

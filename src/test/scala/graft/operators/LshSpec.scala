@@ -90,6 +90,17 @@ class LshSpec extends AnyFunSuite {
     assert(Lsh.verifiedEdges(weak, docs, cfg, tau = 0.8).count() == 0)
   }
 
+  test("plan: the exploded bucket table crosses exactly ONE exchange") {
+    val r = new scala.util.Random(11)
+    val docs = docsFrame((0 until 20).map(i => (s"u$i", randomDoc(r, 100))))
+    val plan = Lsh.candidatePairs(spark, docs, cfg)
+      .queryExecution.executedPlan.toString()
+    // the 32×-exploded table is partitioned by bkey once; windows, cap
+    // filter, groupBy(bkey) and pair expansion all reuse that partitioning
+    val bkeyExchanges = "hashpartitioning\\(bkey".r.findAllIn(plan).length
+    assert(bkeyExchanges == 1, s"expected 1 bkey exchange, got $bkeyExchanges:\n$plan")
+  }
+
   test("candidate pairs carry free prefilter signals (ham, nshared)") {
     val r = new scala.util.Random(9)
     val base = randomDoc(r, 200)
