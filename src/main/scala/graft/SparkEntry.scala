@@ -591,5 +591,31 @@ object SparkEntry {
       """SELECT user_id, event_id AS top_event FROM (
         |  SELECT user_id, event_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
-        |  FROM events) WHERE rn = 1""".stripMargin)
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    // brute-force ANN is plain relational math — DuckDB list_dot_product in
+    // double mirrors the Spark zip_with/aggregate kernel bit-exactly on the
+    // deterministic test embeddings (verified at sf0.001 and sf0.01)
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10)
+        |SELECT query_id, vec_id, round(cos, 6) AS cos,
+        |  CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_dot_product(e.emb, q.qe) /
+        |      (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_dot_product(e.emb, q.qe) /
+        |      (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qe, q.qe))) DESC,
+        |      e.vec_id) AS rank
+        |  FROM e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id) WHERE rank <= 5""".stripMargin,
+    // the natural comparator is SQL-expressible on this url shape
+    // ('src<digits>/doc<digits>.txt'): source digit-run numeric first, then
+    // doc id numeric — the driver's row-sorted compare checks the top-50
+    // SET the comparator selects
+    "q_natural_sort_topk" ->
+      """SELECT doc_id, source || '/doc' || CAST(doc_id AS VARCHAR) || '.txt' AS u
+        |FROM documents
+        |ORDER BY CAST(regexp_extract(source, '[0-9]+') AS BIGINT), doc_id
+        |LIMIT 50""".stripMargin)
 }
