@@ -91,9 +91,20 @@ object MinHashImpl {
   }
 
   /** Exact Jaccard over the k-shingle *sets* (verification-stage truth). */
-  def exactJaccard(a: String, b: String, k: Int, seed: Long): Double = {
-    val sa = distinctSorted(shingleHashes(a, k, seed))
-    val sb = distinctSorted(shingleHashes(b, k, seed))
+  def exactJaccard(a: String, b: String, k: Int, seed: Long): Double =
+    mergeJaccard(shingleSet(a, k, seed), shingleSet(b, k, seed))
+
+  /** The distinct, unsigned-sorted k-shingle hash set of a text — computed
+    * ONCE per document so pair verification is a plain merge instead of
+    * re-tokenizing + re-hashing both texts per candidate pair (a doc in p
+    * pairs was shingled p times; the per-pair allocation burn was the main
+    * non-scaling term of the verify stage at 32 threads). */
+  def shingleSet(text: String, k: Int, seed: Long): Array[Long] =
+    distinctSorted(shingleHashes(text, k, seed))
+
+  /** Exact Jaccard of two [[shingleSet]] outputs (unsigned-sorted merge;
+    * identical by construction to [[exactJaccard]] on the source texts). */
+  def mergeJaccard(sa: Array[Long], sb: Array[Long]): Double = {
     var i = 0; var j = 0; var inter = 0
     while (i < sa.length && j < sb.length) {
       val c = java.lang.Long.compareUnsigned(sa(i), sb(j))

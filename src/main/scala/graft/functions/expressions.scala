@@ -46,6 +46,11 @@ object codegenHelpers {
     MinHashImpl.estJaccard(a.toLongArray(), b.toLongArray())
   def exactJaccard(a: UTF8String, b: UTF8String, k: Int, seed: Long): Double =
     MinHashImpl.exactJaccard(a.toString, b.toString, k, seed)
+  def shingleSet(u: UTF8String, k: Int, seed: Long): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(MinHashImpl.shingleSet(u.toString, k, seed))
+  def mergeJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                   b: org.apache.spark.sql.catalyst.util.ArrayData): Double =
+    MinHashImpl.mergeJaccard(a.toLongArray(), b.toLongArray())
   def hamming(a: Long, b: Long): Int = MinHashImpl.hamming(a, b)
   def commonSubstring(a: UTF8String, b: UTF8String, l: Int): Boolean =
     MinHashImpl.commonSubstringAtLeast(a.toString, b.toString, l)
@@ -203,6 +208,32 @@ case class ShingleJaccard(left: Expression, right: Expression, k: Int, seed: Lon
   override def prettyName: String = "shingle_jaccard"
 }
 
+/** text → distinct unsigned-sorted k-shingle hash set (array<long>).
+  * Computed once per doc so pair verification merges precomputed sets
+  * instead of re-shingling both texts per pair (see MinHashImpl.shingleSet). */
+case class ShingleSet(child: Expression, k: Int, seed: Long) extends GraftUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.shingleSet(v.asInstanceOf[UTF8String], k, seed)
+  override protected def staticCall(c: String): String = s"$H.shingleSet($c, $k, ${seed}L)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "shingle_set"
+}
+
+/** (shingleSetA, shingleSetB) → exact Jaccard (sorted-merge; equals
+  * shingle_jaccard on the source texts by construction). */
+case class MergeJaccard(left: Expression, right: Expression) extends GraftBinary {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    codegenHelpers.mergeJaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def staticCall(l: String, r: String): String = s"$H.mergeJaccard($l, $r)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "merge_jaccard"
+}
+
 /** (simhashA, simhashB) → Hamming distance. */
 case class HammingDist(left: Expression, right: Expression) extends GraftBinary {
   override def dataType: DataType = IntegerType
@@ -259,6 +290,8 @@ object gf {
   def est_jaccard(a: Column, b: Column): Column = col(EstJaccard(expr(a), expr(b)))
   def shingle_jaccard(a: Column, b: Column, k: Int, seed: Long): Column =
     col(ShingleJaccard(expr(a), expr(b), k, seed))
+  def shingle_set(c: Column, k: Int, seed: Long): Column = col(ShingleSet(expr(c), k, seed))
+  def merge_jaccard(a: Column, b: Column): Column = col(MergeJaccard(expr(a), expr(b)))
   def hamming_dist(a: Column, b: Column): Column = col(HammingDist(expr(a), expr(b)))
   def common_substring_ge(a: Column, b: Column, l: Int): Column =
     col(CommonSubstringGE(expr(a), expr(b), l))

@@ -8,16 +8,17 @@ import graft.functions.gf
 /** Near-duplicate candidate generation: MinHash LSH banding (+ optional
   * SimHash blocks / Manku tables), entirely in Catalyst.
   *
-  * Pipeline: signature columns → posexplode band buckets (the engine's only
-  * generator, a Spark built-in) → one window pass per bucket: one member
-  * per (bucket, signature), ranked by (nk-prefix, id), kept up to
-  * `bucketCap` (counting what was dropped — no silent truncation) → a
-  * same-partitioning groupBy assembles the capped members and a
-  * higher-order transform expands the pairs. Identical-signature docs star
-  * to their (nk-prefix, id)-first member via ONE global sigd grouping
-  * (linear — the hot-bucket "skew bomb" of repeated boilerplate never goes
-  * quadratic; the exact stage already stars byte-identical docs, this
-  * covers identical-signature-but-different-bytes).
+  * Pipeline: signature columns → one global (sigd) window electing a
+  * center per distinct signature (non-centers star to it — linear: the
+  * hot-bucket "skew bomb" of repeated boilerplate never goes quadratic;
+  * the exact stage already stars byte-identical docs, this covers
+  * identical-signature-but-different-bytes) → posexplode band buckets of
+  * the CENTERS only (identical signatures share identical buckets, so
+  * non-centers can't contribute new pairs) → one window pass per bucket
+  * ranking members by (nk-prefix, id), kept up to `bucketCap` (counting
+  * what was dropped — no silent truncation) → a same-partitioning groupBy
+  * assembles the capped members and a higher-order transform expands the
+  * pairs.
   *
   * This is the scaled analog of the reference's per-device scheduling
   * discipline — bounded work per hot resource
@@ -108,11 +109,34 @@ object Lsh {
     val base = ids.select(
       col("id"), gf.nk_prefix64(col("nk")).as("nkp"), col("sigd"),
       col("simhash"), col("bscope_"), col("sig"))
+    // Per-bucket signature dedup is needed only when the SimHash bucket
+    // paths are on: the MinHash band path explodes one row per DISTINCT
+    // signature by construction (centers below), so the default config
+    // drops sigd from bucket rows (8 B/row less through the widest
+    // exchange+sort) and skips the lag-based dedup entirely.
+    val dedupNeeded = cfg.useSimhashBuckets || cfg.useSimhashTables
     def compact(df: DataFrame, keyCol: org.apache.spark.sql.Column) = df.select(
-      keyCol.as("bkey"), col("id"), col("nkp"), col("sigd"), col("simhash"))
+      Seq(keyCol.as("bkey"), col("id"), col("nkp")) ++
+        (if (dedupNeeded) Seq(col("sigd")) else Nil) :+ col("simhash"): _*)
+
+    // One window pass over (sigd, scope) serves two purposes: rank-1 rows
+    // are the distinct-signature CENTERS, every later row stars to its
+    // center. Identical signatures imply identical band buckets, so only
+    // centers enter the band explode — a non-center member could never
+    // contribute a pair the center doesn't (the round-2.1 rework: round 2
+    // exploded every doc and deduped per bucket with a lag window, paying
+    // the wide exchange for rows that were then dropped).
+    import org.apache.spark.sql.expressions.Window
+    val wSig = Window.partitionBy(col("sigd"), col("bscope_")).orderBy(col("nkp"), col("id"))
+    val ranked = base.select(
+      col("id"), col("nkp"), col("sigd"), col("simhash"), col("bscope_"), col("sig"),
+      first(col("id")).over(wSig).as("center_id"),
+      first(col("simhash")).over(wSig).as("center_sim"),
+      row_number().over(wSig).as("rn"))
+    val centers = ranked.where(col("rn") === 1)
 
     val minhashBuckets = compact(
-      base.select(
+      centers.select(
         col("id"), col("nkp"), col("sigd"), col("simhash"), col("bscope_"),
         posexplode(gf.band_buckets(col("sig"), cfg.bands, cfg.rowsPerBand, cfg.seed))
           .as(Seq("band", "bucket"))),
@@ -139,15 +163,9 @@ object Lsh {
     // Same-signature star edges are GLOBAL, not per-bucket: identical
     // signatures imply identical band buckets, so grouping by sigd once
     // (757k rows) replaces finding the same stars 32× inside the exploded
-    // bucket table. Star center = (nkp, id)-first member.
-    import org.apache.spark.sql.expressions.Window
-    val wSig = Window.partitionBy(col("sigd"), col("bscope_")).orderBy(col("nkp"), col("id"))
-    val sigStars = base
-      .select(
-        col("id"), col("nkp"), col("sigd"), col("simhash"), col("bscope_"),
-        first(col("id")).over(wSig).as("center_id"),
-        first(col("simhash")).over(wSig).as("center_sim"),
-        row_number().over(wSig).as("rn"))
+    // bucket table. Star center = (nkp, id)-first member — the same row
+    // that entered the band explode above.
+    val sigStars = ranked
       .where(col("rn") > 1)
       .select(
         col("center_id").as("src_id"), col("id").as("dst_id"),
@@ -156,24 +174,33 @@ object Lsh {
         lit(0L).as("dropped"))
 
     // Distinct-signature bucket pairs, entirely in Catalyst and with ONE
-    // exchange of the exploded bucket table (the round-2 groupByKey/
+    // exchange of the exploded bucket table (the round-1 groupByKey/
     // flatMapGroups path deserialized 24M tuples per run and its object
     // sort dominated task CPU; a self-join variant recomputed the whole
-    // chain per side). One window pass over hash(bkey) marks the first
-    // member per signature (lag) and its rank among kept members (running
-    // sum); rows beyond `bucketCap` drop with a count — never silently.
-    // A same-partitioning groupBy then assembles each bucket's ≤ cap
-    // members (collect_list is BOUNDED by the cap) and a higher-order
-    // transform expands the pairs — no second shuffle, no self-join.
+    // chain per side). Rows beyond `bucketCap` kept members drop with a
+    // count — never silently. A same-partitioning groupBy then assembles
+    // each bucket's ≤ cap members (collect_list is BOUNDED by the cap) and
+    // a higher-order transform expands the pairs — no second shuffle, no
+    // self-join. When the SimHash paths are on, a lag window additionally
+    // keeps one member per signature per bucket (the band path needs no
+    // dedup — it explodes only distinct-signature centers).
     val cap = cfg.bucketCap
-    val wB = Window.partitionBy(col("bkey")).orderBy(col("sigd"), col("nkp"), col("id"))
     val wBu = Window.partitionBy(col("bkey"))
-    val keepFlag = coalesce(col("sigd") =!= lag(col("sigd"), 1).over(wB), lit(true))
-    val capped = all
-      .withColumn("keep", keepFlag)
-      .withColumn("krank", sum(when(col("keep"), 1).otherwise(0)).over(wB))
-      .withColumn("kcnt", sum(when(col("keep"), 1).otherwise(0)).over(wBu))
-      .where(col("keep") && col("krank") <= cap)
+    val capped = if (!dedupNeeded) {
+      val wB = Window.partitionBy(col("bkey")).orderBy(col("nkp"), col("id"))
+      all
+        .withColumn("krank", row_number().over(wB))
+        .withColumn("kcnt", count(lit(1)).over(wBu))
+        .where(col("krank") <= cap)
+    } else {
+      val wB = Window.partitionBy(col("bkey")).orderBy(col("sigd"), col("nkp"), col("id"))
+      val keepFlag = coalesce(col("sigd") =!= lag(col("sigd"), 1).over(wB), lit(true))
+      all
+        .withColumn("keep", keepFlag)
+        .withColumn("krank", sum(when(col("keep"), 1).otherwise(0)).over(wB))
+        .withColumn("kcnt", sum(when(col("keep"), 1).otherwise(0)).over(wBu))
+        .where(col("keep") && col("krank") <= cap)
+    }
     val grouped = capped
       .groupBy(col("bkey"))
       .agg(
@@ -218,11 +245,11 @@ object Lsh {
     * Hamming, shared-bucket count — for a true pair at J ≥ 0.8 the expected
     * shared-band count is 32·0.8⁴ ≈ 13, so `nshared ≥ minSharedBands`
     * misses it with P < 1e-5), then confirmed with the exact shingle-set
-    * Jaccard computed from both texts — the cheap→expensive cascade of the
-    * reference's predicate chain (`ViewModels/MainViewModel.cs:996-1218`)
-    * as pipeline stages. Only texts of candidate-touched docs are shuffled
-    * (semi-join reduction): the text side of the join is proportional to
-    * the candidate set, not the corpus. */
+    * Jaccard — the cheap→expensive cascade of the reference's predicate
+    * chain (`ViewModels/MainViewModel.cs:996-1218`) as pipeline stages.
+    * Only candidate-touched docs are shingled (semi-join reduction, once
+    * per doc — see shingle_set), so the set side of the join is
+    * proportional to the candidate set, not the corpus. */
   def verifiedEdges(
       candidates: DataFrame, // src, dst, same_sig, ham, nshared
       docs: DataFrame, // url, text
@@ -234,20 +261,25 @@ object Lsh {
     val touched = pre.select(col("src").as("url"))
       .unionByName(pre.select(col("dst").as("url")))
       .distinct()
-    val texts = docs.select(col("url"), col("text"))
+    // Shingle each touched doc ONCE into its distinct-sorted hash set; a doc
+    // appearing in p pairs was previously re-tokenized + re-hashed p times
+    // inside the per-pair kernel — the allocation burn that kept this stage
+    // flat from 8→32 threads. The per-pair kernel is now a sorted merge.
+    val sets = docs.select(col("url"), col("text"))
       .join(touched, Seq("url"), "left_semi")
+      .select(col("url"), gf.shingle_set(col("text"), cfg.shingleK, cfg.seed).as("sset"))
 
-    // expensive exact verification: join texts, then REBALANCE before the
-    // shingle-set kernel — join output is partitioned by the join key, and
-    // hot bucket representatives concentrate thousands of pairs on one
-    // task; hashing on the full pair spreads the kernel evenly (the skew
+    // expensive exact verification: join sets, then REBALANCE before the
+    // merge kernel — join output is partitioned by the join key, and hot
+    // bucket representatives concentrate thousands of pairs on one task;
+    // hashing on the full pair spreads the kernel evenly (the skew
     // discipline of the reference's per-disk scheduler,
     // ViewModels/MainViewModel.cs:1166-1213, applied to CPU)
     pre
-      .join(texts.select(col("url").as("src"), col("text").as("text_a")), "src")
-      .join(texts.select(col("url").as("dst"), col("text").as("text_b")), "dst")
+      .join(sets.select(col("url").as("src"), col("sset").as("set_a")), "src")
+      .join(sets.select(col("url").as("dst"), col("sset").as("set_b")), "dst")
       .repartition(col("src"), col("dst"))
-      .withColumn("jaccard", gf.shingle_jaccard(col("text_a"), col("text_b"), cfg.shingleK, cfg.seed))
+      .withColumn("jaccard", gf.merge_jaccard(col("set_a"), col("set_b")))
       .where(col("jaccard") >= tau)
       .select(col("src"), col("dst"), col("jaccard"), col("ham"), col("nshared"))
   }

@@ -63,6 +63,26 @@ class SignatureSpec extends AnyFunSuite {
     assert(h1 <= 14, s"1% edits should stay nearest: $h1")
   }
 
+  test("property: mergeJaccard(shingleSet) ≡ exactJaccard(texts)") {
+    // the verify stage precomputes each doc's shingle set once and merges
+    // per pair — must be value-identical to the per-pair text kernel
+    val r = new scala.util.Random(31)
+    (0 until 60).foreach { _ =>
+      val a = randomDoc(r, r.nextInt(300)) // includes < k-word and empty docs
+      val toks = a.split(' ')
+      (0 until r.nextInt(1 + toks.length / 4)).foreach(_ =>
+        toks(r.nextInt(toks.length)) = s"z${r.nextInt(500)}")
+      val b = toks.mkString(" ")
+      val viaSets = MinHashImpl.mergeJaccard(
+        MinHashImpl.shingleSet(a, 5, seed), MinHashImpl.shingleSet(b, 5, seed))
+      assert(viaSets == MinHashImpl.exactJaccard(a, b, 5, seed))
+    }
+    // sets are distinct + unsigned-sorted (merge precondition)
+    val s = MinHashImpl.shingleSet(randomDoc(r, 200), 5, seed)
+    (1 until s.length).foreach(i =>
+      assert(java.lang.Long.compareUnsigned(s(i - 1), s(i)) < 0))
+  }
+
   test("short docs (fewer than k words) hash as whole-text single shingle") {
     assert(MinHashImpl.shingleHashes("one two", 5, seed).length == 1)
     assert(MinHashImpl.shingleHashes("", 5, seed).length == 1)
