@@ -81,6 +81,27 @@ object SparkEntry {
   def pagesFromDocs(s: SparkSession, dir: String): DataFrame =
     pagesFrom(docs(s, dir))
 
+  /** embeddings ∪ two planted near-dup slices: exact copies (vec_id + 1e6)
+    * and first-coordinate-zeroed copies (vec_id + 2e6, cosine ≈ 0.99 to
+    * their base). Mirrored verbatim in the q_cos_dup_pairs oracle SQL.
+    * `toDouble` casts to array<double> so Spark's dot product is
+    * bit-identical to DuckDB's (the LSH variant needs array<float> for
+    * vec_simhash). */
+  private def plantedEmbeddings(s: SparkSession, dir: String, toDouble: Boolean): DataFrame = {
+    val zero = if (toDouble) lit(0.0d) else lit(0.0f)
+    val e0 = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val e = if (toDouble)
+      e0.withColumn("embedding", col("embedding").cast("array<double>")) else e0
+    e.unionByName(
+      e.where(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+      .unionByName(
+        e.where(col("vec_id") % 20 === 10)
+          .withColumn("vec_id", col("vec_id") + lit(2000000L))
+          .withColumn("embedding",
+            concat(array(zero), slice(col("embedding"), 2, 1000000))))
+  }
+
   /** Flagship: full dedup pipeline (extract → exact → LSH → substring → CC →
     * decisions) over sf0.001 pages. */
   def entry(spark: SparkSession): DataFrame = {
@@ -368,6 +389,19 @@ object SparkEntry {
         embeddings(s, dir).select(col("vec_id"), col("embedding")), bits = 16, seed = 42L)
         .select(col("vec_id"), col("bucket"))),
 
+    // ---- embedding-cosine near-dup (dedup family; planted copies — the
+    // raw embeddings' max natural cosine is ~0.51 at both SFs, so τ=0.8
+    // admits exactly the planted pairs with no borderline-float risk).
+    // Exact variant is DuckDB-oracled (double arrays on both sides for
+    // bit-identical dot products); the LSH-bucketed variant is the scale
+    // path (rows-only; SimilaritySpec pins its recall vs the exact tier).
+    "q_cos_dup_pairs" -> ((s, dir) =>
+      Similarity.cosDupPairsExact(plantedEmbeddings(s, dir, toDouble = true), tau = 0.8)),
+
+    "q_cos_dup_pairs_lsh" -> ((s, dir) =>
+      Similarity.cosDupPairs(plantedEmbeddings(s, dir, toDouble = false), tau = 0.8)
+        .select(col("a_id"), col("b_id"), col("cos"))),
+
     // ---- multimodal plumbing (stubbed decode; rows-only) ----
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, docs(s, dir))
@@ -609,6 +643,25 @@ object SparkEntry {
         |      e.vec_id) AS rank
         |  FROM e CROSS JOIN q
         |  WHERE e.vec_id <> q.query_id) WHERE rank <= 5""".stripMargin,
+    // planted copies only: the raw embeddings' max pairwise cosine is ~0.51
+    // (verified at sf0.001/sf0.01), so τ=0.8 selects exactly the planted
+    // exact copies (cos 1.0) and zeroed-coordinate copies (cos ≈ 0.99) —
+    // non-vacuous, and both sides compute the dot product in double
+    "q_cos_dup_pairs" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, emb FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, emb FROM e0 WHERE vec_id % 20 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, list_concat([0.0], emb[2:]) AS emb
+        |  FROM e0 WHERE vec_id % 20 = 10)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_dot_product(a.emb, b.emb) /
+        |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.emb, b.emb) /
+        |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.8""".stripMargin,
     // the natural comparator is SQL-expressible on this url shape
     // ('src<digits>/doc<digits>.txt'): source digit-run numeric first, then
     // doc id numeric — the driver's row-sorted compare checks the top-50

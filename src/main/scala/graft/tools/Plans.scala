@@ -44,6 +44,9 @@ object Plans {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     Similarity.ivfAssign(emb, nCentroids = 32)._1.explain("formatted")
+
+    println("=== PLAN 8: embedding cosine near-dup (bounded buckets, one wide exchange) ===")
+    Similarity.cosDupPairs(emb, tau = 0.8).explain("formatted")
     spark.stop()
   }
 }

@@ -80,6 +80,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("cosine near-dup: LSH-bucketed pairs match brute force on planted near-dups") {
+    import spark.implicits._
+    val r = new scala.util.Random(5)
+    // 10 planted near-dup pairs (tiny perturbation → cosine ≈ 0.999) + noise
+    val planted = (0 until 10).flatMap { i =>
+      val v = Array.fill(32)(r.nextFloat() * 2 - 1)
+      val w = v.map(x => x + (r.nextFloat() - 0.5f) * 0.02f)
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, w))
+    }
+    val noise = (100 until 300).map(i => (i.toLong, Array.fill(32)(r.nextFloat() * 2 - 1)))
+    val c = (planted ++ noise).toDF("vec_id", "embedding")
+    val exact = Similarity.cosDupPairsExact(c, tau = 0.98).collect()
+      .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"))).toSet
+    assert(exact == (0 until 10).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet)
+    val lsh = Similarity.cosDupPairs(c, tau = 0.98).collect()
+      .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"))).toSet
+    // verification makes LSH a subset of exact; recall at cos≈0.999 with
+    // 16 bits × 8 tables is ≈ 1 - (1 - 0.92^16)^8 ≈ 0.97 per pair
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= 8, s"LSH recall too low: ${lsh.size}/10")
+  }
+
+  test("cosine near-dup: bucket cap bounds pair blowup and reports drops") {
+    import spark.implicits._
+    val r = new scala.util.Random(9)
+    val v = Array.fill(32)(r.nextFloat())
+    // 50 copies of one vector: an uncapped bucket would emit 1225 pairs
+    val c = (0 until 50).map(i => (i.toLong, v.clone)).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosDupPairs(c, tau = 0.9, bucketCap = 8)
+    val n = pairs.count()
+    assert(n <= 8 * 7 / 2, s"cap must bound pairs, got $n")
+    assert(pairs.where(col("dropped") > 0).count() == n, "drops must be reported")
+  }
+
   test("vector LSH buckets: identical vectors share a bucket") {
     import spark.implicits._
     val r = new scala.util.Random(3)
