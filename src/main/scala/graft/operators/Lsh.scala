@@ -79,15 +79,16 @@ object Lsh {
     * prefilter passes on same_sig), dropped (distinct-sig members beyond
     * the cap in the pair's buckets).
     *
-    * Hot-path design (round-2 rework): every bucket row is FIVE LONGS —
+    * Hot-path design (round-2 rework): every bucket row is FOUR LONGS —
     * doc id (xxhash64 of url), an 8-byte natural-key prefix for ordering,
-    * the signature digest, the SimHash, and the bucket key. No strings or
-    * byte arrays pass through the big explode-shuffle or the per-bucket
-    * sort: at 1M docs the old string-carrying rows made task CPU inflate
-    * 2.7× from 8→32 threads (allocation-rate bound, not compute bound).
-    * Ids resolve back to urls with two cheap joins on the (small) pair
-    * output. An id collision (~N²/2^65) merely duplicates a candidate,
-    * which exact verification discards.
+    * the SimHash, and the bucket key (plus the signature digest when a
+    * SimHash bucket path needs per-bucket dedup). No strings or byte
+    * arrays pass through the big explode-shuffle or the per-bucket sort:
+    * at 1M docs the old string-carrying rows made task CPU inflate 2.7×
+    * from 8→32 threads (allocation-rate bound, not compute bound). Ids
+    * resolve back to urls with two cheap joins on the (small) pair output.
+    * An id collision (~N²/2^65) merely duplicates a candidate, which exact
+    * verification discards.
     *
     * same_sig / ham / nshared come free from the buckets and replace the
     * round-1 est-Jaccard prefilter, whose signature join shuffled the full
