@@ -67,20 +67,58 @@ object Similarity {
       .limit(nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_embedding"))
 
-  /** IVF assignment: one corpus scan against a broadcast of exactly
-    * `nCentroids` centroids. Returns (assignments, centroids). */
-  def ivfAssign(corpus: DataFrame, nCentroids: Int, seed: Long = 42L): (DataFrame, DataFrame) = {
-    val centroids = ivfCentroids(corpus, nCentroids, seed)
+  /** Nearest-centroid assignment: one corpus scan against a broadcast of
+    * the (fixed-size) centroid table. */
+  private def assignTo(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("dist").asc, col("centroid_id"))
-    val assigned = corpus
+    corpus
       .crossJoin(broadcast(centroids))
       .withColumn("dist", -cosine(col("embedding"), col("c_embedding")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
-    (assigned, centroids)
+  }
+
+  /** One Lloyd (k-means) refinement round: assign every vector to its
+    * nearest centroid, recompute each cell's per-dimension mean
+    * (posexplode → partially-aggregated groupBy(centroid, dim) → sorted
+    * reassembly — all map-side-combining built-ins), keep the seed for
+    * cells that received no members. C and dim are fixed, so a round is a
+    * constant number of scans whatever the corpus size. */
+  def ivfRefine(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val means = assignTo(corpus, centroids)
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m").cast("float")).as("c_embedding"))
+    centroids.select(col("centroid_id"), col("c_embedding").as("seed_emb"))
+      .join(means, Seq("centroid_id"), "left")
+      .select(
+        col("centroid_id"),
+        coalesce(col("c_embedding"), col("seed_emb")).as("c_embedding"))
+  }
+
+  /** IVF assignment: one corpus scan against a broadcast of exactly
+    * `nCentroids` centroids (hash-sampled seeds, optionally Lloyd-refined
+    * `refineRounds` times). Returns (assignments, centroids). */
+  def ivfAssign(
+      corpus: DataFrame,
+      nCentroids: Int,
+      seed: Long = 42L,
+      refineRounds: Int = 0): (DataFrame, DataFrame) = {
+    var centroids = ivfCentroids(corpus, nCentroids, seed)
+    var round = 0
+    while (round < refineRounds) {
+      centroids = ivfRefine(corpus, centroids).localCheckpoint()
+      round += 1
+    }
+    (assignTo(corpus, centroids), centroids)
   }
 
   /** IVF ANN top-k: probe the query's `nProbe` nearest cells only —
@@ -91,8 +129,9 @@ object Similarity {
       nCentroids: Int,
       nProbe: Int,
       k: Int,
-      seed: Long = 42L): DataFrame = {
-    val (assigned, centroids) = ivfAssign(corpus, nCentroids, seed)
+      seed: Long = 42L,
+      refineRounds: Int = 0): DataFrame = {
+    val (assigned, centroids) = ivfAssign(corpus, nCentroids, seed, refineRounds)
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("qdist").asc, col("centroid_id"))

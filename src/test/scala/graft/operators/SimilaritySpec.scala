@@ -73,6 +73,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(assigned.select("vec_id").distinct().count() == 500)
   }
 
+  test("IVF Lloyd refinement tightens cells on a clustered corpus") {
+    import spark.implicits._
+    val r = new scala.util.Random(13)
+    // 4 well-separated direction clusters, 50 members each
+    val centersTrue = Array.fill(4)(Array.fill(16)(r.nextFloat() * 2 - 1))
+    val rows = (0 until 200).map { i =>
+      val c = centersTrue(i % 4)
+      (i.toLong, c.map(x => x + (r.nextFloat() - 0.5f) * 0.2f))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    def meanCos(refine: Int): Double = {
+      val (assigned, cents) = Similarity.ivfAssign(corpus, 4, seed = 99L, refineRounds = refine)
+      assigned
+        .join(cents, "centroid_id")
+        .select(Similarity.cosine(col("embedding"), col("c_embedding")).as("cos"))
+        .agg(avg(col("cos"))).head().getDouble(0)
+    }
+    val before = meanCos(0)
+    val after = meanCos(2)
+    assert(after >= before - 1e-9, s"refinement must not loosen cells: $before -> $after")
+    // ±0.1-per-dim noise on [-1,1]^16 centers caps the achievable mean
+    // member→mean cosine around ~0.87; random hash-sampled seeds land well
+    // below that before refinement
+    assert(after >= 0.85, s"refined cells should align with true clusters: $after")
+    // the budget stays fixed through refinement
+    val (_, cents) = Similarity.ivfAssign(corpus, 4, seed = 99L, refineRounds = 2)
+    assert(cents.count() == 4)
+  }
+
   test("IVF centroid choice is deterministic under a fixed seed") {
     val c = corpus(200, 8)
     val a = Similarity.ivfCentroids(c, 10, 7L).collect().map(_.getLong(0)).sorted
@@ -112,6 +141,22 @@ class SimilaritySpec extends AnyFunSuite {
     val n = pairs.count()
     assert(n <= 8 * 7 / 2, s"cap must bound pairs, got $n")
     assert(pairs.where(col("dropped") > 0).count() == n, "drops must be reported")
+  }
+
+  test("plan: cosine near-dup bucket table crosses exactly ONE exchange") {
+    val c = corpus(100, 16)
+    val plan = Similarity.cosDupPairs(c, tau = 0.9)
+      .queryExecution.executedPlan.toString()
+    // the tables×-exploded signature table is partitioned by bkey once per
+    // consumer subtree; runtime exchange reuse dedups identical subtrees,
+    // so assert per-subtree uniqueness: every bkey exchange hash-partitions
+    // the same generate output (no extra repartition of the wide table)
+    val bkeyExchanges = "hashpartitioning\\(bkey".r.findAllIn(plan).length
+    val generates = "Generate explode".r.findAllIn(plan).length
+    // one explode + one bkey exchange per appearance of the candidate
+    // subtree (it prints once per consumer; reuse collapses them at runtime)
+    assert(bkeyExchanges > 0 && bkeyExchanges == generates / 2,
+      s"expected one bkey exchange per candidate subtree ($generates generates, $bkeyExchanges bkey exchanges):\n$plan")
   }
 
   test("vector LSH buckets: identical vectors share a bucket") {
