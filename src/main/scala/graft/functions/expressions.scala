@@ -297,4 +297,6 @@ object gf {
     col(CommonSubstringGE(expr(a), expr(b), l))
   def vec_simhash(c: Column, bits: Int, seed: Long): Column =
     col(VecSimHash(expr(c), bits, seed))
+  def bounded_topk(nkp: Column, id: Column, sim: Column, cap: Int): Column =
+    col(BoundedTopK(expr(nkp), expr(id), expr(sim), cap).toAggregateExpression())
 }

@@ -174,26 +174,31 @@ object Lsh {
         gf.hamming_dist(col("center_sim"), col("simhash")).as("ham"),
         lit(0L).as("dropped"))
 
-    // Distinct-signature bucket pairs, entirely in Catalyst and with ONE
-    // exchange of the exploded bucket table (the round-1 groupByKey/
-    // flatMapGroups path deserialized 24M tuples per run and its object
-    // sort dominated task CPU; a self-join variant recomputed the whole
-    // chain per side). Rows beyond `bucketCap` kept members drop with a
-    // count — never silently. A same-partitioning groupBy then assembles
-    // each bucket's ≤ cap members (collect_list is BOUNDED by the cap) and
-    // a higher-order transform expands the pairs — no second shuffle, no
-    // self-join. When the SimHash paths are on, a lag window additionally
-    // keeps one member per signature per bucket (the band path needs no
-    // dedup — it explodes only distinct-signature centers).
+    // Distinct-signature bucket pairs. Default path: ONE bounded-top-k
+    // aggregate (`gf.bounded_topk`, a TypedImperativeAggregate) per bucket
+    // — the planner gives it a map-side PARTIAL pass, so every input
+    // partition ships at most `bucketCap` members per bucket through the
+    // exchange. A viral-boilerplate bucket with 10^6 distinct-signature
+    // members sends cap×partitions rows instead of 10^6, and the full
+    // exploded-table sort the round-2 window rank needed is gone (bit-
+    // identical output: same (nkp, id) order, same dropped counts). Rows
+    // beyond the cap drop with a count — never silently. A higher-order
+    // transform expands the ≤ cap members into pairs — no second shuffle,
+    // no self-join. When the SimHash paths are on, a lag window
+    // additionally keeps one member per signature per bucket first (the
+    // band path needs no dedup — it explodes only distinct-signature
+    // centers).
     val cap = cfg.bucketCap
-    val wBu = Window.partitionBy(col("bkey"))
-    val capped = if (!dedupNeeded) {
-      val wB = Window.partitionBy(col("bkey")).orderBy(col("nkp"), col("id"))
+    val grouped = if (!dedupNeeded) {
       all
-        .withColumn("krank", row_number().over(wB))
-        .withColumn("kcnt", count(lit(1)).over(wBu))
-        .where(col("krank") <= cap)
+        .groupBy(col("bkey"))
+        .agg(gf.bounded_topk(col("nkp"), col("id"), col("simhash"), cap).as("r"))
+        .select(
+          col("bkey"), col("r.ms").as("ms"),
+          greatest(col("r.total") - cap, lit(0L)).as("dropped"))
+        .where(size(col("ms")) >= 2)
     } else {
+      val wBu = Window.partitionBy(col("bkey"))
       val wB = Window.partitionBy(col("bkey")).orderBy(col("sigd"), col("nkp"), col("id"))
       val keepFlag = coalesce(col("sigd") =!= lag(col("sigd"), 1).over(wB), lit(true))
       all
@@ -201,13 +206,12 @@ object Lsh {
         .withColumn("krank", sum(when(col("keep"), 1).otherwise(0)).over(wB))
         .withColumn("kcnt", sum(when(col("keep"), 1).otherwise(0)).over(wBu))
         .where(col("keep") && col("krank") <= cap)
+        .groupBy(col("bkey"))
+        .agg(
+          sort_array(collect_list(struct(col("krank"), col("id"), col("simhash")))).as("ms"),
+          max(greatest(col("kcnt") - cap, lit(0))).cast("long").as("dropped"))
+        .where(size(col("ms")) >= 2)
     }
-    val grouped = capped
-      .groupBy(col("bkey"))
-      .agg(
-        sort_array(collect_list(struct(col("krank"), col("id"), col("simhash")))).as("ms"),
-        max(greatest(col("kcnt") - cap, lit(0))).cast("long").as("dropped"))
-      .where(size(col("ms")) >= 2)
     val bucketPairs = grouped
       .select(
         explode(flatten(transform(col("ms"), (x, i) =>

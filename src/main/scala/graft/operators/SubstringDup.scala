@@ -35,17 +35,18 @@ object SubstringDup {
     * license boilerplate across millions of docs — is the same skew bomb
     * the LSH stage is hardened against); overflow counts surface in
     * `dropped` — no silent truncation. Same single-exchange Catalyst shape
-    * as `Lsh.candidatePairs`: five-long bucket rows, a streaming window
-    * rank (no task-memory buffering — the round-1 `toBuffer` held whole
-    * buckets in memory, ADVICE r1), a same-partitioning groupBy whose
-    * collect_list is bounded by the cap, and higher-order pair expansion.
-    * `scopeCol` is folded into the bucket key for Same*-scope runs. */
+    * as `Lsh.candidatePairs`: three-long bucket rows into one bounded
+    * top-k aggregate (`gf.bounded_topk`) whose map-side partial pass ships
+    * at most `cap` members per bucket per input partition (no task-memory
+    * buffering — the round-1 `toBuffer` held whole buckets in memory,
+    * ADVICE r1 — and no full-table window sort), then higher-order pair
+    * expansion. `scopeCol` is folded into the bucket key for Same*-scope
+    * runs. */
   def candidatePairs(
       spark: SparkSession,
       docs: DataFrame,
       cfg: Config,
       scopeCol: org.apache.spark.sql.Column = lit("")): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ids = docs.select(
       xxhash64(col("url"), lit(0x5AB5EEDL)).as("id"),
       col("url"), col("nk"), col("text"), scopeCol.as("bscope_"))
@@ -56,16 +57,12 @@ object SubstringDup {
       .select(xxhash64(col("fp"), col("bscope_")).as("bkey"), col("id"), col("nkp"))
 
     val cap = cfg.bucketCap
-    val wB = Window.partitionBy(col("bkey")).orderBy(col("nkp"), col("id"))
-    val wBu = Window.partitionBy(col("bkey"))
     val grouped = fps
-      .withColumn("rn", row_number().over(wB))
-      .withColumn("bcnt", count(lit(1)).over(wBu))
-      .where(col("rn") <= cap)
       .groupBy(col("bkey"))
-      .agg(
-        sort_array(collect_list(struct(col("rn"), col("id")))).as("ms"),
-        max(greatest(col("bcnt") - cap, lit(0))).cast("long").as("dropped"))
+      .agg(gf.bounded_topk(col("nkp"), col("id"), lit(0L), cap).as("r"))
+      .select(
+        col("bkey"), col("r.ms").as("ms"),
+        greatest(col("r.total") - cap, lit(0L)).as("dropped"))
       .where(size(col("ms")) >= 2)
     val pairs = grouped
       .select(
