@@ -189,7 +189,6 @@ object Similarity {
       tables: Int = 8,
       bucketCap: Int = 64,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val buckets = corpus
       .select(
         col("vec_id"),
@@ -197,16 +196,16 @@ object Similarity {
           gf.vec_simhash(col("embedding"), bits, seed + t * 0x9E3779B9L)
             .bitwiseXOR(lit(t.toLong << 56))): _*)).as("b"))
       .select(xxhash64(col("b")).as("bkey"), col("vec_id"))
-    val wB = Window.partitionBy(col("bkey")).orderBy(col("vec_id"))
-    val wBu = Window.partitionBy(col("bkey"))
+    // bounded top-k aggregate (see Lsh.candidatePairs): the map-side
+    // partial pass ships ≤ cap members per bucket per input partition and
+    // there is no full-table window sort; order within a bucket is plain
+    // vec_id (passed as both the primary and tiebreak key)
     val grouped = buckets
-      .withColumn("rn", row_number().over(wB))
-      .withColumn("bcnt", count(lit(1)).over(wBu))
-      .where(col("rn") <= bucketCap)
       .groupBy(col("bkey"))
-      .agg(
-        sort_array(collect_list(struct(col("rn"), col("vec_id")))).as("ms"),
-        max(greatest(col("bcnt") - bucketCap, lit(0))).cast("long").as("dropped"))
+      .agg(gf.bounded_topk(col("vec_id"), col("vec_id"), lit(0L), bucketCap).as("r"))
+      .select(
+        col("bkey"), col("r.ms").as("ms"),
+        greatest(col("r.total") - bucketCap, lit(0L)).as("dropped"))
       .where(size(col("ms")) >= 2)
     val pairs = grouped
       .select(
@@ -214,8 +213,8 @@ object Similarity {
           transform(
             slice(col("ms"), i + lit(2), size(col("ms"))),
             y => struct(
-              x.getField("vec_id").as("a_id"),
-              y.getField("vec_id").as("b_id")))))).as("p"),
+              x.getField("id").as("a_id"),
+              y.getField("id").as("b_id")))))).as("p"),
         col("dropped"))
       .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .agg(count(lit(1)).as("nshared"), max(col("dropped")).as("dropped"))

@@ -33,7 +33,7 @@ object Plans {
     println("=== PLAN 5: brute-force ANN (broadcast?) ===")
     SparkEntry.queries("q_ann_topk")(spark, sf).explain("formatted")
 
-    println("=== PLAN 6: LSH candidate pairs (one exchange, windows, HOF) ===")
+    println("=== PLAN 6: LSH candidate pairs (one exchange, bounded top-k, HOF) ===")
     val sigs = Lsh.withSignatures(
       docs.selectExpr("cast(doc_id as string) as url", "text")
         .withColumn("nk", gf.natural_sort_key(col("url"))),
