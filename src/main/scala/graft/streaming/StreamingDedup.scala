@@ -67,6 +67,85 @@ object StreamingDedup {
     deduped.toDF().unionByName(ignored)
   }
 
+  // ---- near-dup tier ----
+
+  final case class MemberSig(url: String, sig: Array[Long], simhash: Long)
+  final case class BucketState(members: List[MemberSig], dropped: Long)
+  final case class NearMatch(url: String, dupOf: String, estJaccard: Double, ham: Int)
+
+  /** Streaming near-duplicate matches: the batch LSH stage re-expressed as
+    * one stateful operator. Incoming pages are signed (MinHash + SimHash,
+    * same codegen'd kernels and config as the batch engine) and exploded
+    * into band buckets; state per bucket holds up to `bucketCap` member
+    * signatures (arrival order — the batch cap discipline with stream
+    * order standing in for natural order, overflow counted in the state,
+    * never silent). A new arrival emits a match against every stored or
+    * earlier-same-batch member whose signature agreement passes
+    * (`est_jaccard ≥ tau` or SimHash Hamming ≤ hamMax).
+    *
+    * Verification is SIGNATURE-level by design: exact shingle-set Jaccard
+    * would require storing full document text in the state store —
+    * unbounded bytes per bucket — so the streaming tier trades the batch
+    * tier's exact verify for `O(cap·(8·numHashes))` bounded state per
+    * bucket. est_jaccard concentrates within ±3/√numHashes of the true
+    * value (SignatureSpec property), so at numHashes=128 a τ=0.8 gate is
+    * a ±0.27-quality online filter; the batch pipeline over the archived
+    * corpus remains the ground truth (same signatures ⇒ its exact verify
+    * accepts a superset semantics, documented deviation).
+    *
+    * A pair sharing b buckets is emitted up to b times (one per bucket
+    * group — streaming state is partitioned by bucket and groups cannot
+    * see each other); consumers dedup on (url, dupOf), e.g.
+    * `matches.dropDuplicates("url", "dupOf")` — done by the test harness
+    * and any batch read of the sink. */
+  def nearDupMatches(
+      spark: SparkSession,
+      pages: DataFrame,
+      cfg: graft.operators.Lsh.Config = graft.operators.Lsh.Config(),
+      tau: Double = 0.8,
+      bucketCap: Int = 16,
+      minLen: Int = 20): DataFrame = {
+    import spark.implicits._
+    val signed = pages
+      .withColumn("text", gf.extract_text(col("html")))
+      .where(col("url").isNotNull && col("text").isNotNull)
+      .where(length(col("text")) >= minLen)
+      .withColumn("sig", gf.minhash_sig(col("text"), cfg.shingleK, cfg.numHashes, cfg.seed))
+      .withColumn("simhash", gf.simhash64(col("text"), cfg.shingleK, cfg.seed))
+      .select(
+        col("url"), col("sig"), col("simhash"),
+        explode(gf.band_buckets(col("sig"), cfg.bands, cfg.rowsPerBand, cfg.seed))
+          .as("bucket"))
+      .as[(String, Array[Long], Long, Long)]
+
+    signed
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[BucketState, NearMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(String, Array[Long], Long, Long)],
+         state: GroupState[BucketState]) =>
+          val st0 = state.getOption.getOrElse(BucketState(Nil, 0L))
+          // deterministic intra-batch order (stream analog of natural order)
+          val batch = rows.toSeq.sortBy(_._1)
+          var members = st0.members
+          var dropped = st0.dropped
+          val out = Seq.newBuilder[NearMatch]
+          batch.foreach { case (url, sig, sim, _) =>
+            members.foreach { m =>
+              val est = graft.functions.MinHashImpl.estJaccard(sig, m.sig)
+              val ham = graft.functions.MinHashImpl.hamming(sim, m.simhash)
+              if (est >= tau || ham <= cfg.hamMax)
+                out += NearMatch(url, m.url, est, ham)
+            }
+            if (members.size < bucketCap) members = members :+ MemberSig(url, sig, sim)
+            else dropped += 1
+          }
+          state.update(BucketState(members, dropped))
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Wire a parquet-directory stream through the dedup to a memory sink —
     * the local harness used by tests; production swaps source/sink formats
     * and adds `option("checkpointLocation", …)` for exactly-once. */
