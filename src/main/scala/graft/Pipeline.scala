@@ -200,15 +200,20 @@ object DedupPipeline {
     // and substring work runs on these only (identical texts ride along via
     // the exact star edges). This is the reference's lazy hashing inverted:
     // never compute an expensive signature twice for the same bytes.
-    // min_by/min instead of min(struct(..)) keeps the partial aggregation
-    // hash-based (SortAggregate otherwise — VERDICT r1 §wrong.6).
+    //
+    // Election runs NARROW: min_by's string buffer plans SortAggregate, and
+    // carrying `text` through that partial sort (the r2.1 shape:
+    // `first(text)` rode the agg) sorted every document body map-side. Now
+    // only (sha, url, nk, bscope) enter the aggregation and the rep's text
+    // re-attaches through a hash join whose build side is the narrow
+    // elected table — document bodies cross one exchange, zero sorts.
     lazy val reps = stage("reps") {
-      live
+      val elected = live
         .groupBy(col("sha"), col("bscope"))
-        .agg(
-          min_by(col("url"), col("nk")).as("url"),
-          min(col("nk")).as("nk"),
-          first(col("text")).as("text"))
+        .agg(min_by(col("url"), col("nk")).as("url"), min(col("nk")).as("nk"))
+      elected
+        .hint("shuffle_hash") // build = narrow elected side, stream texts
+        .join(live.select(col("url"), col("text")), Seq("url"))
         .select(col("url"), col("nk"), col("text"), col("bscope"))
     }
 

@@ -127,14 +127,27 @@ object Lsh {
     // contribute a pair the center doesn't (the round-2.1 rework: round 2
     // exploded every doc and deduped per bucket with a lag window, paying
     // the wide exchange for rows that were then dropped).
+    //
+    // The window runs NARROW (four longs per row — the ~1 KB sig array is
+    // dropped first): the sigd exchange and both window sorts move 32 B
+    // rows, and the signatures re-attach to the elected centers through a
+    // semi-join whose build side is the bare center-id set (8 B rows —
+    // ShuffledHashJoin/broadcast build, never a sort of wide rows). Before
+    // this rework the full sig column crossed the sigd exchange AND two
+    // sorts just to be ranked; a 10⁶-member identical-signature group
+    // (boilerplate skew) shipped a gigabyte of signatures to rank rows of
+    // which all but one were discarded by the rn=1 filter.
     import org.apache.spark.sql.expressions.Window
+    val narrow = base.drop("sig")
     val wSig = Window.partitionBy(col("sigd"), col("bscope_")).orderBy(col("nkp"), col("id"))
-    val ranked = base.select(
-      col("id"), col("nkp"), col("sigd"), col("simhash"), col("bscope_"), col("sig"),
+    val ranked = narrow.select(
+      col("id"), col("nkp"), col("sigd"), col("simhash"), col("bscope_"),
       first(col("id")).over(wSig).as("center_id"),
       first(col("simhash")).over(wSig).as("center_sim"),
       row_number().over(wSig).as("rn"))
-    val centers = ranked.where(col("rn") === 1)
+    val centers = base.join(
+      ranked.where(col("rn") === 1).select(col("id")).hint("shuffle_hash"),
+      Seq("id"), "left_semi")
 
     val minhashBuckets = compact(
       centers.select(

@@ -101,6 +101,19 @@ class LshSpec extends AnyFunSuite {
     assert(bkeyExchanges == 1, s"expected 1 bkey exchange, got $bkeyExchanges:\n$plan")
   }
 
+  test("plan: the ~1 KB sig array never enters a Sort (narrow center election)") {
+    val r = new scala.util.Random(12)
+    val docs = docsFrame((0 until 20).map(i => (s"u$i", randomDoc(r, 100))))
+    val fmt = Lsh.candidatePairs(spark, docs, cfg).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val sortBlocks = fmt.split("\\(\\d+\\) ").filter(_.startsWith("Sort"))
+    assert(sortBlocks.nonEmpty, fmt)
+    // "sig#" never substring-matches "sigd#"/"bscope_#": the signature
+    // column itself must be absent from every Sort's input
+    sortBlocks.foreach(b =>
+      assert(!b.contains("sig#"), s"a Sort still carries the sig array:\n$b"))
+  }
+
   test("manku table path: pairs survive with SimHash tables on (lag-dedup branch)") {
     val r = new scala.util.Random(21)
     val base = randomDoc(r, 200)
