@@ -208,6 +208,20 @@ object SparkEntry {
           round(col("byte_ratio"), 9).as("byte_ratio"))
     }),
 
+    // ---- deduped-corpus sink (O22/O23 analog), exact-only ----
+    // The copy-unique surface: pages minus engine-decided deletes
+    // (DedupPipeline.dedupedCorpus's anti-join), driver-verified against a
+    // pure-SQL restatement of the same election.
+    "q_deduped_corpus_exact" -> ((s, dir) => {
+      val pages = pagesFrom(docsPlanted(s, dir))
+      val r = DedupPipeline.run(
+        s, pages,
+        DedupConfig(minLen = 60, enableNear = false, enableSubstr = false),
+        fromHtml = true)
+      DedupPipeline.dedupedCorpus(pages, r.decisions)
+        .select(col("url"), length(col("text")).as("len"))
+    }),
+
     // ---- manual overrides (O17) on top of the exact decisions ----
     // keep→delete on every planted same-source keep (forces re-election of
     // the surviving copy); delete→keep on half the cross-source planted
@@ -450,6 +464,18 @@ object SparkEntry {
         |       WHEN p.doc_id = l.min_id THEN 'keep'
         |       ELSE 'delete' END AS state
         |FROM pages p LEFT JOIN live l ON p.doc_id = l.doc_id""".stripMargin,
+    "q_deduped_corpus_exact" ->
+      s"""$plantedCte,
+        |pages AS (
+        |  SELECT doc_id, $urlSql AS url, text FROM docs),
+        |live AS (
+        |  SELECT doc_id,
+        |    count(*) OVER (PARTITION BY md5(text)) AS cnt,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+        |  FROM pages WHERE length(text) >= 60)
+        |SELECT p.url, CAST(length(p.text) AS INT) AS len
+        |FROM pages p LEFT JOIN live l ON p.doc_id = l.doc_id
+        |WHERE l.doc_id IS NULL OR l.cnt = 1 OR p.doc_id = l.min_id""".stripMargin,
     "q_dedup_stats_exact" ->
       s"""$plantedCte,
         |pages AS (
