@@ -208,6 +208,45 @@ object SparkEntry {
           round(col("byte_ratio"), 9).as("byte_ratio"))
     }),
 
+    // ---- near-dup LSH → verify → CC clustering, driver-verifiable ----
+    // The near-dup path's END-TO-END driver oracle: MinHash → banding →
+    // bounded buckets → prefilter → exact shingle Jaccard → connected
+    // components, compared against DuckDB computing the same k-shingle
+    // Jaccard exhaustively over ALL pairs and closing components with a
+    // recursive CTE (the oracle is O(n²) — driver scale only, never the
+    // engine path). Corpus = documents with length ≥ 200 plus planted
+    // one-word-appended copies (J = m/(m+1) ≈ 0.97+); the documents table
+    // also contains NATURAL near-dup pairs (J ≈ 0.94–0.99), so both sides
+    // must recover identical component SETS. Cluster comparison (not edge
+    // comparison) is deliberate: same-signature members star-link to one
+    // center, so the engine emits a connected COVER of each component, not
+    // every ≥τ pair. The emitted label is the component's plain string-min
+    // url — the engine's natural-order election is not SQL-expressible,
+    // and identical sets ⇒ identical min labels.
+    "q_near_dup_clusters" -> ((s, dir) => {
+      val base = docs(s, dir).where(length(col("text")) >= 200)
+        .select(col("doc_id"), col("text"), col("source"))
+      val planted = base.unionByName(
+        base.where(col("doc_id") % 25 === 7)
+          .withColumn("doc_id", col("doc_id") + lit(3000000L))
+          .withColumn("text", concat(col("text"), lit(" appended"))))
+      val d = planted
+        .select(urlCol.as("url"), col("text"))
+        .withColumn("nk", gf.natural_sort_key(col("url")))
+      val cfg = operators.Lsh.Config()
+      val sigs = operators.Lsh.withSignatures(d, cfg)
+      val cands = operators.Lsh.candidatePairs(s, sigs, cfg)
+      val edges = operators.Lsh.verifiedEdges(cands, d, cfg, tau = 0.8)
+      val labels = operators.ConnectedComponents.run(
+        s, d.select(col("url"), col("nk")), edges.select(col("src"), col("dst")))
+      labels
+        .withColumn(
+          "cluster",
+          min(col("url")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_url"))))
+        .select(col("url"), col("cluster"))
+    }),
+
     // ---- deduped-corpus sink (O22/O23 analog), exact-only ----
     // The copy-unique surface: pages minus engine-decided deletes
     // (DedupPipeline.dedupedCorpus's anti-join), driver-verified against a
@@ -464,6 +503,33 @@ object SparkEntry {
         |       WHEN p.doc_id = l.min_id THEN 'keep'
         |       ELSE 'delete' END AS state
         |FROM pages p LEFT JOIN live l ON p.doc_id = l.doc_id""".stripMargin,
+    "q_near_dup_clusters" ->
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, text, source FROM documents WHERE length(text) >= 200),
+        |d AS (
+        |  SELECT doc_id, text, source FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' appended', source
+        |  FROM base WHERE doc_id % 25 = 7),
+        |u AS (SELECT $urlSql AS url, string_split(text, ' ') AS w FROM d),
+        |sh AS (
+        |  SELECT url, list_distinct(list_transform(range(1, len(w) - 3),
+        |    i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM u),
+        |p AS (
+        |  SELECT x.url AS a, y.url AS b
+        |  FROM sh x JOIN sh y ON x.url < y.url
+        |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8),
+        |sym AS (
+        |  SELECT a AS un, b AS vn FROM p
+        |  UNION SELECT b, a FROM p
+        |  UNION SELECT url, url FROM u),
+        |reach(un, r) AS (
+        |  SELECT un, vn FROM sym
+        |  UNION
+        |  SELECT reach.un, sym.vn FROM reach JOIN sym ON reach.r = sym.un)
+        |SELECT un AS url, min(r) AS cluster FROM reach GROUP BY un""".stripMargin,
     "q_deduped_corpus_exact" ->
       s"""$plantedCte,
         |pages AS (
