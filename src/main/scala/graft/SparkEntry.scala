@@ -247,6 +247,35 @@ object SparkEntry {
         .select(col("url"), col("cluster"))
     }),
 
+    // ---- substring-dup pass (O15), driver-verifiable ----
+    // Winnowed anchors → bounded fingerprint buckets → exact ≥L-char
+    // common-substring verify, against the EXACT SQL truth: two docs share
+    // a ≥200-char substring iff they share some 200-gram, which DuckDB
+    // enumerates exhaustively (O(total chars) grams — driver scale only).
+    // Parity therefore proves the winnowing guarantee end to end (every
+    // true pair anchors into ≥1 shared fingerprint) with zero false
+    // positives. Planted: a fixed 270-char boilerplate passage appended to
+    // every doc_id % 25 = 11 doc (length ≥ 250) — a clique of passage
+    // sharers plus each base↔planted pair via the base text itself.
+    "q_substring_pairs_oracle" -> ((s, dir) => {
+      val passage = " " + ("shared boilerplate passage " * 10)
+      val base = docs(s, dir).where(length(col("text")) >= 250)
+        .select(col("doc_id"), col("text"), col("source"))
+      val planted = base.unionByName(
+        base.where(col("doc_id") % 25 === 11)
+          .withColumn("doc_id", col("doc_id") + lit(4000000L))
+          .withColumn("text", concat(col("text"), lit(passage))))
+      val d = planted
+        .select(urlCol.as("url"), col("text"))
+        .withColumn("nk", gf.natural_sort_key(col("url")))
+      val cfg = operators.SubstringDup.Config()
+      val cands = operators.SubstringDup.candidatePairs(s, d, cfg)
+      operators.SubstringDup.verifiedEdges(cands, d, cfg)
+        .select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+    }),
+
     // ---- deduped-corpus sink (O22/O23 analog), exact-only ----
     // The copy-unique surface: pages minus engine-decided deletes
     // (DedupPipeline.dedupedCorpus's anti-join), driver-verified against a
@@ -530,6 +559,22 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.un, sym.vn FROM reach JOIN sym ON reach.r = sym.un)
         |SELECT un AS url, min(r) AS cluster FROM reach GROUP BY un""".stripMargin,
+    "q_substring_pairs_oracle" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text, source FROM documents WHERE length(text) >= 250),
+        |d AS (
+        |  SELECT doc_id, text, source FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |    text || ' ' || repeat('shared boilerplate passage ', 10), source
+        |  FROM base WHERE doc_id % 25 = 11),
+        |u AS (SELECT $urlSql AS url, text FROM d),
+        |g AS (
+        |  SELECT url, unnest(list_distinct(list_transform(
+        |    range(1, length(text) - 198), i -> substr(text, i, 200)))) AS gram
+        |  FROM u)
+        |SELECT DISTINCT least(x.url, y.url) AS a, greatest(x.url, y.url) AS b
+        |FROM g x JOIN g y ON x.gram = y.gram AND x.url < y.url""".stripMargin,
     "q_deduped_corpus_exact" ->
       s"""$plantedCte,
         |pages AS (
