@@ -247,6 +247,36 @@ object SparkEntry {
         .select(col("url"), col("cluster"))
     }),
 
+    // ---- FLAGSHIP full pipeline (exact ∪ near ∪ substring → CC →
+    // keep/delete), driver-verifiable ----
+    // The complete DedupPipeline with every stage on, against a DuckDB
+    // oracle that recomputes all three edge kinds exactly (md5 groups;
+    // exhaustive k-shingle Jaccard ≥ 0.8; exhaustive shared-200-gram),
+    // closes components with a recursive CTE, and re-elects
+    // representatives. Natural-order election is expressible here because
+    // the synthetic urls make natural order ≡ (source number, doc_id % 5,
+    // doc_id). Planted: exact copies (+1e6), one-word-appended near copies
+    // (+3e6), and boilerplate-passage sharers (+4e6) — three dup kinds
+    // interacting in shared clusters, plus the corpus's natural near-dups.
+    "q_dedup_decisions_full" -> ((s, dir) => {
+      val passage = " " + ("shared boilerplate passage " * 10)
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val big = base.where(length(col("text")) >= 250)
+      val planted = base
+        .unionByName(big.where(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        .unionByName(big.where(col("doc_id") % 25 === 7)
+          .withColumn("doc_id", col("doc_id") + lit(3000000L))
+          .withColumn("text", concat(col("text"), lit(" appended"))))
+        .unionByName(big.where(col("doc_id") % 25 === 11)
+          .withColumn("doc_id", col("doc_id") + lit(4000000L))
+          .withColumn("text", concat(col("text"), lit(passage))))
+      DedupPipeline.run(s, pagesFrom(planted), DedupConfig(minLen = 60), fromHtml = true)
+        .decisions
+        .select(col("url"), col("cluster_size"), col("state"))
+    }),
+
     // ---- substring-dup pass (O15), driver-verifiable ----
     // Winnowed anchors → bounded fingerprint buckets → exact ≥L-char
     // common-substring verify, against the EXACT SQL truth: two docs share
@@ -559,6 +589,55 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.un, sym.vn FROM reach JOIN sym ON reach.r = sym.un)
         |SELECT un AS url, min(r) AS cluster FROM reach GROUP BY un""".stripMargin,
+    "q_dedup_decisions_full" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text, source FROM documents),
+        |big AS (SELECT * FROM base WHERE length(text) >= 250),
+        |d AS (
+        |  SELECT doc_id, text, source FROM base
+        |  UNION ALL SELECT doc_id + 1000000, text, source
+        |    FROM big WHERE doc_id % 50 = 0
+        |  UNION ALL SELECT doc_id + 3000000, text || ' appended', source
+        |    FROM big WHERE doc_id % 25 = 7
+        |  UNION ALL SELECT doc_id + 4000000,
+        |      text || ' ' || repeat('shared boilerplate passage ', 10), source
+        |    FROM big WHERE doc_id % 25 = 11),
+        |u AS (SELECT doc_id, source, text, $urlSql AS url, length(text) AS len FROM d),
+        |live AS (SELECT * FROM u WHERE len >= 60),
+        |wrd AS (SELECT url, string_split(text, ' ') AS w FROM live),
+        |sh AS (SELECT url, list_distinct(list_transform(range(1, len(w)-3),
+        |    i -> array_to_string(w[i:i+4], ' '))) AS s FROM wrd),
+        |g AS (SELECT url, unnest(list_distinct(list_transform(range(1, length(text)-198),
+        |    i -> substr(text, i, 200)))) AS gram FROM live),
+        |e_exact AS (SELECT x.url a, y.url b FROM live x JOIN live y
+        |  ON md5(x.text) = md5(y.text) AND x.url < y.url),
+        |e_near AS (SELECT x.url a, y.url b FROM sh x JOIN sh y ON x.url < y.url
+        |  WHERE CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
+        |      / (len(x.s)+len(y.s)-len(list_intersect(x.s,y.s))) >= 0.8),
+        |e_sub AS (SELECT DISTINCT x.url a, y.url b FROM g x JOIN g y
+        |  ON x.gram = y.gram AND x.url < y.url),
+        |e AS (SELECT a, b FROM e_exact UNION SELECT a, b FROM e_near
+        |  UNION SELECT a, b FROM e_sub),
+        |sym AS (SELECT a un, b vn FROM e UNION SELECT b, a FROM e
+        |  UNION SELECT url, url FROM live),
+        |reach(un, r) AS (SELECT un, vn FROM sym
+        |  UNION SELECT reach.un, sym.vn FROM reach JOIN sym ON reach.r = sym.un),
+        |comp AS (SELECT un AS url, min(r) AS cluster FROM reach GROUP BY un),
+        |csize AS (SELECT cluster, count(*) AS n FROM comp GROUP BY cluster),
+        |rep AS (SELECT cluster, url AS rep_url FROM (
+        |  SELECT c.cluster, l.url,
+        |    row_number() OVER (PARTITION BY c.cluster
+        |      ORDER BY CAST(substr(l.source, 4) AS INT), l.doc_id % 5, l.doc_id) AS rn
+        |  FROM comp c JOIN live l ON c.url = l.url) WHERE rn = 1)
+        |SELECT u.url,
+        |  CAST(coalesce(cs.n, 1) AS BIGINT) AS cluster_size,
+        |  CASE WHEN u.len < 60 THEN 'ignored'
+        |       WHEN cs.n = 1 THEN 'unique'
+        |       WHEN u.url = r.rep_url THEN 'keep'
+        |       ELSE 'delete' END AS state
+        |FROM u
+        |LEFT JOIN comp c ON u.url = c.url
+        |LEFT JOIN csize cs ON c.cluster = cs.cluster
+        |LEFT JOIN rep r ON c.cluster = r.cluster""".stripMargin,
     "q_substring_pairs_oracle" ->
       s"""WITH base AS (
         |  SELECT doc_id, text, source FROM documents WHERE length(text) >= 250),
