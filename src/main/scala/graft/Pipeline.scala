@@ -94,6 +94,14 @@ final case class DedupResult(
   */
 object DedupPipeline {
 
+  /** Below this corpus size the reps/sigs eager counts are skipped: every
+    * frame involved broadcasts comfortably regardless of the optimizer's
+    * string-width size guesses, and the two extra scheduler round trips
+    * are pure fixed cost (they flattened small-input latency; the guard
+    * they provide — a multi-GB frame mistaken for broadcastable — cannot
+    * arise under 100k docs). */
+  val EagerCountMinDocs: Long = 100000L
+
   /** pages: url, warc_ts, html, text, lang (input_hint shape). When
     * `fromHtml`, text is re-derived from html via the canonical extractor
     * (and optionally verified byte-identical against the provided text). */
@@ -113,12 +121,20 @@ object DedupPipeline {
     // frames) stream straight into the CC union, which materializes them
     // once itself — round 1 eagerly materialized all eight stages and the
     // fixed per-job latency was exactly what flattened 8→32-thread scaling.
+    // The docs count (needed anyway) additionally gates the LATER eager
+    // counts: below `EagerCountMinDocs` every frame broadcasts comfortably
+    // whatever the optimizer guesses, so reps/sigs persist lazily and the
+    // small-corpus fixed cost drops two scheduler round trips.
+    var eagerCounts = true
     def stage(name: String, multiConsumer: Boolean = true)(build: => DataFrame): DataFrame =
       ck.map(_.stage(name)(build)).getOrElse {
         if (!multiConsumer) build
         else {
           val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count()
+          if (eagerCounts || name == "docs") {
+            val n = df.count()
+            if (name == "docs") eagerCounts = n >= DedupPipeline.EagerCountMinDocs
+          }
           df
         }
       }

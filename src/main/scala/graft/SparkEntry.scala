@@ -247,6 +247,47 @@ object SparkEntry {
         .select(col("url"), col("cluster"))
     }),
 
+    // ---- web-corpus normalization operators (all driver-oracled; every
+    // regex stays in the Java-regex ∩ RE2 portable subset) ----
+    // Normalized exact dedup: case/punct/spacing-insensitive blocking key;
+    // planted upper-cased copies must collide with their originals.
+    "q_normalized_dups" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val d = base.unionByName(
+        base.where(col("doc_id") % 40 === 3)
+          .withColumn("doc_id", col("doc_id") + lit(5000000L))
+          .withColumn("text", upper(col("text"))))
+      d.select(col("doc_id"), operators.WebNormalize.normalSha(col("text")).as("h"))
+        .withColumn(
+          "n",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+    }),
+
+    // PII scrub: planted emails/phones become typed tokens.
+    "q_pii_scrub" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn(
+          "t",
+          when(
+            col("doc_id") % 10 === 1,
+            concat(col("text"), lit(" contact bob@example.com or 555-123-4567 asap")))
+            .otherwise(col("text")))
+      d.select(col("doc_id"), operators.WebNormalize.scrubPii(col("t")).as("scrubbed"))
+    }),
+
+    // URL canonicalization over deliberately messy variants.
+    "q_url_canon" -> ((s, dir) => {
+      val messy0 = concat(
+        urlCol,
+        when(col("doc_id") % 3 === 0, lit("?utm_source=feed&ref=1#top"))
+          .when(col("doc_id") % 3 === 1, lit("#section-2"))
+          .otherwise(lit("?a=1&utm_campaign=x")))
+      val messy = when(col("doc_id") % 7 === 0, upper(messy0)).otherwise(messy0)
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .select(col("doc_id"), operators.WebNormalize.canonUrl(messy).as("canon"))
+    }),
+
     // ---- FLAGSHIP full pipeline (exact ∪ near ∪ substring → CC →
     // keep/delete), driver-verifiable ----
     // The complete DedupPipeline with every stage on, against a DuckDB
@@ -589,6 +630,46 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.un, sym.vn FROM reach JOIN sym ON reach.r = sym.un)
         |SELECT un AS url, min(r) AS cluster FROM reach GROUP BY un""".stripMargin,
+    "q_normalized_dups" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, upper(text) FROM documents WHERE doc_id % 40 = 3)
+        |SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[!-/:-@\\[-`{-~]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS h,
+        |  count(*) OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[!-/:-@\\[-`{-~]+', ' ', 'g'), '\\s+', ' ', 'g')))) AS n
+        |FROM d""".stripMargin,
+    "q_pii_scrub" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 1
+        |      THEN text || ' contact bob@example.com or 555-123-4567 asap'
+        |      ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g') AS scrubbed
+        |FROM d""".stripMargin,
+    "q_url_canon" ->
+      s"""WITH m0 AS (
+        |  SELECT doc_id, $urlSql ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=1#top'
+        |         WHEN doc_id % 3 = 1 THEN '#section-2'
+        |         ELSE '?a=1&utm_campaign=x' END AS u
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN upper(u) ELSE u END AS u
+        |  FROM m0),
+        |s1 AS (SELECT doc_id, regexp_replace(u, '#.*', '', 'g') AS nf FROM m),
+        |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(nf,
+        |  'utm_[^&#]*&', '', 'g'), '[?&]utm_[^&#]*$$', '', 'g') AS nu FROM s1),
+        |s3 AS (SELECT doc_id, nu,
+        |  regexp_extract(nu, '^[a-zA-Z]+://[^/]*', 0) AS hd FROM s2)
+        |SELECT doc_id, lower(hd) || substr(nu, length(hd) + 1, length(nu)) AS canon
+        |FROM s3""".stripMargin,
     "q_dedup_decisions_full" ->
       s"""WITH RECURSIVE base AS (SELECT doc_id, text, source FROM documents),
         |big AS (SELECT * FROM base WHERE length(text) >= 250),

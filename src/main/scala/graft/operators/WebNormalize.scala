@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Web-corpus canonicalization: the normalize-before-compare operators a
+  * training-data pipeline runs ahead of exact dedup (CCNet/Gopher-style
+  * "fuzzy exact" matching), plus PII scrubbing and URL canonicalization.
+  *
+  * All pure built-in Column compositions — codegen'd, no UDFs, no shuffle
+  * of their own; at 100 TB they ride the same scan as the rest of the
+  * projection. Every regex here sticks to the portable subset that Java
+  * regex (Spark) and RE2 (DuckDB) interpret identically — explicit ASCII
+  * ranges instead of `\p{Punct}` (Java's is ASCII-only, RE2's `\pP` is
+  * Unicode) — so each operator carries a byte-identical DuckDB oracle
+  * (`SparkEntry.oracleSql`).
+  *
+  * Reference analog: the cheap normalization predicates of the compare
+  * cascade (case-insensitive name equality,
+  * `ViewModels/MainViewModel.cs:1047-1055`; prefix similarity `:1064-1072`)
+  * — equality-after-normalization as a first-class key.
+  */
+object WebNormalize {
+
+  /** ASCII punctuation as explicit ranges: ! through / , : through @ ,
+    * [ through backtick, { through ~ . */
+  private val AsciiPunct = "[!-/:-@\\[-`{-~]+"
+
+  /** Dedup-canonical text: lowercase, ASCII punctuation to space,
+    * whitespace collapsed, trimmed. Two pages differing only in case,
+    * punctuation or spacing normalize to equal strings. */
+  def normalText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), AsciiPunct, " "), "\\s+", " "))
+
+  /** Blocking key for normalized exact dedup: md5 of [[normalText]]. */
+  def normalSha(c: Column): Column = md5(normalText(c))
+
+  /** PII scrub: emails and NNN-NNN-NNNN phone shapes become typed tokens.
+    * Deliberately conservative patterns — a production pipeline swaps in
+    * jurisdiction-specific rules; the operator shape (ordered
+    * regexp_replace cascade over the text column) is the contract. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>")
+
+  /** Canonical url: fragment dropped, `utm_*` params dropped (with `?`/`&`
+    * separators tidied), scheme+authority lowercased, path/query case
+    * preserved. */
+  def canonUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*", "")
+    val noUtm = regexp_replace(
+      regexp_replace(noFrag, "utm_[^&#]*&", ""),
+      "[?&]utm_[^&#]*$", "")
+    val head = regexp_extract(noUtm, "^[a-zA-Z]+://[^/]*", 0)
+    concat(lower(head), noUtm.substr(length(head) + lit(1), length(noUtm)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WebNormalizeSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def one(c: org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("r")).head().getString(0)
+  }
+
+  test("normalText: case, punctuation and spacing all wash out") {
+    assert(one(WebNormalize.normalText(lit("Hello,   WORLD!!  (ok)"))) == "hello world ok")
+    assert(one(WebNormalize.normalText(lit("a-b_c.d"))) == "a b c d")
+    assert(one(WebNormalize.normalText(lit("  already clean  "))) == "already clean")
+  }
+
+  test("normalSha: equal for case/punct variants, distinct for real edits") {
+    import spark.implicits._
+    val r = Seq(
+      ("a", "The quick brown fox."),
+      ("b", "the QUICK  brown fox"),
+      ("c", "the quick brown ox")).toDF("id", "t")
+      .select(col("id"), WebNormalize.normalSha(col("t")).as("h"))
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r("a") == r("b"))
+    assert(r("a") != r("c"))
+  }
+
+  test("scrubPii: emails and phones become typed tokens, rest untouched") {
+    val got = one(WebNormalize.scrubPii(
+      lit("mail bob.smith+x@ex-ample.co.uk or call 555-123-4567 now")))
+    assert(got == "mail <EMAIL> or call <PHONE> now")
+    assert(one(WebNormalize.scrubPii(lit("no pii here 12345"))) == "no pii here 12345")
+  }
+
+  test("canonUrl: fragment + utm params drop, scheme/host lowercase, path case kept") {
+    assert(
+      one(WebNormalize.canonUrl(lit("HTTPS://Ex.COM/Path?q=1&utm_source=x#frag")))
+        == "https://ex.com/Path?q=1")
+    assert(
+      one(WebNormalize.canonUrl(lit("http://a.b/p?utm_a=1&utm_b=2")))
+        == "http://a.b/p")
+    assert(
+      one(WebNormalize.canonUrl(lit("http://a.b/p?utm_a=1&q=2")))
+        == "http://a.b/p?q=2")
+    assert(one(WebNormalize.canonUrl(lit("http://a.b/p"))) == "http://a.b/p")
+  }
+}
