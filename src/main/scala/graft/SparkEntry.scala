@@ -276,6 +276,17 @@ object SparkEntry {
       d.select(col("doc_id"), operators.WebNormalize.scrubPii(col("t")).as("scrubbed"))
     }),
 
+    // Repetition signal (Gopher rule): top word-bigram occurrence
+    // fraction; planted machine-repetitive docs must score ≈ 0.5.
+    "q_repetition" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val d = base.unionByName(
+        base.where(col("doc_id") % 100 === 9)
+          .withColumn("doc_id", col("doc_id") + lit(6000000L))
+          .withColumn("text", rtrim(repeat(lit("buy now "), 60))))
+      operators.TextAnalysis.topBigramFraction(d)
+    }),
+
     // URL canonicalization over deliberately messy variants.
     "q_url_canon" -> ((s, dir) => {
       val messy0 = concat(
@@ -653,6 +664,23 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g') AS scrubbed
         |FROM d""".stripMargin,
+    "q_repetition" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, rtrim(repeat('buy now ', 60))
+        |  FROM documents WHERE doc_id % 100 = 9),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+        |b AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM w WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |t AS (SELECT doc_id, max(cnt) AS top, sum(cnt) AS nb FROM c GROUP BY 1)
+        |SELECT d.doc_id,
+        |  round(CAST(coalesce(t.top, 0) AS DOUBLE)
+        |    / greatest(coalesce(t.nb, 1), 1), 9) AS top_bigram_frac
+        |FROM d LEFT JOIN t ON d.doc_id = t.doc_id""".stripMargin,
     "q_url_canon" ->
       s"""WITH m0 AS (
         |  SELECT doc_id, $urlSql ||

@@ -80,6 +80,39 @@ object TextAnalysis {
           when(col("q_mean_word_len").between(3.0, 12.0), 1.0).otherwise(0.5))
   }
 
+  // ---- repetition -----------------------------------------------------------
+
+  /** Gopher-style repetition signal: per document, the occurrence fraction
+    * of its most frequent word bigram (machine-generated/boilerplate text
+    * repeats short n-grams far above natural prose; Gopher filters docs
+    * whose top 2-gram covers too much of the text). Distributed shape:
+    * explode bigrams → two partially-aggregated groupBys — linear in corpus
+    * size, never the O(words²) per-row higher-order alternative. Docs with
+    * fewer than two words report 0.0. */
+  def topBigramFraction(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val b = docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(
+        col(idCol),
+        explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
+          .as("bg"))
+    val top = b
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(max(col("cnt")).as("top"), sum(col("cnt")).as("nb"))
+    docs.select(col(idCol)).join(top, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        round(
+          coalesce(col("top"), lit(0L)).cast("double") /
+            greatest(coalesce(col("nb"), lit(1L)), lit(1L)),
+          9).as("top_bigram_frac"))
+  }
+
   // ---- fingerprinting -------------------------------------------------------
 
   /** Cheap 64-bit content fingerprint (xxhash64 of the text). */

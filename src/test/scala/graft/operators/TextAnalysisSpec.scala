@@ -33,6 +33,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(langOf("") == "und")
   }
 
+  test("topBigramFraction: repetitive ≈ 4/7, varied low, sub-bigram text 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam ham spam ham spam ham spam ham"), // 7 bigrams, "spam ham" ×4
+      (2L, "a b c d e f g h"),
+      (3L, "one")).toDF("doc_id", "text")
+    val r = TextAnalysis.topBigramFraction(d)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 4.0 / 7) < 1e-8)
+    assert(math.abs(r(2L) - 1.0 / 7) < 1e-8)
+    assert(r(3L) == 0.0)
+  }
+
   test("token counts: whitespace and BPE-ish") {
     import spark.implicits._
     val r = Seq("Hello, world! 42 times").toDF("text")
