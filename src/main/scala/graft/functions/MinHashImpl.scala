@@ -330,26 +330,45 @@ object MinHashImpl {
   /** Exact verification: do a and b share a common substring of length ≥ L?
     * Rolling-hash L-grams of the shorter side into a table, slide the longer
     * side, confirm hash hits by direct character comparison (no
-    * false positives). O(|a| + |b|) expected. */
+    * false positives). O(|a| + |b|) expected.
+    *
+    * The gram index is a primitive open-addressing table (parallel long/int
+    * arrays, linear probing, ≤ 4 stored positions per distinct hash): this
+    * kernel runs once per candidate pair — ~300k pairs per 1M docs — and
+    * the earlier boxed HashMap<Long, ArrayList<Integer>> allocated ~m boxed
+    * entries per call, tens of millions of heap objects per stage on a
+    * memory-bandwidth-bound host (BENCH.md). Zero allocations now beyond
+    * the three flat arrays. */
   def commonSubstringAtLeast(a: String, b: String, L: Int): Boolean = {
     if (a.length < L || b.length < L) return false
     val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
     val B = 0x100000001B3L
+    val Cap = 4
     var pow = 1L
     var i = 0
     while (i < L - 1) { pow *= B; i += 1 }
-    // index the shorter string's L-grams: hash -> first position
-    val table = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
+    val mS = s.length - L + 1
+    // power-of-two table ≥ 2× gram count; cnt[slot] = stored positions
+    var nB = 4
+    while (nB < mS * 2) nB <<= 1
+    val mask = nB - 1
+    val keys = new Array[Long](nB)
+    val cnt = new Array[Byte](nB)
+    val posArr = new Array[Int](nB * Cap)
+    // index the shorter string's L-grams
     var h = 0L
     i = 0
     while (i < L) { h = h * B + s.charAt(i); i += 1 }
     var pos = 0
-    val mS = s.length - L + 1
     while (pos < mS) {
-      val key = java.lang.Long.valueOf(Hash64.mix(h))
-      var lst = table.get(key)
-      if (lst == null) { lst = new java.util.ArrayList[Integer](1); table.put(key, lst) }
-      if (lst.size() < 4) lst.add(pos) // cap verify fan-out per hash
+      val key = Hash64.mix(h)
+      var slot = (key & mask).toInt
+      while (cnt(slot) != 0 && keys(slot) != key) slot = (slot + 1) & mask
+      keys(slot) = key
+      if (cnt(slot) < Cap) { // cap verify fan-out per hash
+        posArr(slot * Cap + cnt(slot)) = pos
+        cnt(slot) = (cnt(slot) + 1).toByte
+      }
       if (pos + 1 < mS) h = (h - s.charAt(pos) * pow) * B + s.charAt(pos + L)
       pos += 1
     }
@@ -360,11 +379,13 @@ object MinHashImpl {
     pos = 0
     val mT = t.length - L + 1
     while (pos < mT) {
-      val lst = table.get(java.lang.Long.valueOf(Hash64.mix(h)))
-      if (lst != null) {
+      val key = Hash64.mix(h)
+      var slot = (key & mask).toInt
+      while (cnt(slot) != 0 && keys(slot) != key) slot = (slot + 1) & mask
+      if (cnt(slot) != 0) {
         var j = 0
-        while (j < lst.size()) {
-          if (t.regionMatches(pos, s, lst.get(j), L)) return true
+        while (j < cnt(slot)) {
+          if (t.regionMatches(pos, s, posArr(slot * Cap + j), L)) return true
           j += 1
         }
       }

@@ -169,6 +169,26 @@ class SignatureSpec extends AnyFunSuite {
     assert(MinHashImpl.commonSubstringAtLeast(a, "zzz " + c + " qqq", 100))
   }
 
+  test("commonSubstringAtLeast: differential vs naive O(n²) truth on random pairs") {
+    def naive(a: String, b: String, l: Int): Boolean = {
+      if (a.length < l || b.length < l) return false
+      val grams = (0 to b.length - l).map(i => b.substring(i, i + l)).toSet
+      (0 to a.length - l).exists(i => grams.contains(a.substring(i, i + l)))
+    }
+    val r = new scala.util.Random(29)
+    (0 until 60).foreach { i =>
+      val l = 20 + r.nextInt(60)
+      val a = randomDoc(r, 30 + r.nextInt(40))
+      val b =
+        if (i % 3 == 0) a.substring(r.nextInt(10)) + " " + randomDoc(r, 20) // planted overlap
+        else if (i % 3 == 1) randomDoc(r, 30 + r.nextInt(40)) // independent
+        else randomDoc(r, 10) + " " + a.substring(5, math.min(a.length, 5 + l + r.nextInt(40)))
+      assert(
+        MinHashImpl.commonSubstringAtLeast(a, b, l) == naive(a, b, l),
+        s"l=$l i=$i kernel disagrees with naive truth")
+    }
+  }
+
   test("vecSimHash: identical vectors agree; orthogonal-ish differ") {
     val r = new scala.util.Random(23)
     val v = Array.fill(64)(r.nextFloat() - 0.5f)
