@@ -129,18 +129,27 @@ object Bench {
       headline.foreach { name =>
         val fn = SparkEntry.queries(name)
         var failed = false
-        val sec = timed {
+        def sample(): Double = timed {
           try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           catch { case e: Throwable =>
             failed = true
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
         }
+        // One cold sample in a fresh-ish JVM measures JIT + host bursts as
+        // much as the engine (VERDICT r2 §wrong.1: a 3 s query sampled cold
+        // read 30 s). Protocol: run twice in-session, headline = min (the
+        // engine's time in the quietest of the two windows), cold time kept
+        // under a separate "<q>_cold" key for the JIT-inclusive view.
+        val cold = sample()
+        val warm = if (failed) -1.0 else sample()
         // a failed query must not masquerade as a fast successful one in
         // the machine-readable output (ADVICE r1): record -1, exclude from
         // the total
-        results(name) = if (failed) -1.0 else sec
-        if (!failed) queryTimes(name) = sec
+        val best = math.min(cold, warm)
+        results(name) = if (failed) -1.0 else best
+        results(name + "_cold") = if (failed) -1.0 else cold
+        if (!failed) queryTimes(name) = best
       }
     } finally spark.stop()
 

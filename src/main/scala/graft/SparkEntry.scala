@@ -566,11 +566,12 @@ object SparkEntry {
       Similarity.cosDupPairs(plantedEmbeddings(s, dir, toDouble = false), tau = 0.8)
         .select(col("a_id"), col("b_id"), col("cos"))),
 
-    // ---- multimodal plumbing (stubbed decode; rows-only) ----
+    // ---- multimodal: REAL JDK decode (ImageIO / WAV-PCM); rows-only ----
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, docs(s, dir))
       Multimodal.extractFeatures(s, media)
-        .select(col("media_id"), col("kind"), col("decodedFrames"), col("payloadBytes"))
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("sampleRate"), col("decodedFrames"), col("payloadBytes"))
     }))
 
   def oracleSql: Map[String, String] = Map(

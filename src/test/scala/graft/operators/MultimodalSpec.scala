@@ -24,11 +24,51 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.feature.length == Multimodal.FeatureDim)
       assert(f.feature.forall(x => x >= -1.0f && x <= 1.0f))
     }
+    // the image row decoded through the REAL ImageIO path: true dimensions
+    assert(rows(0).width == 48 && rows(0).height == 32)
+    // the audio row decoded through the REAL WAV-PCM path: true sample rate
+    assert(rows(1).sampleRate == 8000)
     // video frame sampling produced > 1 frame for the long payload
     assert(rows(2).decodedFrames > 1)
     // determinism
     val again = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
     assert(rows.zip(again).forall { case (a, b) => a.feature.sameElements(b.feature) })
+  }
+
+  test("decodeImage reads a planted real PNG: exact dimensions, pixel-derived features") {
+    val png = Multimodal.syntheticPng(7L, w = 20, h = 10)
+    // sanity: payload really is a PNG container
+    assert((png(1) & 0xff) == 'P'.toInt && (png(2) & 0xff) == 'N'.toInt)
+    val Some((w, h, feat)) = Multimodal.decodeImage(png)
+    assert(w == 20 && h == 10)
+    assert(feat.length == Multimodal.FeatureDim)
+    // the gradient pattern is brighter on the right/bottom: the luminance
+    // grid must not be constant (i.e. features came from pixels, not a hash)
+    assert(feat.distinct.length > 4)
+    // left-edge cell darker than right-edge cell (red ramps with x)
+    assert(feat(0) < feat(7))
+    // deterministic decode
+    val again = Multimodal.decodeImage(png).get._3
+    assert(feat.sameElements(again))
+  }
+
+  test("decodeWav parses a planted real WAV: header fields and RMS energy") {
+    val wav = Multimodal.syntheticWav(3L, sampleRate = 8000, nSamples = 512)
+    val Some((rate, n, feat)) = Multimodal.decodeWav(wav)
+    assert(rate == 8000)
+    assert(n == 512)
+    // a half-amplitude sine has RMS ≈ 0.5/√2 ≈ 0.354 in every bucket
+    assert(feat.forall(v => v > 0.2f && v < 0.5f))
+  }
+
+  test("undecodable payloads fall back to hash features with sentinel dims") {
+    import spark.implicits._
+    val junk = "definitely not an image".getBytes("UTF-8")
+    val media = Seq(Multimodal.MediaRow(9L, "u", junk,
+      Multimodal.MediaMeta("image", 0, 0, 0, 0))).toDS()
+    val f = Multimodal.extractFeatures(spark, media).collect().head
+    assert(f.width == -1 && f.height == -1)
+    assert(f.feature.length == Multimodal.FeatureDim)
   }
 
   test("frame sampling respects stride and bounds") {
