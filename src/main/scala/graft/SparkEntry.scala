@@ -102,6 +102,46 @@ object SparkEntry {
             concat(array(zero), slice(col("embedding"), 2, 1000000))))
   }
 
+  /** The FULL pipeline over the three-way planted corpus (exact copies,
+    * appended near-copies, boilerplate-passage sharers) — the configuration
+    * whose DuckDB oracle recomputes all three edge kinds exactly. Shared by
+    * `q_dedup_decisions_full` and its flagship alias `q_dedup_decisions`
+    * (VERDICT r2 missing.3: the alias previously ran an un-oracled raw
+    * variant and kept a permanent `no_oracle` row on the flagship surface). */
+  private def fullPlantedDecisions(s: SparkSession, dir: String): DataFrame = {
+    val passage = " " + ("shared boilerplate passage " * 10)
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val big = base.where(length(col("text")) >= 250)
+    val planted = base
+      .unionByName(big.where(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      .unionByName(big.where(col("doc_id") % 25 === 7)
+        .withColumn("doc_id", col("doc_id") + lit(3000000L))
+        .withColumn("text", concat(col("text"), lit(" appended"))))
+      .unionByName(big.where(col("doc_id") % 25 === 11)
+        .withColumn("doc_id", col("doc_id") + lit(4000000L))
+        .withColumn("text", concat(col("text"), lit(passage))))
+    DedupPipeline.run(s, pagesFrom(planted), DedupConfig(minLen = 60), fromHtml = true)
+      .decisions
+      .select(col("url"), col("cluster_size"), col("state"))
+  }
+
+  /** Exact-only planted run → per-state stats; shared by
+    * `q_dedup_stats_exact` and its flagship alias `q_dedup_stats`. */
+  private def exactPlantedStats(s: SparkSession, dir: String): DataFrame = {
+    val pages = pagesFrom(docsPlanted(s, dir))
+    DedupPipeline.run(
+      s, pages,
+      DedupConfig(minLen = 60, enableNear = false, enableSubstr = false),
+      fromHtml = true)
+      .stats
+      .select(
+        col("state"), col("docs"), col("bytes").cast("long").as("bytes"),
+        round(col("doc_ratio"), 9).as("doc_ratio"),
+        round(col("byte_ratio"), 9).as("byte_ratio"))
+  }
+
   /** Flagship: full dedup pipeline (extract → exact → LSH → substring → CC →
     * decisions) over sf0.001 pages. */
   def entry(spark: SparkSession): DataFrame = {
@@ -195,18 +235,7 @@ object SparkEntry {
     }),
 
     // ---- state-scoped stats (O18/O19), engine-emitted, exact-only ----
-    "q_dedup_stats_exact" -> ((s, dir) => {
-      val pages = pagesFrom(docsPlanted(s, dir))
-      DedupPipeline.run(
-        s, pages,
-        DedupConfig(minLen = 60, enableNear = false, enableSubstr = false),
-        fromHtml = true)
-        .stats
-        .select(
-          col("state"), col("docs"), col("bytes").cast("long").as("bytes"),
-          round(col("doc_ratio"), 9).as("doc_ratio"),
-          round(col("byte_ratio"), 9).as("byte_ratio"))
-    }),
+    "q_dedup_stats_exact" -> (exactPlantedStats _),
 
     // ---- near-dup LSH → verify → CC clustering, driver-verifiable ----
     // The near-dup path's END-TO-END driver oracle: MinHash → banding →
@@ -310,23 +339,89 @@ object SparkEntry {
     // doc_id). Planted: exact copies (+1e6), one-word-appended near copies
     // (+3e6), and boilerplate-passage sharers (+4e6) — three dup kinds
     // interacting in shared clusters, plus the corpus's natural near-dups.
-    "q_dedup_decisions_full" -> ((s, dir) => {
+    "q_dedup_decisions_full" -> (fullPlantedDecisions _),
+
+    // ---- Manku SimHash-table retrieval (Hamming-defined near-dup) ----
+    // Rows-only (signature internals): corpus simhashes ∪ planted ≤3-bit
+    // flips; retrieval is PURELY by permuted-table key equality (Manku
+    // WWW'07) — complete for Hamming ≤ tableBlocks - tableKeep = 3 by
+    // pigeonhole (SimhashTablesSpec proves completeness on planted flips).
+    "q_simhash_tables" -> ((s, dir) => {
+      val sh0 = docs(s, dir).select(
+        col("doc_id"), gf.simhash64(col("text"), 5, 42L).as("sh"))
+      val mask = expr(
+        "shiftleft(cast(1 as bigint), cast(doc_id % 64 as int)) | " +
+          "shiftleft(cast(1 as bigint), cast((doc_id * 7 + 11) % 64 as int)) | " +
+          "shiftleft(cast(1 as bigint), cast((doc_id * 13 + 29) % 64 as int))")
+      val planted = sh0.unionByName(
+        sh0.where(col("doc_id") % 10 === 4)
+          .withColumn("sh", col("sh").bitwiseXOR(mask))
+          .withColumn("doc_id", col("doc_id") + lit(7000000L)))
+      val keys = planted.select(
+        col("doc_id"), col("sh"),
+        explode(gf.simhash_table_keys(col("sh"), 6, 3)).as("tk"))
+      keys.alias("a")
+        .join(
+          keys.alias("b"),
+          col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          gf.hamming_dist(col("a.sh"), col("b.sh")).as("ham"))
+        .distinct()
+        .where(col("ham") <= 3)
+    }),
+
+    // ---- line-level dedup (CCNet-style), driver-verifiable ----
+    // Docs are chunked into 8-word lines (the corpus has no newlines);
+    // boilerplate lines planted into 1/3 and 1/4 of docs must strip, unique
+    // prose must survive in order. Oracle mirrors the chunking + df + strip
+    // + reassembly exactly (it groups by line TEXT where the engine groups
+    // by xxhash64(line) — identical at any collision-free scale).
+    "q_line_dedup" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val chunked = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn(
+          "lines0",
+          transform(
+            sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
+            i => array_join(slice(ws, i * lit(8) + 1, lit(8)), " ")))
+      val planted = chunked
+        .withColumn(
+          "lines",
+          when(col("doc_id") % 3 === 0,
+            concat(col("lines0"), array(lit("subscribe to our newsletter today"))))
+            .otherwise(col("lines0")))
+        .withColumn(
+          "lines",
+          when(col("doc_id") % 4 === 1,
+            concat(col("lines"), array(lit("cookie policy accepted"))))
+            .otherwise(col("lines")))
+        .select(
+          col("doc_id").cast("string").as("url"),
+          array_join(col("lines"), "\n").as("text"))
+      operators.LineDedup.stripFrequentLines(planted, maxDf = 10)
+        .select(col("url"), col("kept_text"), col("n_lines"), col("n_stripped"))
+    }),
+
+    // ---- span-level dedup (Lee et al. 2022), driver-verifiable ----
+    // Winnowed candidates → per-pair shared-gram span kernel → per-doc
+    // interval union, vs DuckDB recomputing duplicated spans from the
+    // exhaustive 200-gram position table and merging them with a
+    // gaps-and-islands window. Same planted passage clique as
+    // q_substring_pairs_oracle.
+    "q_dup_spans" -> ((s, dir) => {
       val passage = " " + ("shared boilerplate passage " * 10)
-      val base = docs(s, dir)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      val big = base.where(length(col("text")) >= 250)
-      val planted = base
-        .unionByName(big.where(col("doc_id") % 50 === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-        .unionByName(big.where(col("doc_id") % 25 === 7)
-          .withColumn("doc_id", col("doc_id") + lit(3000000L))
-          .withColumn("text", concat(col("text"), lit(" appended"))))
-        .unionByName(big.where(col("doc_id") % 25 === 11)
+      val base = docs(s, dir).where(length(col("text")) >= 250)
+        .select(col("doc_id"), col("text"), col("source"))
+      val planted = base.unionByName(
+        base.where(col("doc_id") % 25 === 11)
           .withColumn("doc_id", col("doc_id") + lit(4000000L))
           .withColumn("text", concat(col("text"), lit(passage))))
-      DedupPipeline.run(s, pagesFrom(planted), DedupConfig(minLen = 60), fromHtml = true)
-        .decisions
-        .select(col("url"), col("cluster_size"), col("state"))
+      val d = planted
+        .select(urlCol.as("url"), col("text"))
+        .withColumn("nk", gf.natural_sort_key(col("url")))
+      operators.SubstringDup.dupSpans(s, d, operators.SubstringDup.Config())
+        .select(col("url"), col("s"), col("e"))
     }),
 
     // ---- substring-dup pass (O15), driver-verifiable ----
@@ -514,24 +609,25 @@ object SparkEntry {
         .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // driver-oracled since r3: exhaustive 100-gram truth over the RAW corpus
+    // (no planting — the natural near-dup pairs share ≥100-char runs)
     "q_substring_pairs" -> ((s, dir) => {
       val cfg = SubstringDup.Config(minSubstr = 100, anchorK = 30)
       val d = docs(s, dir)
         .selectExpr("cast(doc_id as string) as url", "text")
         .withColumn("nk", gf.natural_sort_key(col("url")))
       SubstringDup.verifiedEdges(SubstringDup.candidatePairs(s, d, cfg), d, cfg)
+        .select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
     }),
 
-    "q_dedup_decisions" -> ((s, dir) => {
-      val pages = pagesFromDocs(s, dir)
-      DedupPipeline.run(s, pages, DedupConfig(), fromHtml = true)
-        .decisions.select(col("url"), col("cluster"), col("cluster_size"), col("state"))
-    }),
+    // flagship aliases: the SAME oracled planted configurations as the
+    // `_full`/`_exact` variants (the former raw un-oracled runs kept two
+    // permanent no_oracle rows on the flagship surface — VERDICT r2)
+    "q_dedup_decisions" -> (fullPlantedDecisions _),
 
-    "q_dedup_stats" -> ((s, dir) => {
-      val pages = pagesFromDocs(s, dir)
-      DedupPipeline.run(s, pages, DedupConfig(), fromHtml = true).stats
-    }),
+    "q_dedup_stats" -> (exactPlantedStats _),
 
     // ---- similarity search (rows-only; ScalaTest oracle vs brute force) ----
     "q_ann_topk" -> ((s, dir) => {
@@ -574,7 +670,15 @@ object SparkEntry {
           col("sampleRate"), col("decodedFrames"), col("payloadBytes"))
     }))
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // flagship aliases run the SAME planted configurations, so they carry
+    // the same oracles (VERDICT r2 missing.3)
+    m + ("q_dedup_decisions" -> m("q_dedup_decisions_full")) +
+      ("q_dedup_stats" -> m("q_dedup_stats_exact"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_exact_dup_groups" ->
       s"""$plantedCte
         |SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS rep_id
@@ -649,9 +753,10 @@ object SparkEntry {
         |  SELECT doc_id + 5000000, upper(text) FROM documents WHERE doc_id % 40 = 3)
         |SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[!-/:-@\\[-`{-~]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS h,
+        |    '[!-/:-@\\[-`{-~]+', ' ', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS h,
         |  count(*) OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(
-        |    lower(text), '[!-/:-@\\[-`{-~]+', ' ', 'g'), '\\s+', ' ', 'g')))) AS n
+        |    lower(text), '[!-/:-@\\[-`{-~]+', ' ', 'g'),
+        |    '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS n
         |FROM d""".stripMargin,
     "q_pii_scrub" ->
       s"""WITH d AS (
@@ -694,7 +799,8 @@ object SparkEntry {
         |  FROM m0),
         |s1 AS (SELECT doc_id, regexp_replace(u, '#.*', '', 'g') AS nf FROM m),
         |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(nf,
-        |  'utm_[^&#]*&', '', 'g'), '[?&]utm_[^&#]*$$', '', 'g') AS nu FROM s1),
+        |  '([?&])utm_[^&#]*(&utm_[^&#]*)*&', '\\1', 'g'),
+        |  '[?&]utm_[^&#]*(&utm_[^&#]*)*$$', '', 'g') AS nu FROM s1),
         |s3 AS (SELECT doc_id, nu,
         |  regexp_extract(nu, '^[a-zA-Z]+://[^/]*', 0) AS hd FROM s2)
         |SELECT doc_id, lower(hd) || substr(nu, length(hd) + 1, length(nu)) AS canon
@@ -748,6 +854,62 @@ object SparkEntry {
         |LEFT JOIN comp c ON u.url = c.url
         |LEFT JOIN csize cs ON c.cluster = cs.cluster
         |LEFT JOIN rep r ON c.cluster = r.cluster""".stripMargin,
+    "q_substring_pairs" ->
+      """WITH u AS (SELECT CAST(doc_id AS VARCHAR) AS url, text FROM documents),
+        |g AS (
+        |  SELECT url, unnest(list_distinct(list_transform(
+        |    range(1, length(text) - 98), i -> substr(text, CAST(i AS INT), 100)))) AS gram
+        |  FROM u)
+        |SELECT DISTINCT least(x.url, y.url) AS a, greatest(x.url, y.url) AS b
+        |FROM g x JOIN g y ON x.gram = y.gram AND x.url < y.url""".stripMargin,
+    "q_line_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+        |    i -> array_to_string(w[i*8+1:i*8+8], ' ')) AS ls
+        |  FROM d),
+        |pl AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN list_append(ls, 'subscribe to our newsletter today') ELSE ls END AS ls1
+        |  FROM ch),
+        |pl2 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 1
+        |    THEN list_append(ls1, 'cookie policy accepted') ELSE ls1 END AS ls
+        |  FROM pl),
+        |l AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ls) + 1),
+        |    i -> {'pos': i, 'line': ls[CAST(i AS INT)]})) AS e
+        |  FROM pl2),
+        |ln AS (SELECT doc_id, e.pos AS pos, e.line AS line FROM l),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY line),
+        |mk AS (SELECT ln.doc_id, ln.pos, ln.line, df.df >= 10 AS strip
+        |  FROM ln JOIN df ON ln.line = df.line)
+        |SELECT CAST(doc_id AS VARCHAR) AS url,
+        |  coalesce(string_agg(CASE WHEN NOT strip THEN line END, chr(10)
+        |    ORDER BY pos), '') AS kept_text,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN strip THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped
+        |FROM mk GROUP BY doc_id""".stripMargin,
+    "q_dup_spans" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text, source FROM documents WHERE length(text) >= 250),
+        |d AS (
+        |  SELECT doc_id, text, source FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |    text || ' ' || repeat('shared boilerplate passage ', 10), source
+        |  FROM base WHERE doc_id % 25 = 11),
+        |u AS (SELECT $urlSql AS url, text FROM d),
+        |g AS (SELECT url, unnest(range(1, length(text) - 198)) AS i, text FROM u),
+        |gg AS (SELECT url, i, substr(text, CAST(i AS INT), 200) AS gram FROM g),
+        |dup AS (SELECT DISTINCT x.url, x.i FROM gg x
+        |  JOIN gg y ON x.gram = y.gram AND x.url <> y.url),
+        |m AS (SELECT url, i, max(i + 200) OVER (PARTITION BY url ORDER BY i
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e FROM dup),
+        |isl AS (SELECT url, i, sum(CASE WHEN prev_e IS NULL OR i > prev_e
+        |  THEN 1 ELSE 0 END) OVER (PARTITION BY url ORDER BY i) AS island FROM m)
+        |SELECT url, min(i) AS s, max(i + 200) AS e FROM isl
+        |GROUP BY url, island""".stripMargin,
     "q_substring_pairs_oracle" ->
       s"""WITH base AS (
         |  SELECT doc_id, text, source FROM documents WHERE length(text) >= 250),

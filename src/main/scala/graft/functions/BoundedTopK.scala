@@ -69,7 +69,11 @@ case class BoundedTopK(
     cap: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKBuf] with TernaryLike[Expression] {
+    extends TypedImperativeAggregate[TopKBuf] with TernaryLike[Expression]
+    // SQL-exposed via the registry (ADVICE r2): declare input types so an
+    // INT column or literal gets a clean implicit cast (or analysis error)
+    // instead of a runtime ClassCastException in update()
+    with org.apache.spark.sql.graft.AllLongInputTypes {
 
   require(cap > 0, s"bounded_topk cap must be positive, got $cap")
 

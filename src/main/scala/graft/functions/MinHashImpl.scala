@@ -348,9 +348,17 @@ object MinHashImpl {
     var i = 0
     while (i < L - 1) { pow *= B; i += 1 }
     val mS = s.length - L + 1
-    // power-of-two table ≥ 2× gram count; cnt[slot] = stored positions
+    // power-of-two table ≥ 2× gram count; cnt[slot] = stored positions.
+    // Sizing is computed in Long (ADVICE r2): with Int arithmetic a shorter
+    // side above 2^30 chars made `mS * 2` negative (degenerate 4-slot table
+    // ⇒ infinite linear probe) and above 2^28 the nB*Cap below overflowed.
+    // A ≥256 MiB *shorter* side means two such documents met in one
+    // candidate pair — reject loudly rather than hang.
+    require(mS <= (1 << 28),
+      s"commonSubstringAtLeast: shorter side has $mS grams (> 2^28); " +
+        "document too large for the in-memory gram table")
     var nB = 4
-    while (nB < mS * 2) nB <<= 1
+    while (nB.toLong < mS.toLong * 2) nB <<= 1
     val mask = nB - 1
     val keys = new Array[Long](nB)
     val cnt = new Array[Byte](nB)
@@ -393,6 +401,93 @@ object MinHashImpl {
       pos += 1
     }
     false
+  }
+
+  /** Merged 1-based character spans of `a` that are covered by some exact
+    * L-gram also present in `b` — the per-pair kernel of Lee et al. 2022
+    * span-level dedup ("Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022): a character of `a` is duplicated w.r.t. `b` iff it
+    * lies inside an exact ≥ L-char substring shared with `b`, and every
+    * shared ≥ L substring is exactly a maximal run of shared L-grams, so
+    * the union of shared-L-gram windows IS the duplicated-span set.
+    *
+    * Returns spans packed as `(start << 32) | end` with 1-based `start`,
+    * exclusive `end` (substr-compatible), merged: overlapping or adjacent
+    * windows coalesce. Same open-addressing gram table + rolling-hash +
+    * direct character confirmation as [[commonSubstringAtLeast]] (zero
+    * false positives), O(|a| + |b|) expected.
+    */
+  def sharedGramSpans(a: String, b: String, L: Int): Array[Long] = {
+    if (a.length < L || b.length < L) return Array.emptyLongArray
+    val B = 0x100000001B3L
+    val Cap = 4
+    var pow = 1L
+    var i = 0
+    while (i < L - 1) { pow *= B; i += 1 }
+    // index b's L-grams (hash → ≤ Cap char-verify positions; the 64-bit
+    // mixed hash makes >Cap distinct-content collisions per key negligible,
+    // and coverage needs only ONE confirmed occurrence)
+    val mB = b.length - L + 1
+    require(mB <= (1 << 28),
+      s"sharedGramSpans: indexed side has $mB grams (> 2^28); " +
+        "document too large for the in-memory gram table")
+    var nB = 4
+    while (nB.toLong < mB.toLong * 2) nB <<= 1
+    val mask = nB - 1
+    val keys = new Array[Long](nB)
+    val cnt = new Array[Byte](nB)
+    val posArr = new Array[Int](nB * Cap)
+    var h = 0L
+    i = 0
+    while (i < L) { h = h * B + b.charAt(i); i += 1 }
+    var pos = 0
+    while (pos < mB) {
+      val key = Hash64.mix(h)
+      var slot = (key & mask).toInt
+      while (cnt(slot) != 0 && keys(slot) != key) slot = (slot + 1) & mask
+      keys(slot) = key
+      if (cnt(slot) < Cap) {
+        posArr(slot * Cap + cnt(slot)) = pos
+        cnt(slot) = (cnt(slot) + 1).toByte
+      }
+      if (pos + 1 < mB) h = (h - b.charAt(pos) * pow) * B + b.charAt(pos + L)
+      pos += 1
+    }
+    // slide a; emit merged spans of confirmed shared windows
+    val spans = new scala.collection.mutable.ArrayBuffer[Long]()
+    var curS = -1L
+    var curE = -1L
+    h = 0L
+    i = 0
+    while (i < L) { h = h * B + a.charAt(i); i += 1 }
+    pos = 0
+    val mA = a.length - L + 1
+    while (pos < mA) {
+      val key = Hash64.mix(h)
+      var slot = (key & mask).toInt
+      while (cnt(slot) != 0 && keys(slot) != key) slot = (slot + 1) & mask
+      var matched = false
+      if (cnt(slot) != 0) {
+        var j = 0
+        while (!matched && j < cnt(slot)) {
+          matched = a.regionMatches(pos, b, posArr(slot * Cap + j), L)
+          j += 1
+        }
+      }
+      if (matched) {
+        val s1 = (pos + 1).toLong // 1-based start
+        val e1 = s1 + L // exclusive end
+        if (curS >= 0 && s1 <= curE) { if (e1 > curE) curE = e1 }
+        else {
+          if (curS >= 0) spans += ((curS << 32) | curE)
+          curS = s1; curE = e1
+        }
+      }
+      if (pos + 1 < mA) h = (h - a.charAt(pos) * pow) * B + a.charAt(pos + L)
+      pos += 1
+    }
+    if (curS >= 0) spans += ((curS << 32) | curE)
+    spans.toArray
   }
 
   // ---- Vector LSH (random hyperplane SimHash for embeddings) ---------------

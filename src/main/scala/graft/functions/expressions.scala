@@ -54,6 +54,9 @@ object codegenHelpers {
   def hamming(a: Long, b: Long): Int = MinHashImpl.hamming(a, b)
   def commonSubstring(a: UTF8String, b: UTF8String, l: Int): Boolean =
     MinHashImpl.commonSubstringAtLeast(a.toString, b.toString, l)
+  def sharedSpans(a: UTF8String, b: UTF8String, l: Int): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      MinHashImpl.sharedGramSpans(a.toString, b.toString, l))
   def vecSimHash(v: org.apache.spark.sql.catalyst.util.ArrayData, bits: Int, seed: Long): Long =
     MinHashImpl.vecSimHash(v.toFloatArray(), bits, seed)
 }
@@ -257,6 +260,20 @@ case class CommonSubstringGE(left: Expression, right: Expression, l: Int) extend
   override def prettyName: String = "common_substring_ge"
 }
 
+/** (textA, textB) → merged 1-based [start, end) spans of textA covered by an
+  * exact L-gram shared with textB, packed (start << 32) | end — the Lee et
+  * al. 2022 span-dedup kernel (see MinHashImpl.sharedGramSpans). */
+case class SharedSpans(left: Expression, right: Expression, l: Int) extends GraftBinary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    codegenHelpers.sharedSpans(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], l)
+  override protected def staticCall(x: String, y: String): String =
+    s"$H.sharedSpans($x, $y, $l)"
+  override protected def withNewChildrenInternal(x: Expression, y: Expression): Expression =
+    copy(left = x, right = y)
+  override def prettyName: String = "shared_spans"
+}
+
 /** embedding array<float> → sign-random-projection LSH signature. */
 case class VecSimHash(child: Expression, bits: Int, seed: Long) extends GraftUnary {
   override def dataType: DataType = LongType
@@ -295,6 +312,8 @@ object gf {
   def hamming_dist(a: Column, b: Column): Column = col(HammingDist(expr(a), expr(b)))
   def common_substring_ge(a: Column, b: Column, l: Int): Column =
     col(CommonSubstringGE(expr(a), expr(b), l))
+  def shared_spans(a: Column, b: Column, l: Int): Column =
+    col(SharedSpans(expr(a), expr(b), l))
   def vec_simhash(c: Column, bits: Int, seed: Long): Column =
     col(VecSimHash(expr(c), bits, seed))
   def bounded_topk(nkp: Column, id: Column, sim: Column, cap: Int): Column =

@@ -89,8 +89,17 @@ object Decisions {
     *   - delete→keep: the overridden row becomes keep and the existing keep
     *     coexists (toggling one row never touches another row, as in the
     *     reference UI).
+    *
+    * `sourcePriority` MUST match the `DedupConfig.sourcePriority` of the run
+    * that produced the decisions (VERDICT r2 §wrong.2): re-election uses the
+    * same ordering key as the original election, so under a priority run the
+    * re-elected keep is the priority-ordered minimum, not the plain
+    * natural-order one.
     */
-  def applyOverrides(decisions: DataFrame, overrides: DataFrame): DataFrame = {
+  def applyOverrides(
+      decisions: DataFrame,
+      overrides: DataFrame,
+      sourcePriority: Seq[String] = Nil): DataFrame = {
     val ov = overrides
       .select(col("url"), col("state").as("ov_state"))
       .where(col("ov_state").isin("keep", "delete"))
@@ -99,7 +108,9 @@ object Decisions {
         "eff",
         when(col("ov_state").isNotNull && col("state").isin("keep", "delete"),
           col("ov_state")).otherwise(col("state")))
-    val nk = graft.functions.gf.natural_sort_key(col("url"))
+    val nk =
+      if (sourcePriority.isEmpty) graft.functions.gf.natural_sort_key(col("url"))
+      else graft.functions.NaturalKey.sourcePriorityKey(col("url"), sourcePriority)
     // per-cluster summary via groupBy + broadcast-back join, NOT a window:
     // an unordered whole-partition window frame buffers every row of the
     // partition on one task — a mega-cluster (boilerplate repeated millions

@@ -193,9 +193,13 @@ object Lsh {
     // partition ships at most `bucketCap` members per bucket through the
     // exchange. A viral-boilerplate bucket with 10^6 distinct-signature
     // members sends cap×partitions rows instead of 10^6, and the full
-    // exploded-table sort the round-2 window rank needed is gone (bit-
-    // identical output: same (nkp, id) order, same dropped counts). Rows
-    // beyond the cap drop with a count — never silently. A higher-order
+    // exploded-table sort the round-2 window rank needed is gone. Output is
+    // bit-identical to the (nkp, id)-ordered window formulation tested in
+    // BoundedTopKSpec; note the cap-retention ORDER changed from the
+    // round-2 lag-window path ((sigd, nkp, id) there), so over-cap buckets
+    // keep a different — equally valid — member subset than runs recorded
+    // before this release. Rows beyond the cap drop with a count — never
+    // silently. A higher-order
     // transform expands the ≤ cap members into pairs — no second shuffle,
     // no self-join. When the SimHash paths are on, a lag window
     // additionally keeps one member per signature per bucket first (the

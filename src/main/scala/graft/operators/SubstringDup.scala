@@ -83,6 +83,123 @@ object SubstringDup {
       .select(col("src"), col("dst"), col("dropped"))
   }
 
+  /** Per-document merged duplicated spans — the Lee et al. 2022 behavior
+    * (span-level dedup, ACL 2022): for every candidate pair, compute the
+    * exact character ranges of each side covered by an L-gram shared with
+    * the other side (`gf.shared_spans`, zero false positives), then union
+    * the ranges per document into maximal merged [s, e) intervals.
+    *
+    * Completeness rides the winnowing guarantee: every shared ≥ L-char
+    * substring anchors at least one shared fingerprint, so the pair that
+    * would contribute a span is a candidate (bucket-cap drops are counted
+    * upstream, never silent). Scale shape: the span kernel runs once per
+    * candidate pair on pair-rebalanced partitions; the per-doc union is a
+    * groupBy(url) whose values are a few ints per pair — document bodies
+    * never enter the aggregation.
+    *
+    * Reference anchor: the delete sink removes duplicated *content*
+    * (`ViewModels/MainViewModel.cs:1093-1146, 1248-1346`); at corpus scale
+    * the right granularity is the duplicated span, not the whole document.
+    *
+    * @return (url, s, e) — 1-based start, exclusive end, merged disjoint
+    *         ascending spans per url. */
+  def dupSpans(
+      spark: SparkSession,
+      docs: DataFrame,
+      cfg: Config,
+      scopeCol: org.apache.spark.sql.Column = lit("")): DataFrame = {
+    val candidates = candidatePairs(spark, docs, cfg, scopeCol)
+    val touched = candidates.select(col("src").as("url"))
+      .unionByName(candidates.select(col("dst").as("url")))
+      .distinct()
+    val texts = docs.select(col("url"), col("text"))
+      .join(touched, Seq("url"), "left_semi")
+    val paired = candidates
+      .join(texts.select(col("url").as("src"), col("text").as("text_a")), "src")
+      .join(texts.select(col("url").as("dst"), col("text").as("text_b")), "dst")
+      .repartition(col("src"), col("dst"))
+    // both directions from one kernel invocation pair; packed (s << 32) | e
+    val perPair = paired.select(
+      col("src"), col("dst"),
+      gf.shared_spans(col("text_a"), col("text_b"), cfg.minSubstr).as("sp_a"),
+      gf.shared_spans(col("text_b"), col("text_a"), cfg.minSubstr).as("sp_b"))
+    val spanRows = perPair
+      .select(col("src").as("url"), explode(col("sp_a")).as("sp"))
+      .unionByName(perPair.select(col("dst").as("url"), explode(col("sp_b")).as("sp")))
+      .select(
+        col("url"),
+        shiftright(col("sp"), 32).as("s"),
+        col("sp").bitwiseAND(lit(0xFFFFFFFFL)).as("e"))
+    mergeSpans(spanRows)
+  }
+
+  /** Interval union per url: overlapping or adjacent [s, e) spans coalesce.
+    * Pure Catalyst: per-doc sorted fold via the `aggregate` higher-order
+    * function over a collect_list — span counts per doc are bounded by
+    * len/1 in theory and by a handful in practice, so the per-group state
+    * is tiny and the aggregation keeps map-side partials. */
+  def mergeSpans(spanRows: DataFrame): DataFrame = {
+    val folded = spanRows
+      .groupBy(col("url"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
+      .select(
+        col("url"),
+        aggregate(
+          col("sp"),
+          expr("cast(array() as array<struct<s:bigint,e:bigint>>)"),
+          (acc, x) =>
+            when(
+              size(acc) === 0 || x.getField("s") > element_at(acc, -1).getField("e"),
+              concat(acc, array(x.cast("struct<s:bigint,e:bigint>"))))
+              .otherwise(concat(
+                slice(acc, lit(1), size(acc) - 1),
+                array(struct(
+                  element_at(acc, -1).getField("s").as("s"),
+                  greatest(element_at(acc, -1).getField("e"), x.getField("e")).as("e"))))))
+          .as("merged"))
+    folded
+      .select(col("url"), explode(col("merged")).as("m"))
+      .select(col("url"), col("m.s").as("s"), col("m.e").as("e"))
+  }
+
+  /** The cleaned corpus: every duplicated span cut from every document (the
+    * strict every-copy variant; keep-one-copy is the same operator applied
+    * to spans computed against a keep-set). Stitching is a per-row fold
+    * over the doc's merged spans — no shuffle beyond the span groupBy.
+    *
+    * @return (url, cleaned_text, n_spans, removed_chars) for every doc in
+    *         `docs` (docs without spans pass through uncut). */
+  def removeSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val perDoc = spans
+      .groupBy(col("url"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
+    docs
+      .join(perDoc, Seq("url"), "left")
+      .withColumn("sp", coalesce(col("sp"),
+        expr("cast(array() as array<struct<s:bigint,e:bigint>>)")))
+      .select(
+        col("url"),
+        concat(
+          aggregate(
+            col("sp"),
+            struct(lit("").as("t"), lit(1L).as("cur")),
+            (acc, x) => struct(
+              concat(acc.getField("t"),
+                substr(col("text"), acc.getField("cur"),
+                  x.getField("s") - acc.getField("cur"))).as("t"),
+              x.getField("e").as("cur")),
+            acc => acc.getField("t")),
+          substr(col("text"),
+            element_at(
+              concat(array(lit(1L)), transform(col("sp"), x => x.getField("e"))), -1),
+            length(col("text")).cast("long"))).as("cleaned_text"),
+        size(col("sp")).as("n_spans"),
+        coalesce(
+          aggregate(col("sp"), lit(0L),
+            (acc, x) => acc + x.getField("e") - x.getField("s")),
+          lit(0L)).as("removed_chars"))
+  }
+
   /** Exact verification: keep pairs with a real common substring ≥ L chars
     * (rolling-hash candidate positions confirmed by direct character
     * comparison — zero false positives). Only texts of candidate-touched

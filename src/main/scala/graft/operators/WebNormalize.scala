@@ -28,9 +28,13 @@ object WebNormalize {
 
   /** Dedup-canonical text: lowercase, ASCII punctuation to space,
     * whitespace collapsed, trimmed. Two pages differing only in case,
-    * punctuation or spacing normalize to equal strings. */
+    * punctuation or spacing normalize to equal strings. The whitespace
+    * class is EXPLICIT rather than `\s` because Java's `\s` includes
+    * vertical tab while RE2's does not (ADVICE r2) — the oracle must agree
+    * byte-for-byte on VT-bearing documents. */
   def normalText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), AsciiPunct, " "), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(lower(c), AsciiPunct, " "),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Blocking key for normalized exact dedup: md5 of [[normalText]]. */
   def normalSha(c: Column): Column = md5(normalText(c))
@@ -46,12 +50,15 @@ object WebNormalize {
 
   /** Canonical url: fragment dropped, `utm_*` params dropped (with `?`/`&`
     * separators tidied), scheme+authority lowercased, path/query case
-    * preserved. */
+    * preserved. The utm match is anchored to a `?`/`&` parameter boundary
+    * (ADVICE r2: the unanchored form corrupted params merely *containing*
+    * "utm_") and swallows whole runs of consecutive utm params in one
+    * match, since regexp_replace is single-pass in both engines. */
   def canonUrl(c: Column): Column = {
     val noFrag = regexp_replace(c, "#.*", "")
     val noUtm = regexp_replace(
-      regexp_replace(noFrag, "utm_[^&#]*&", ""),
-      "[?&]utm_[^&#]*$", "")
+      regexp_replace(noFrag, "([?&])utm_[^&#]*(&utm_[^&#]*)*&", "$1"),
+      "[?&]utm_[^&#]*(&utm_[^&#]*)*$", "")
     val head = regexp_extract(noUtm, "^[a-zA-Z]+://[^/]*", 0)
     concat(lower(head), noUtm.substr(length(head) + lit(1), length(noUtm)))
   }

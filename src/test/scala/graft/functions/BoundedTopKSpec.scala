@@ -74,6 +74,19 @@ class BoundedTopKSpec extends AnyFunSuite {
     assert(plan.contains("bounded_topk"), plan)
   }
 
+  test("SQL call with INT columns implicit-casts instead of crashing (ADVICE r2)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((1, 10, 100), (1, 20, 200), (1, 30, 300)).toDF("g", "i", "s")
+      .createOrReplaceTempView("btk_int_in")
+    // i and s are INT columns; without declared inputTypes this threw
+    // ClassCastException at execution time
+    val r = spark.sql(
+      "SELECT bounded_topk(CAST(g AS LONG), i, s, 2) AS r FROM btk_int_in GROUP BY g")
+      .selectExpr("r.total AS total", "size(r.ms) AS kept").head()
+    assert(r.getLong(0) == 3L && r.getInt(1) == 2)
+  }
+
   test("serde roundtrip preserves members and total") {
     val agg = BoundedTopK(null, null, null, cap = 4)
     val buf = agg.createAggregationBuffer()

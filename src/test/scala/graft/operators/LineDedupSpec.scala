@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class LineDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  test("frequent lines strip everywhere; unique lines survive in order") {
+    import spark.implicits._
+    val banner = "subscribe now"
+    val docs = (0 until 12).map { i =>
+      val own = Seq(s"unique alpha $i", s"unique beta $i")
+      val lines = if (i % 2 == 0) Seq(banner, own.head, banner, own.last)
+      else own
+      (s"u$i", lines.mkString("\n"))
+    }.toDF("url", "text")
+    val out = LineDedup.stripFrequentLines(docs, maxDf = 5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // banner appears in 6 docs ≥ 5 → stripped from all, BOTH occurrences
+    assert(out("u0") == (("unique alpha 0\nunique beta 0", 4L, 2L)))
+    // untouched doc: byte-identical text, zero stripped
+    assert(out("u1") == (("unique alpha 1\nunique beta 1", 2L, 0L)))
+  }
+
+  test("threshold boundary: df == maxDf strips, df == maxDf - 1 survives") {
+    import spark.implicits._
+    val docs = ((0 until 3).map(i => (s"a$i", "at the edge\nown a" + i)) ++
+      (0 until 2).map(i => (s"b$i", "below edge\nown b" + i))).toDF("url", "text")
+    val out = LineDedup.stripFrequentLines(docs, maxDf = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("a0") == "own a0") // df=3 ≥ 3 stripped
+    assert(out("b0") == "below edge\nown b0") // df=2 survives
+  }
+
+  test("a fully-boilerplate doc empties; counts account for every line") {
+    import spark.implicits._
+    val docs = ((0 until 6).map(i => (s"c$i", "same line"))).toDF("url", "text")
+    val out = LineDedup.stripFrequentLines(docs, maxDf = 5).collect()
+    out.foreach { r =>
+      assert(r.getString(1) == "" && r.getLong(2) == 1L && r.getLong(3) == 1L)
+    }
+  }
+}

@@ -16,6 +16,9 @@ class WebNormalizeSpec extends AnyFunSuite {
     assert(one(WebNormalize.normalText(lit("Hello,   WORLD!!  (ok)"))) == "hello world ok")
     assert(one(WebNormalize.normalText(lit("a-b_c.d"))) == "a b c d")
     assert(one(WebNormalize.normalText(lit("  already clean  "))) == "already clean")
+    // vertical tab collapses like any other whitespace — and does so via an
+    // explicit class both Java regex and RE2 read identically (ADVICE r2)
+    assert(one(WebNormalize.normalText(lit("a\u000Bb\tc"))) == "a b c")
   }
 
   test("normalSha: equal for case/punct variants, distinct for real edits") {
@@ -48,5 +51,20 @@ class WebNormalizeSpec extends AnyFunSuite {
       one(WebNormalize.canonUrl(lit("http://a.b/p?utm_a=1&q=2")))
         == "http://a.b/p?q=2")
     assert(one(WebNormalize.canonUrl(lit("http://a.b/p"))) == "http://a.b/p")
+    // utm match is anchored to a parameter boundary: params merely
+    // CONTAINING "utm_" mid-name or mid-value survive intact (ADVICE r2)
+    assert(
+      one(WebNormalize.canonUrl(lit("http://a.b/p?a=1&myutm_b=2&q=3")))
+        == "http://a.b/p?a=1&myutm_b=2&q=3")
+    assert(
+      one(WebNormalize.canonUrl(lit("http://a.b/p?a=xutm_y&b=1")))
+        == "http://a.b/p?a=xutm_y&b=1")
+    // runs of consecutive utm params vanish in one pass
+    assert(
+      one(WebNormalize.canonUrl(lit("http://a.b/p?utm_a=1&utm_b=2&q=3")))
+        == "http://a.b/p?q=3")
+    assert(
+      one(WebNormalize.canonUrl(lit("http://a.b/p?utm_a=1&q=2&utm_z")))
+        == "http://a.b/p?q=2")
   }
 }
