@@ -516,6 +516,66 @@ object SparkEntry {
     "q_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))),
 
+    // ---- Gopher quality rules (Rae et al. 2021), driver-verifiable ----
+    // Docs chunked into 8-word lines; rule-violating slices planted so
+    // every rule fires non-vacuously: all-bullet lines (doc_id%7=0),
+    // ellipsis line endings (%7=1), symbol spam (%7=2); the 50-word floor
+    // and stop-word floor fire naturally on short / stopword-free docs.
+    "q_gopher_quality" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val chunked = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("lines0", transform(
+          sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
+          i => array_join(slice(ws, i * lit(8) + 1, lit(8)), " ")))
+      val planted = chunked
+        .withColumn("lines",
+          when(col("doc_id") % 7 === 0,
+            transform(col("lines0"), l => concat(lit("- "), l)))
+            .otherwise(col("lines0")))
+        .withColumn("lines",
+          when(col("doc_id") % 7 === 1,
+            transform(col("lines"), l => concat(l, lit("..."))))
+            .otherwise(col("lines")))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 2,
+            concat(array_join(col("lines"), "\n"),
+              lit("\n# # # # # # # # # # # # # # # #")))
+            .otherwise(array_join(col("lines"), "\n")).as("text"))
+      QualityFilters.gopherQuality(planted)
+    }),
+
+    // ---- C4 line cleaning (Raffel et al. 2020), driver-verifiable ----
+    // Even-indexed lines get terminal periods (C4 keeps them), a
+    // javascript notice planted on %5=0, a brace line on %5=1, a lorem-
+    // ipsum line on %11=3 (kept as a LINE but kills the DOC) — every rule
+    // branch produces rows.
+    "q_c4_clean" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val chunked = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("lines0", transform(
+          sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
+          i => array_join(slice(ws, i * lit(8) + 1, lit(8)), " ")))
+      val planted = chunked
+        .withColumn("lines", transform(col("lines0"), (l, i) =>
+          when(i % 2 === 0, concat(l, lit("."))).otherwise(l)))
+        .withColumn("lines",
+          when(col("doc_id") % 5 === 0,
+            concat(col("lines"),
+              array(lit("please enable JavaScript to view this page."))))
+            .otherwise(col("lines")))
+        .withColumn("lines",
+          when(col("doc_id") % 5 === 1,
+            concat(col("lines"), array(lit("window.config = { foo: 1 };"))))
+            .otherwise(col("lines")))
+        .withColumn("lines",
+          when(col("doc_id") % 11 === 3,
+            concat(col("lines"),
+              array(lit("standard lorem ipsum placeholder text here."))))
+            .otherwise(col("lines")))
+        .select(col("doc_id"), array_join(col("lines"), "\n").as("text"))
+      QualityFilters.c4Clean(planted)
+    }),
+
     // ---- relational surface (O3/O18 analogs on TPC-H-ish tables) ----
     "q1_agg" -> ((s, dir) =>
       lineitem(s, dir).groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -661,6 +721,13 @@ object SparkEntry {
     "q_cos_dup_pairs_lsh" -> ((s, dir) =>
       Similarity.cosDupPairs(plantedEmbeddings(s, dir, toDouble = false), tau = 0.8)
         .select(col("a_id"), col("b_id"), col("cos"))),
+
+    // ---- SemDeDup (Abbas et al. 2023), driver-verifiable ----
+    // Deterministic centroids (k lowest ids) make the whole cluster-then-
+    // dedup pass SQL-expressible: same planted copies as q_cos_dup_pairs,
+    // double arrays on both sides for bit-identical dot products.
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(plantedEmbeddings(s, dir, toDouble = true), k = 8, tau = 0.8)),
 
     // ---- multimodal: REAL JDK decode (ImageIO / WAV-PCM); rows-only ----
     "q_media_features" -> ((s, dir) => {
@@ -1061,6 +1128,118 @@ object SparkEntry {
         |       WHEN es = greatest(de, en, es, fr) THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM h""".stripMargin,
+    // mirrors q_gopher_quality's chunking + planting, then recomputes every
+    // Gopher metric with list lambdas; ratios rounded to 6 on both sides,
+    // `passes` evaluated over the ROUNDED values on both sides
+    "q_gopher_quality" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+        |    i -> array_to_string(w[i*8+1:i*8+8], ' ')) AS ls
+        |  FROM d),
+        |p1 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |  THEN list_transform(ls, l -> '- ' || l) ELSE ls END AS ls FROM ch),
+        |p2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 1
+        |  THEN list_transform(ls, l -> l || '...') ELSE ls END AS ls FROM p1),
+        |t AS (SELECT doc_id, CASE WHEN doc_id % 7 = 2
+        |  THEN array_to_string(ls, chr(10)) || chr(10) ||
+        |    '# # # # # # # # # # # # # # # #'
+        |  ELSE array_to_string(ls, chr(10)) END AS text FROM p2),
+        |m AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '') AS ws,
+        |  string_split(text, chr(10)) AS lines FROM t),
+        |mm AS (SELECT doc_id,
+        |  len(ws) AS n_words,
+        |  round(CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+        |    AS DOUBLE) / len(ws), 6) AS mean_word_len,
+        |  round(CAST(len(regexp_extract_all(text, '#')) +
+        |    len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(ws), 6)
+        |    AS symbol_ratio,
+        |  round(CAST(len(list_filter(lines, l -> l[1:2] IN ('- ', '* ')))
+        |    AS DOUBLE) / len(lines), 6) AS bullet_frac,
+        |  round(CAST(len(list_filter(lines, l -> l[-3:] = '...'))
+        |    AS DOUBLE) / len(lines), 6) AS ellipsis_frac,
+        |  round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+        |    AS DOUBLE) / len(ws), 6) AS alpha_frac,
+        |  len(regexp_extract_all(lower(text),
+        |    '\b(the|be|to|of|and|that|have|with)\b')) AS stop_hits
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, stop_hits,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+        |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |   AND stop_hits >= 2) AS passes
+        |FROM mm""".stripMargin,
+    // mirrors q_c4_clean: chunk, punctuate even lines, plant js/brace/lorem
+    // lines, then apply the C4 line predicate with list lambdas
+    "q_c4_clean" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+        |    i -> array_to_string(w[i*8+1:i*8+8], ' ')) AS ls FROM d),
+        |p0 AS (SELECT doc_id, list_transform(range(1, len(ls) + 1),
+        |  i -> CASE WHEN (i - 1) % 2 = 0 THEN ls[CAST(i AS INT)] || '.'
+        |       ELSE ls[CAST(i AS INT)] END) AS ls FROM ch),
+        |pj AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |  THEN list_append(ls, 'please enable JavaScript to view this page.')
+        |  ELSE ls END AS ls FROM p0),
+        |pb AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1
+        |  THEN list_append(ls, 'window.config = { foo: 1 };')
+        |  ELSE ls END AS ls FROM pj),
+        |pl AS (SELECT doc_id, CASE WHEN doc_id % 11 = 3
+        |  THEN list_append(ls, 'standard lorem ipsum placeholder text here.')
+        |  ELSE ls END AS ls FROM pb),
+        |t AS (SELECT doc_id, array_to_string(ls, chr(10)) AS text FROM pl),
+        |k AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, chr(10)), l ->
+        |    l[-1:] IN ('.', '!', '?', '"', '''')
+        |    AND len(list_filter(string_split_regex(l, '[ \t]+'), x -> x <> '')) >= 3
+        |    AND NOT contains(lower(l), 'javascript')
+        |    AND NOT contains(l, '{')) AS kept,
+        |  len(string_split(text, chr(10))) AS n_lines
+        |  FROM t)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |  len(kept) AS n_kept,
+        |  n_lines - len(kept) AS n_dropped,
+        |  (NOT contains(lower(text), 'lorem ipsum') AND len(kept) >= 3)
+        |    AS doc_kept
+        |FROM k""".stripMargin,
+    // mirrors q_semdedup: k=8 lowest-id centroids, nearest-centroid
+    // assignment (ties to lowest centroid), delete any vector with a
+    // lower-id same-cluster member at cosine ≥ 0.8 — double arrays on both
+    // sides, same planted slices as q_cos_dup_pairs
+    "q_semdedup" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, emb FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, emb FROM e0 WHERE vec_id % 20 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, list_concat([0.0], emb[2:]) AS emb
+        |  FROM e0 WHERE vec_id % 20 = 10),
+        |c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+        |  ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT vec_id, emb, centroid_id, cos_c FROM (
+        |  SELECT e.vec_id, e.emb, c.centroid_id,
+        |    list_dot_product(e.emb, c.cemb) /
+        |      (sqrt(list_dot_product(e.emb, e.emb)) *
+        |       sqrt(list_dot_product(c.cemb, c.cemb))) AS cos_c,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.emb, c.cemb) /
+        |        (sqrt(list_dot_product(e.emb, e.emb)) *
+        |         sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+        |      c.centroid_id) AS rnk
+        |  FROM e CROSS JOIN c) WHERE rnk = 1),
+        |del AS (SELECT DISTINCT y.vec_id
+        |  FROM a x JOIN a y ON x.centroid_id = y.centroid_id
+        |    AND x.vec_id < y.vec_id
+        |  WHERE list_dot_product(x.emb, y.emb) /
+        |    (sqrt(list_dot_product(x.emb, x.emb)) *
+        |     sqrt(list_dot_product(y.emb, y.emb))) >= 0.8)
+        |SELECT a.vec_id, a.centroid_id, round(a.cos_c, 6) AS cos_c,
+        |  (del.vec_id IS NOT NULL) AS deleted
+        |FROM a LEFT JOIN del ON a.vec_id = del.vec_id""".stripMargin,
     "q_doc_fingerprint" ->
       "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents",
     "q1_agg" ->

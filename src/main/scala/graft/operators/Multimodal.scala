@@ -17,11 +17,13 @@ import graft.functions.Hash64
   *     width/height + an 8×4 downsampled luminance grid as the feature;
   *   - audio: RIFF/WAVE PCM header parse + 16-bit sample decode → decoded
   *     sample rate + per-bucket RMS energy as the feature;
-  *   - video: container demux needs FFmpeg-class codecs that do not exist
-  *     in the JDK, so frame *sampling* is real (fixed-stride chunking with
-  *     bounded memory) while per-frame pixel decode falls back to
-  *     content-hash features — the one remaining declared stub, marked at
-  *     [[hashFeatures]].
+  *   - video: animated GIF (the one multi-frame container the JDK can both
+  *     demux and decode) via `ImageReader.getNumImages`/`read(i)` →
+  *     per-frame pixel decode at a fixed frame stride with bounded memory;
+  *     feature = spatial luminance grid of the middle sampled frame +
+  *     temporal mean-luminance profile. Non-GIF video containers
+  *     (MP4/WebM) would need FFmpeg-class codecs absent from the JDK and
+  *     fall back to chunk sampling + hash features ([[hashFeatures]]).
   *
   * The distributed shape mirrors the reference's content-reading compare
   * stage (`ViewModels/FileEntryViewModel.cs:95-206` reads real bytes with
@@ -165,12 +167,88 @@ object Multimodal {
 
   // ----------------------------------------------------------------- video
 
-  /** ??? STUB ??? (video pixel decode only): container demux needs codecs
-    * absent from the JDK, so per-frame features are a content hash folded
-    * into FeatureDim floats in [-1, 1]. Frame *sampling* above it is real.
-    * Also the fallback for undecodable image/audio payloads, so a corrupt
-    * file yields a deterministic row instead of a task failure (the
-    * reference's IgnoreInaccessible tolerance, `MainViewModel.cs:840`). */
+  /** Real video demux + per-frame pixel decode for animated GIF — the one
+    * multi-frame container with a JDK-builtin codec. Frames are decoded at
+    * `stride` (bounded memory: one frame in flight), and the feature is a
+    * genuine spatio-temporal sketch:
+    *   - dims 0..15: 4×4 mean-luminance grid of the MIDDLE sampled frame
+    *     (spatial content);
+    *   - dims 16..31: mean luminance of each sampled frame folded into 16
+    *     equal time buckets (temporal profile — motion shows up here).
+    * Returns (width, height, framesDecoded, feature), or None when the
+    * payload is not a readable GIF (then the caller falls back to chunk
+    * sampling + hash features). Frames are read as standalone rasters;
+    * incremental-disposal GIFs (frames smaller than the logical screen)
+    * decode their own raster, which is the right per-frame signal for a
+    * content sketch. */
+  def decodeGifFrames(payload: Array[Byte], stride: Int = 2): Option[(Int, Int, Int, Array[Float])] = {
+    if (payload.length < 6 || payload(0) != 'G' || payload(1) != 'I' || payload(2) != 'F')
+      return None
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      catch { case _: Exception => return None }
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return None }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      val idxs = 0 until n by math.max(1, stride)
+      val gridDim = 16 // 4×4 spatial cells
+      val tDim = FeatureDim - gridDim // temporal buckets
+      val tSum = new Array[Double](tDim)
+      val tCnt = new Array[Long](tDim)
+      var grid: Array[Float] = null
+      var w = -1; var h = -1
+      val midPos = idxs.length / 2
+      var pos = 0
+      idxs.foreach { i =>
+        val img = reader.read(i)
+        if (w < 0) { w = img.getWidth; h = img.getHeight }
+        var lumSum = 0.0
+        val gs = new Array[Double](gridDim)
+        val gc = new Array[Long](gridDim)
+        val iw = img.getWidth; val ih = img.getHeight
+        var y = 0
+        while (y < ih) {
+          val gy = math.min(3, y * 4 / ih)
+          var x = 0
+          while (x < iw) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            lumSum += lum
+            val cell = gy * 4 + math.min(3, x * 4 / iw)
+            gs(cell) += lum; gc(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        if (pos == midPos) grid = Array.tabulate(gridDim) { c =>
+          if (gc(c) == 0) 0f else (2.0 * (gs(c) / gc(c)) / 255.0 - 1.0).toFloat
+        }
+        val bucket = math.min(tDim - 1, pos * tDim / idxs.length)
+        tSum(bucket) += lumSum / math.max(1, iw * ih)
+        tCnt(bucket) += 1
+        pos += 1
+      }
+      val feat = new Array[Float](FeatureDim)
+      System.arraycopy(grid, 0, feat, 0, gridDim)
+      var b = 0
+      while (b < tDim) {
+        feat(gridDim + b) =
+          if (tCnt(b) == 0) 0f else (2.0 * (tSum(b) / tCnt(b)) / 255.0 - 1.0).toFloat
+        b += 1
+      }
+      Some((w, h, idxs.length, feat))
+    } catch { case _: Exception => None }
+    finally { reader.dispose(); iis.close() }
+  }
+
+  /** Content-hash fallback features for payloads no JDK codec can decode
+    * (corrupt files, containers like MP4 that need FFmpeg-class codecs), so
+    * a bad payload yields a deterministic row instead of a task failure
+    * (the reference's IgnoreInaccessible tolerance, `MainViewModel.cs:840`). */
   def hashFeatures(payload: Array[Byte], kind: String): Array[Float] = {
     val base = Hash64.hashBytes(payload, kind.hashCode.toLong)
     Array.tabulate(FeatureDim) { i =>
@@ -212,8 +290,12 @@ object Multimodal {
               case None => (hashFeatures(r.payload, "audio"), -1, -1, -1, 1)
             }
           case _ =>
-            val fs = sampleFrames(r.payload, frameBytes = 256, stride = 4)
-            (hashFeatures(r.payload, "video"), -1, -1, -1, fs.length)
+            decodeGifFrames(r.payload, stride = 2) match {
+              case Some((vw, vh, nf, f)) => (f, vw, vh, -1, nf)
+              case None => // non-GIF container: no JDK codec — chunk-sample
+                val fs = sampleFrames(r.payload, frameBytes = 256, stride = 4)
+                (hashFeatures(r.payload, "video"), -1, -1, -1, fs.length)
+            }
         }
         MediaFeatures(
           media_id = r.media_id,
@@ -253,6 +335,43 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic REAL animated GIF: `nFrames` grayscale gradient frames
+    * with a bright vertical bar that moves left→right across the clip, so
+    * the temporal half of the decoded feature actually varies with time.
+    * Encoded by the JDK GIF sequence writer — a genuine multi-frame
+    * container the decode path demuxes with `ImageReader`. */
+  def syntheticGif(id: Long, w: Int = 32, h: Int = 24, nFrames: Int = 6): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val bar = f * w / math.max(1, nFrames) // moving bright bar
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = (x * 96 / math.max(1, w - 1)) + (y * 64 / math.max(1, h - 1)) +
+            ((Hash64.mix(id) >>> 56) & 0x1f).toInt
+          val v = if (math.abs(x - bar) <= 1) 255 else base & 0xff
+          img.getRaster.setSample(x, y, 0, v)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
   /** Deterministic REAL WAV: 16-bit mono PCM sine whose frequency derives
     * from the id; 44-byte canonical header + data chunk. */
   def syntheticWav(id: Long, sampleRate: Int = 8000, nSamples: Int = 512): Array[Byte] = {
@@ -276,9 +395,9 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table derived from any (id, text) frame:
-    * REAL PNG payloads for image rows, REAL WAV-PCM for audio rows, raw
-    * text bytes for video rows (chunk-sampled). Gives the decode kernels a
-    * genuine corpus with zero external data. */
+    * REAL PNG payloads for image rows, REAL WAV-PCM for audio rows, REAL
+    * animated GIFs for video rows. Gives every decode kernel a genuine
+    * corpus with zero external data. */
   def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)].map {
@@ -289,7 +408,7 @@ object Multimodal {
         val payload = kind match {
           case "image" => syntheticPng(id, w = 48 + (id % 5).toInt * 4, h = 32)
           case "audio" => syntheticWav(id)
-          case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case _ => syntheticGif(id, nFrames = 4 + (id % 4).toInt)
         }
         MediaRow(
           media_id = id,

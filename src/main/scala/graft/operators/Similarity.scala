@@ -153,6 +153,53 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster embeddings around
+    * k centroids, then within each cluster mark as semantic duplicates the
+    * vectors whose cosine to a LOWER-id cluster member is ≥ tau — keeping
+    * one representative per duplicate group (lowest id: the deterministic
+    * stand-in for the paper's keeper choice).
+    *
+    * Determinism contract (what makes this oracle-able in SQL): centroids
+    * are the k lowest vec_ids; assignment ties break to the lowest
+    * centroid_id. At web scale swap the init for the hash-sampled
+    * [[ivfCentroids]] + [[ivfRefine]] — the operator shape is unchanged.
+    * Scaling is the paper's own argument: k grows ∝ N so the expected
+    * cluster size stays constant, the centroid broadcast is O(k), the
+    * assignment one O(N·k) scan, and the intra-cluster self-join (keyed on
+    * centroid_id, one shuffle) does bounded per-cluster pair work.
+    *
+    * Output: (vec_id, centroid_id, cos_c, deleted) — one row per vector. */
+  def semDedup(corpus: DataFrame, k: Int, tau: Double): DataFrame = {
+    val centroids = corpus
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_embedding"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("centroid_id"))
+    val assigned = corpus
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos_c", cosine(col("embedding"), col("c_embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"), col("cos_c"))
+    val a = assigned.select(
+      col("centroid_id"), col("vec_id").as("a_id"), col("embedding").as("emb_a"))
+    val b = assigned.select(
+      col("centroid_id"), col("vec_id").as("b_id"), col("embedding").as("emb_b"))
+    val deleted = a.join(b, "centroid_id")
+      .where(col("a_id") < col("b_id"))
+      .where(cosine(col("emb_a"), col("emb_b")) >= tau)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+    assigned
+      .join(deleted.withColumn("del", lit(true)), Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("centroid_id"), round(col("cos_c"), 6).as("cos_c"),
+        coalesce(col("del"), lit(false)).as("deleted"))
+  }
+
   /** Embedding near-dup buckets via sign-random-projection LSH. */
   def lshBuckets(corpus: DataFrame, bits: Int, seed: Long): DataFrame =
     corpus.withColumn("bucket", gf.vec_simhash(col("embedding"), bits, seed))

@@ -28,7 +28,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(0).width == 48 && rows(0).height == 32)
     // the audio row decoded through the REAL WAV-PCM path: true sample rate
     assert(rows(1).sampleRate == 8000)
-    // video frame sampling produced > 1 frame for the long payload
+    // the video row decoded through the REAL animated-GIF path: true
+    // logical-screen dimensions and >1 pixel-decoded frame at stride 2
+    assert(rows(2).width == 32 && rows(2).height == 24)
     assert(rows(2).decodedFrames > 1)
     // determinism
     val again = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
@@ -59,6 +61,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(n == 512)
     // a half-amplitude sine has RMS ≈ 0.5/√2 ≈ 0.354 in every bucket
     assert(feat.forall(v => v > 0.2f && v < 0.5f))
+  }
+
+  test("decodeGifFrames demuxes a planted animated GIF: frame count, dims, temporal signal") {
+    val gif = Multimodal.syntheticGif(5L, w = 32, h = 24, nFrames = 6)
+    // sanity: payload really is a GIF container
+    assert(new String(gif, 0, 3, "US-ASCII") == "GIF")
+    val Some((w, h, nf, feat)) = Multimodal.decodeGifFrames(gif, stride = 2)
+    assert(w == 32 && h == 24)
+    assert(nf == 3) // frames 0, 2, 4 of 6
+    assert(feat.length == Multimodal.FeatureDim)
+    // spatial half came from pixels: the gradient varies across cells
+    assert(feat.slice(0, 16).distinct.length > 4)
+    // temporal half has signal in the buckets the 3 sampled frames hit
+    val temporal = feat.slice(16, 32)
+    assert(temporal.count(_ != 0f) >= 3)
+    // deterministic decode
+    val again = Multimodal.decodeGifFrames(gif, stride = 2).get._4
+    assert(feat.sameElements(again))
+    // a decode at stride 1 sees all 6 frames
+    assert(Multimodal.decodeGifFrames(gif, stride = 1).get._3 == 6)
+    // non-GIF bytes are rejected, not mis-decoded
+    assert(Multimodal.decodeGifFrames("not a gif at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("moving bar shows up in the temporal profile across different clips") {
+    // two clips differing only in frame count produce different temporal
+    // halves but similar spatial gradients — evidence the time axis is real
+    val a = Multimodal.decodeGifFrames(Multimodal.syntheticGif(1L, nFrames = 4), stride = 1).get._4
+    val b = Multimodal.decodeGifFrames(Multimodal.syntheticGif(1L, nFrames = 8), stride = 1).get._4
+    assert(!a.slice(16, 32).sameElements(b.slice(16, 32)))
   }
 
   test("undecodable payloads fall back to hash features with sentinel dims") {

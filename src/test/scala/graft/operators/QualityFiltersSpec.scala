@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualityFiltersSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def gopher(texts: (Long, String)*): Map[Long, org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    QualityFilters.gopherQuality(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+  }
+
+  private val goodDoc: String = {
+    // 60 plain words incl. stop words, mean length in [3,10]
+    val ws = Seq("the", "quick", "brown", "fox", "jumps", "over", "the",
+      "lazy", "dog", "with", "style")
+    Iterator.continually(ws).flatten.take(60).mkString(" ")
+  }
+
+  test("gopher: a clean document passes every rule") {
+    val m = gopher(1L -> goodDoc)(1L)
+    assert(m.getAs[Boolean]("passes"))
+    assert(m.getAs[Long]("n_words") == 60)
+    assert(m.getAs[Double]("alpha_frac") == 1.0)
+    assert(m.getAs[Long]("stop_hits") >= 2)
+  }
+
+  test("gopher: word-count floor rejects short docs") {
+    val m = gopher(1L -> "the dog and the fox have fun with that")(1L)
+    assert(m.getAs[Long]("n_words") < 50)
+    assert(!m.getAs[Boolean]("passes"))
+  }
+
+  test("gopher: symbol ratio catches hash spam") {
+    val spam = goodDoc + " " + Seq.fill(10)("#").mkString(" ")
+    val m = gopher(1L -> spam)(1L)
+    assert(m.getAs[Double]("symbol_ratio") > 0.1)
+    assert(!m.getAs[Boolean]("passes"))
+  }
+
+  test("gopher: bullet and ellipsis line fractions") {
+    val bullets = (1 to 10).map(i => s"- $goodDoc").mkString("\n")
+    val mb = gopher(1L -> bullets)(1L)
+    assert(mb.getAs[Double]("bullet_frac") == 1.0)
+    assert(!mb.getAs[Boolean]("passes"))
+
+    val dots = (1 to 10).map(_ => s"$goodDoc...").mkString("\n")
+    val md = gopher(2L -> dots)(2L)
+    assert(md.getAs[Double]("ellipsis_frac") == 1.0)
+    assert(!md.getAs[Boolean]("passes"))
+  }
+
+  test("gopher: alphabetic-word floor and stop-word floor") {
+    val numeric = Iterator.continually(Seq("123", "456", "the", "word"))
+      .flatten.take(60).mkString(" ")
+    val mn = gopher(1L -> numeric)(1L)
+    assert(mn.getAs[Double]("alpha_frac") < 0.8)
+    assert(!mn.getAs[Boolean]("passes"))
+
+    val noStops = Iterator.continually(Seq("alpha", "beta", "gamma", "delta"))
+      .flatten.take(60).mkString(" ")
+    val ms = gopher(2L -> noStops)(2L)
+    assert(ms.getAs[Long]("stop_hits") == 0)
+    assert(!ms.getAs[Boolean]("passes"))
+  }
+
+  test("gopher: mean word length bounds") {
+    val tiny = Seq.fill(60)("a b").mkString(" ") // mean length 1
+    assert(!gopher(1L -> tiny)(1L).getAs[Boolean]("passes"))
+    val long = Seq.fill(60)("incomprehensibilities").mkString(" ") // 21 chars
+    val m = gopher(2L -> long)(2L)
+    assert(m.getAs[Double]("mean_word_len") > 10.0)
+    assert(!m.getAs[Boolean]("passes"))
+  }
+
+  private def c4(texts: (Long, String)*): Map[Long, org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    QualityFilters.c4Clean(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+  }
+
+  test("c4: keeps terminal-punctuation lines with >=3 words, in order") {
+    val doc = Seq(
+      "this line ends with a period.",
+      "this one has no terminal punctuation",
+      "short.",
+      "is this a question?",
+      "javascript must be enabled to proceed.",
+      "var config = { a: 1 };",
+      "the final line stands here!").mkString("\n")
+    val r = c4(1L -> doc)(1L)
+    assert(r.getAs[String]("clean_text") == Seq(
+      "this line ends with a period.",
+      "is this a question?",
+      "the final line stands here!").mkString("\n"))
+    assert(r.getAs[Long]("n_kept") == 3)
+    assert(r.getAs[Long]("n_dropped") == 4)
+    assert(r.getAs[Boolean]("doc_kept"))
+  }
+
+  test("c4: lorem ipsum kills the doc even when its lines are clean") {
+    val doc = Seq(
+      "a perfectly ordinary first sentence.",
+      "more lorem ipsum filler follows here.",
+      "and a third one closes it.").mkString("\n")
+    val r = c4(1L -> doc)(1L)
+    assert(r.getAs[Long]("n_kept") == 3)
+    assert(!r.getAs[Boolean]("doc_kept"))
+  }
+
+  test("c4: docs left with too few lines are dropped") {
+    val r = c4(1L -> "only one surviving sentence here.\nno punct\nnope")(1L)
+    assert(r.getAs[Long]("n_kept") == 1)
+    assert(!r.getAs[Boolean]("doc_kept"))
+  }
+
+  test("gopher and c4 are single-projection plans: no exchange, no UDF") {
+    import spark.implicits._
+    val df = Seq((1L, goodDoc)).toDF("doc_id", "text")
+    for (out <- Seq(QualityFilters.gopherQuality(df), QualityFilters.c4Clean(df))) {
+      val plan = out.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"quality filters must not shuffle:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    }
+  }
+}

@@ -159,6 +159,38 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected one bkey exchange per candidate subtree ($generates generates, $bkeyExchanges bkey exchanges):\n$plan")
   }
 
+  test("semDedup: planted copies are deleted, representatives kept, one row per vector") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val base = (0 until 100).map(i => (i.toLong, Array.fill(16)(r.nextDouble() * 2 - 1)))
+    val copies = Seq(3L, 17L).map(i => (i + 1000L, base(i.toInt)._2.clone))
+    val c = (base ++ copies).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(c, k = 5, tau = 0.95)
+    val rows = out.collect().map(x =>
+      x.getAs[Long]("vec_id") -> x).toMap
+    assert(rows.size == 102, "one row per vector")
+    val deleted = rows.collect { case (id, x) if x.getAs[Boolean]("deleted") => id }.toSet
+    // exact copies have cosine 1.0 to their base and land in the same
+    // cluster (identical centroid cosines, identical tie-break), so the
+    // higher-id member of each pair is deleted and only it
+    assert(deleted == Set(1003L, 1017L), s"got $deleted")
+    assert(rows(1003L).getAs[Long]("centroid_id") == rows(3L).getAs[Long]("centroid_id"))
+    // centroids are the k lowest ids and self-assign at cosine 1
+    assert(rows(0L).getAs[Long]("centroid_id") == 0L)
+    assert(math.abs(rows(0L).getAs[Double]("cos_c") - 1.0) < 1e-9)
+    // deterministic end to end
+    val again = Similarity.semDedup(c, k = 5, tau = 0.95).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Boolean]("deleted")).toMap
+    assert(rows.forall { case (id, x) => again(id) == x.getAs[Boolean]("deleted") })
+  }
+
+  test("semDedup: centroid table is broadcast, not shuffled to the corpus") {
+    val c = corpus(200, 16)
+    val plan = Similarity.semDedup(c, k = 8, tau = 0.9)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastExchange"), s"centroids must broadcast:\n$plan")
+  }
+
   test("vector LSH buckets: identical vectors share a bucket") {
     import spark.implicits._
     val r = new scala.util.Random(3)
