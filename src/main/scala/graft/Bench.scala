@@ -59,8 +59,13 @@ object Bench {
       else session(totalCores)
     try {
       val pages = SyntheticCorpus.distributed(spark, n, partitions = totalCores * 2)
+      // SPARK_GRAFT_CC_MAX_DRIVER_EDGES=0 forces the distributed CC path
+      // (the cluster configuration) for scaling experiments
+      val cfg = sys.env.get("SPARK_GRAFT_CC_MAX_DRIVER_EDGES")
+        .map(v => DedupConfig(ccMaxDriverEdges = v.toLong))
+        .getOrElse(DedupConfig())
       timed {
-        val r = DedupPipeline.run(spark, pages.toDF(), DedupConfig(), fromHtml = true)
+        val r = DedupPipeline.run(spark, pages.toDF(), cfg, fromHtml = true)
         r.decisions.write.mode("overwrite").format("noop").save()
       }
     } finally spark.stop()

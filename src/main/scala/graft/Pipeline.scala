@@ -49,6 +49,11 @@ final case class DedupConfig(
       * election; unlisted hosts rank after all listed ones. */
     sourcePriority: Seq[String] = Nil,
     verifyExtract: Boolean = false,
+    /** Edge-count threshold below which connected components run as a
+      * driver-local union-find (constant wall-clock, wins at sandbox
+      * scale); 0 forces the distributed label-propagation path — the
+      * cluster configuration, and the scaling-experiment dial. */
+    ccMaxDriverEdges: Long = operators.ConnectedComponents.DefaultMaxDriverEdges,
     runDir: Option[String] = None) {
 
   require(
@@ -285,6 +290,7 @@ object DedupPipeline {
         spark,
         live.select(col("url"), col("nk")),
         edges.select(col("src"), col("dst")),
+        maxDriverEdges = cfg.ccMaxDriverEdges,
         // source-priority keys are not derivable from the url alone — the
         // driver union-find must then read them from the nodes frame
         driverNk =

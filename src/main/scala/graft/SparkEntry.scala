@@ -403,6 +403,35 @@ object SparkEntry {
         .select(col("url"), col("kept_text"), col("n_lines"), col("n_stripped"))
     }),
 
+    // ---- incremental (batch-vs-corpus) dedup, driver-verifiable ----
+    // corpus = even doc_ids (digest table only), batch = doc_id%3 slice ∪ a
+    // re-urled doc_id%9 copy slice — exercises batch-internal election,
+    // corpus-overlap drop (%6) and new-content retention in one query.
+    "q_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpusShas = d.where(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("sha"))
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .select(concat(lit("b"), col("doc_id")).as("url"), col("text"))
+        .unionByName(
+          d.where(col("doc_id") % 9 === 0)
+            .select(concat(lit("x"), col("doc_id")).as("url"), col("text")))
+      IncrementalDedup.newDocs(batch, corpusShas, algo = "md5")
+        .select(col("url"), col("sha"))
+    }),
+
+    "q_ingest_stats" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpusShas = d.where(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("sha"))
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .select(concat(lit("b"), col("doc_id")).as("url"), col("text"))
+        .unionByName(
+          d.where(col("doc_id") % 9 === 0)
+            .select(concat(lit("x"), col("doc_id")).as("url"), col("text")))
+      IncrementalDedup.ingestStats(batch, corpusShas, algo = "md5")
+    }),
+
     // ---- span-level dedup (Lee et al. 2022), driver-verifiable ----
     // Winnowed candidates → per-pair shared-gram span kernel → per-doc
     // interval union, vs DuckDB recomputing duplicated spans from the
@@ -1128,6 +1157,35 @@ object SparkEntry {
         |       WHEN es = greatest(de, en, es, fr) THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM h""".stripMargin,
+    // mirrors q_incremental_dedup: batch-internal min-url election per md5,
+    // then anti-join against the even-doc corpus digest set
+    "q_incremental_dedup" ->
+      """WITH b AS (
+        |  SELECT 'b' || CAST(doc_id AS VARCHAR) AS url, text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'x' || CAST(doc_id AS VARCHAR) AS url, text
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |h AS (SELECT url, md5(text) AS sha FROM b),
+        |reps AS (SELECT sha, min(url) AS url FROM h GROUP BY sha),
+        |c AS (SELECT md5(text) AS sha FROM documents WHERE doc_id % 2 = 0)
+        |SELECT r.url, r.sha FROM reps r
+        |LEFT JOIN c ON r.sha = c.sha WHERE c.sha IS NULL""".stripMargin,
+    "q_ingest_stats" ->
+      """WITH b AS (
+        |  SELECT text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id % 9 = 0),
+        |per AS (SELECT md5(text) AS sha, count(*) AS cnt FROM b GROUP BY 1),
+        |c AS (SELECT DISTINCT md5(text) AS sha FROM documents WHERE doc_id % 2 = 0),
+        |f AS (SELECT per.cnt, (c.sha IS NOT NULL) AS in_corpus
+        |  FROM per LEFT JOIN c ON per.sha = c.sha)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_batch,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(cnt) - count(*) AS BIGINT) AS n_internal_dups,
+        |  CAST(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_dups,
+        |  CAST(sum(CASE WHEN in_corpus THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+        |FROM f""".stripMargin,
     // mirrors q_gopher_quality's chunking + planting, then recomputes every
     // Gopher metric with list lambdas; ratios rounded to 6 on both sides,
     // `passes` evaluated over the ROUNDED values on both sides

@@ -35,55 +35,64 @@ object QualityFilters {
 
   private def lines(text: Column): Column = split(text, "\n")
 
-  /** Gopher quality metrics + verdict for one text column. Thresholds are
-    * the paper's (word count 50..100k, mean word length 3..10, symbol ratio
-    * ≤ 0.1, bullet lines ≤ 90%, ellipsis lines ≤ 30%, words-with-alpha
-    * ≥ 80%, ≥ 2 stop words). Ratios are rounded to 6 places so engine and
-    * oracle agree bit-for-bit. */
-  def gopherMetrics(text: Column): Column = {
-    val ws = words(text)
-    val nWords = size(ws)
-    val meanLen = round(
-      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-        nWords, 6)
-    // Gopher counts '#' and '…' as symbols; '...' is the ASCII ellipsis
-    val nSym = regexp_count(text, lit("#")) +
-      regexp_count(text, lit("\\.\\.\\."))
-    val symRatio = round(nSym.cast("double") / nWords, 6)
-    val ls = lines(text)
-    val nLines = size(ls)
-    val bulletFrac = round(
-      size(filter(ls, l => substring(l, 1, 2).isin("- ", "* "))).cast("double") /
-        nLines, 6)
-    val ellipsisFrac = round(
-      size(filter(ls, l => substring(l, -3, 3) === "...")).cast("double") /
-        nLines, 6)
-    val alphaFrac = round(
-      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 6)
-    val stopHits = regexp_count(
-      lower(text), lit("\\b(the|be|to|of|and|that|have|with)\\b"))
-    val passes = nWords.between(50, 100000) &&
-      meanLen.between(3.0, 10.0) &&
-      symRatio <= 0.1 &&
-      bulletFrac <= 0.9 &&
-      ellipsisFrac <= 0.3 &&
-      alphaFrac >= 0.8 &&
-      stopHits >= 2
-    struct(
-      nWords.cast("long").as("n_words"),
-      meanLen.as("mean_word_len"),
-      symRatio.as("symbol_ratio"),
-      bulletFrac.as("bullet_frac"),
-      ellipsisFrac.as("ellipsis_frac"),
-      alphaFrac.as("alpha_frac"),
-      stopHits.cast("long").as("stop_hits"),
-      passes.as("passes"))
-  }
-
   /** Gopher rules over a (idCol, textCol) frame → one row per doc with the
-    * metric columns flattened. Pure projection: no shuffle, no UDF. */
-  def gopherQuality(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
-    df.select(col(id), gopherMetrics(col(text)).as("m")).select(col(id), col("m.*"))
+    * metric columns + `passes` verdict. Thresholds are the paper's (word
+    * count 50..100k, mean word length 3..10, symbol ratio ≤ 0.1, bullet
+    * lines ≤ 90%, ellipsis lines ≤ 30%, words-with-alpha ≥ 80%, ≥ 2 stop
+    * words). Ratios rounded to 6 places so engine and oracle agree
+    * bit-for-bit.
+    *
+    * Built as THREE stacked projections, not one: the word/line arrays
+    * materialize as intermediate columns at level 1 and every metric reads
+    * the attribute. A single inline expression tree re-evaluates
+    * `filter(split(text))` once per metric (~12× per row — visible in the
+    * physical plan), and Catalyst's CollapseProject deliberately refuses
+    * to merge projections when that would duplicate non-cheap
+    * multi-referenced expressions, which is exactly the guarantee this
+    * layering relies on. Still one pipelined task per partition: no
+    * shuffle, no UDF. */
+  def gopherQuality(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val t = col(text)
+    val arrays = df.select(
+      col(id),
+      words(t).as("__ws"),
+      lines(t).as("__ls"),
+      // Gopher counts '#' and '…' as symbols; '...' is the ASCII ellipsis
+      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")))
+        .as("__n_sym"),
+      regexp_count(lower(t), lit("\\b(the|be|to|of|and|that|have|with)\\b"))
+        .as("__stop"))
+    val ws = col("__ws")
+    val ls = col("__ls")
+    val metrics = arrays.select(
+      col(id),
+      size(ws).cast("long").as("n_words"),
+      round(
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          size(ws), 6).as("mean_word_len"),
+      round(col("__n_sym").cast("double") / size(ws), 6).as("symbol_ratio"),
+      round(
+        size(filter(ls, l => substring(l, 1, 2).isin("- ", "* "))).cast("double") /
+          size(ls), 6).as("bullet_frac"),
+      round(
+        size(filter(ls, l => substring(l, -3, 3) === "...")).cast("double") /
+          size(ls), 6).as("ellipsis_frac"),
+      round(
+        size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") /
+          size(ws), 6).as("alpha_frac"),
+      col("__stop").cast("long").as("stop_hits"))
+    metrics.select(
+      col(id), col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+      col("bullet_frac"), col("ellipsis_frac"), col("alpha_frac"),
+      col("stop_hits"),
+      (col("n_words").between(50, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_frac") <= 0.9 &&
+        col("ellipsis_frac") <= 0.3 &&
+        col("alpha_frac") >= 0.8 &&
+        col("stop_hits") >= 2).as("passes"))
+  }
 
   /** True for a line C4 keeps: ends in terminal punctuation, ≥ `minWords`
     * words, no "javascript", no curly brace. */
@@ -104,14 +113,19 @@ object QualityFilters {
       text: String = "text",
       minWords: Int = 3,
       minLines: Int = 3): DataFrame = {
-    val ls = lines(col(text))
-    val kept = filter(ls, l => c4LineKeep(l, minWords))
-    df.select(
+    // same projection layering as gopherQuality: the kept-lines array
+    // materializes once and the four outputs read the attribute
+    val arrays = df.select(
+      col(id),
+      filter(lines(col(text)), l => c4LineKeep(l, minWords)).as("__kept"),
+      size(lines(col(text))).as("__n_lines"),
+      lower(col(text)).contains("lorem ipsum").as("__lorem"))
+    val kept = col("__kept")
+    arrays.select(
       col(id),
       array_join(kept, "\n").as("clean_text"),
       size(kept).cast("long").as("n_kept"),
-      (size(ls) - size(kept)).cast("long").as("n_dropped"),
-      (!lower(col(text)).contains("lorem ipsum") &&
-        size(kept) >= minLines).as("doc_kept"))
+      (col("__n_lines") - size(kept)).cast("long").as("n_dropped"),
+      (!col("__lorem") && size(kept) >= minLines).as("doc_kept"))
   }
 }

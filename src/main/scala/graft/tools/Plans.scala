@@ -47,6 +47,13 @@ object Plans {
 
     println("=== PLAN 8: embedding cosine near-dup (bounded buckets, one wide exchange) ===")
     Similarity.cosDupPairs(emb, tau = 0.8).explain("formatted")
+
+    println("=== PLAN 9: SemDeDup (O(k) centroid broadcast; cluster-keyed self-join) ===")
+    Similarity.semDedup(emb, k = 8, tau = 0.8).explain("formatted")
+
+    println("=== PLAN 10: Gopher + C4 quality filters (single projection, no exchange) ===")
+    QualityFilters.gopherQuality(docs).explain("formatted")
+    QualityFilters.c4Clean(docs).explain("formatted")
     spark.stop()
   }
 }

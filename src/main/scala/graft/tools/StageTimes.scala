@@ -44,7 +44,9 @@ object StageTimes {
     val subc = time("sub_cands") { SubstringDup.candidatePairs(spark, reps, cfg.substrConfig) }
     val sub = time("substr_edges") { SubstringDup.verifiedEdges(subc, reps, cfg.substrConfig) }
     val edges = exactEdges.select("src","dst").unionByName(near).unionByName(sub)
-    val labels = time("cc") { ConnectedComponents.run(spark, live.select(col("url"), col("nk")), edges) }
+    val ccCap = sys.env.get("SPARK_GRAFT_CC_MAX_DRIVER_EDGES").map(_.toLong)
+      .getOrElse(ConnectedComponents.DefaultMaxDriverEdges)
+    val labels = time("cc") { ConnectedComponents.run(spark, live.select(col("url"), col("nk")), edges, maxDriverEdges = ccCap) }
     val dec = time("decisions") { Decisions.decide(docs.select(col("url"),col("len")), labels.select(col("url"),col("cluster_url")), cfg.minLen) }
     println(f"TOTAL ${(System.nanoTime()-t0)/1e9}%8.2f s")
     spark.stop()

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def frames() = {
+    import spark.implicits._
+    // corpus holds texts A and B; batch brings B (corpus dup), C twice
+    // (internal dup, two urls) and D (genuinely new)
+    val corpus = Seq("text A", "text B").toDF("text")
+      .select(sha2(col("text"), 256).as("sha"))
+    val batch = Seq(
+      ("u1", "text B"),
+      ("u2", "text C"),
+      ("u3", "text C"),
+      ("u4", "text D")).toDF("url", "text")
+    (batch, corpus)
+  }
+
+  test("newDocs drops corpus dups, elects one rep per internal-dup group") {
+    val (batch, corpus) = frames()
+    val out = IncrementalDedup.newDocs(batch, corpus).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(out == Map("u2" -> "text C", "u4" -> "text D"))
+  }
+
+  test("ingestStats accounting adds up") {
+    val (batch, corpus) = frames()
+    val r = IncrementalDedup.ingestStats(batch, corpus).collect().head
+    assert(r.getAs[Long]("n_batch") == 4)
+    assert(r.getAs[Long]("n_distinct") == 3)
+    assert(r.getAs[Long]("n_internal_dups") == 1)
+    assert(r.getAs[Long]("n_corpus_dups") == 1)
+    assert(r.getAs[Long]("n_new") == 2)
+  }
+
+  test("digest dial changes the sha column but not the decisions") {
+    val (batch, corpus0) = frames()
+    import spark.implicits._
+    val corpusMd5 = Seq("text A", "text B").toDF("text")
+      .select(md5(col("text")).as("sha"))
+    val out = IncrementalDedup.newDocs(batch, corpusMd5, algo = "md5").collect()
+    assert(out.map(_.getAs[String]("url")).toSet == Set("u2", "u4"))
+    assert(out.head.getAs[String]("sha").length == 32) // md5 hex width
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.digestCol(col("text"), "sha1")
+    }
+    assert(corpus0.count() == 2) // silence unused warning path
+  }
+
+  test("empty corpus keeps every distinct batch text") {
+    val (batch, _) = frames()
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("sha")
+    val out = IncrementalDedup.newDocs(batch, empty).collect()
+    assert(out.length == 3) // B, C (one rep), D
+  }
+
+  test("texts never enter the election aggregate (narrow agg, re-join)") {
+    val (batch, corpus) = frames()
+    val plan = IncrementalDedup.newDocs(batch, corpus)
+      .queryExecution.optimizedPlan.toString()
+    // the aggregate must group (sha -> min(url)) only; text re-attaches by
+    // a later join, so no Aggregate node may reference the text column
+    val aggLines = plan.linesIterator.filter(_.contains("Aggregate")).toSeq
+    assert(aggLines.nonEmpty && aggLines.forall(!_.contains("text")),
+      s"texts leaked into the aggregate:\n$plan")
+  }
+}

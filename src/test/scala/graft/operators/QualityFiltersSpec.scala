@@ -116,13 +116,22 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("doc_kept"))
   }
 
-  test("gopher and c4 are single-projection plans: no exchange, no UDF") {
+  test("gopher and c4 are shuffle-free and split each text at most twice") {
     import spark.implicits._
-    val df = Seq((1L, goodDoc)).toDF("doc_id", "text")
+    // a parquet-backed frame: local relations constant-fold the projection
+    // away, which would vacuously pass the expression-count asserts
+    val dir = java.nio.file.Files.createTempDirectory("qf_plan").toString
+    Seq((1L, goodDoc)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
     for (out <- Seq(QualityFilters.gopherQuality(df), QualityFilters.c4Clean(df))) {
       val plan = out.queryExecution.executedPlan.toString()
       assert(!plan.contains("Exchange"), s"quality filters must not shuffle:\n$plan")
       assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+      // the projection layering materializes the word/line arrays once —
+      // an inline formulation re-splits the text once per metric (~12×)
+      val splits = "split\\(text".r.findAllIn(plan).length
+      assert(splits <= 2, s"text must split at most twice, saw $splits:\n$plan")
     }
   }
 }
