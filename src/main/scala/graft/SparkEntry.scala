@@ -432,6 +432,34 @@ object SparkEntry {
       IncrementalDedup.ingestStats(batch, corpusShas, algo = "md5")
     }),
 
+    // ---- benchmark decontamination (13-gram overlap), driver-verifiable ----
+    // eval set = the doc_id%37=5 texts; any training doc sharing a 13-word
+    // gram with it is flagged. Engine matches on xxhash64(gram), oracle on
+    // the gram STRING — identical at any collision-free scale (the same
+    // argument as q_line_dedup).
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.where(col("doc_id") % 37 === 5)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Decontaminate.contaminated(d, bench, n = 13)
+    }),
+
+    // ---- re-crawl collapse (keep-latest per url), driver-verifiable ----
+    // every doc_id%4=1 url gets a one-day-later re-crawl with changed text;
+    // the collapse must keep exactly the newest row per url.
+    "q_url_latest" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        urlCol.as("url"),
+        (lit(1767225600L) + col("doc_id")).as("ts_s"),
+        col("doc_id"), col("text"))
+      val planted = d.unionByName(
+        d.where(col("doc_id") % 4 === 1)
+          .withColumn("ts_s", col("ts_s") + lit(86400L))
+          .withColumn("text", concat(lit("recrawled "), col("text"))))
+      ExactDedup.latestPerKey(planted, "url", "ts_s", "doc_id")
+        .select(col("url"), col("ts_s"), length(col("text")).as("len"))
+    }),
+
     // ---- span-level dedup (Lee et al. 2022), driver-verifiable ----
     // Winnowed candidates → per-pair shared-gram span kernel → per-doc
     // interval union, vs DuckDB recomputing duplicated spans from the
@@ -1157,6 +1185,35 @@ object SparkEntry {
         |       WHEN es = greatest(de, en, es, fr) THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM h""".stripMargin,
+    // mirrors q_decontaminate with gram STRINGS (engine: xxhash64 of the
+    // same grams — identical verdicts while grams are collision-free)
+    "q_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dg AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(w) - 12, 0)),
+        |    i -> array_to_string(w[i+1:i+13], ' '))) AS gram FROM d),
+        |b AS (SELECT DISTINCT
+        |  unnest(list_transform(range(0, greatest(len(w) - 12, 0)),
+        |    i -> array_to_string(w[i+1:i+13], ' '))) AS gram
+        |  FROM d WHERE doc_id % 37 = 5),
+        |hits AS (SELECT dg.doc_id, count(b.gram) AS n_hits
+        |  FROM dg LEFT JOIN b ON dg.gram = b.gram GROUP BY dg.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+    "q_url_latest" ->
+      s"""WITH d AS (
+        |  SELECT $urlSql AS url, 1767225600 + doc_id AS ts_s, doc_id, text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT $urlSql AS url, 1767225600 + doc_id + 86400, doc_id,
+        |    'recrawled ' || text
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |r AS (SELECT url, ts_s, length(text) AS len,
+        |  row_number() OVER (PARTITION BY url ORDER BY ts_s DESC, doc_id DESC)
+        |    AS rn FROM d)
+        |SELECT url, ts_s, len FROM r WHERE rn = 1""".stripMargin,
     // mirrors q_incremental_dedup: batch-internal min-url election per md5,
     // then anti-join against the even-doc corpus digest set
     "q_incremental_dedup" ->

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (Brown et al. 2020, "Language Models are
+  * Few-Shot Learners", Appendix C; standard in every training pipeline
+  * since): flag training documents that share any word n-gram (default 13)
+  * with an evaluation set, so eval data can be scrubbed from the corpus.
+  *
+  * Plan shape at 100 TB:
+  *   - each doc explodes into (len − n + 1) gram hashes — one narrow
+  *     (id, gram_hash) stream, 8 bytes of gram per row, the text itself
+  *     never leaves the scan;
+  *   - the eval set is tiny by construction (thousands of documents), so
+  *     its distinct gram-hash table broadcasts and the membership test is
+  *     a broadcast semi/left join — NO shuffle of the corpus-side gram
+  *     stream at all when the broadcast fits, and a gram-hash-keyed
+  *     shuffle (still narrow rows) when it does not;
+  *   - the per-doc verdict is one map-side-combining groupBy(id).
+  */
+object Decontaminate {
+
+  /** Word n-gram hashes for one text column: xxhash64 of each n-word
+    * window (single-space joined). Empty for texts shorter than n words —
+    * guarded because `sequence(0, k)` generates DESCENDING sequences for
+    * negative k rather than an empty array. */
+  def gramHashes(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    when(size(ws) < n, array().cast("array<bigint>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(ws) - n),
+          i => xxhash64(array_join(slice(ws, i + 1, lit(n)), " "))))
+  }
+
+  /** Contamination verdict per training doc: (id, n_hits, contaminated)
+    * where n_hits counts this doc's gram OCCURRENCES that appear anywhere
+    * in `bench` (a (bench_id, text) frame). */
+  def contaminated(
+      docs: DataFrame,
+      bench: DataFrame,
+      n: Int = 13,
+      id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val docGrams = docs.select(
+      col(id), explode_outer(gramHashes(col(text), n)).as("g"))
+    val benchGrams = bench.select(explode(gramHashes(col(text), n)).as("g"))
+      .distinct()
+    docGrams
+      .join(broadcast(benchGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col(id))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col(id), col("n_hits"), (col("n_hits") > 0).as("contaminated"))
+  }
+}

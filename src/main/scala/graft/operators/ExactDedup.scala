@@ -28,6 +28,25 @@ object ExactDedup {
     * docs within one scope always star together regardless of where the
     * globally-first copy of their text lives). min_by/min keep the partial
     * aggregation hash-based — min(struct(..)) planned a SortAggregate. */
+  /** Re-crawl collapse: keep the row with the maximum `ts` per `key`
+    * (ties broken toward the maximum `tieBreak`) — the standard keep-latest
+    * rule for repeatedly-crawled urls. Narrow two-phase shape: a
+    * map-side-combining `max(struct(ts, tieBreak))` election over three
+    * columns, then an inner join brings the winner's full row back — wide
+    * payloads (html, text) cross one exchange and never enter the
+    * aggregate's buffers, the same discipline as rep election above. */
+  def latestPerKey(
+      df: DataFrame,
+      key: String,
+      ts: String,
+      tieBreak: String): DataFrame = {
+    val elect = df
+      .groupBy(col(key))
+      .agg(max(struct(col(ts), col(tieBreak))).as("m"))
+      .select(col(key), col(s"m.$ts").as(ts), col(s"m.$tieBreak").as(tieBreak))
+    df.join(elect, Seq(key, ts, tieBreak), "left_semi")
+  }
+
   def repsAndEdges(
       docs: DataFrame,
       blockCols: Seq[String] = Seq("sha")): (DataFrame, DataFrame) = {

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DecontaminateSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def words(n: Int, tag: String): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("13-gram overlap flags exactly the docs sharing a window with the eval set") {
+    import spark.implicits._
+    val evalText = words(20, "e")
+    val clean = words(30, "c")
+    // doc 2 embeds a 13-word run from the eval text mid-document
+    val leaked = words(5, "x") + " " + evalText.split(" ").slice(3, 16).mkString(" ") +
+      " " + words(5, "y")
+    val short = words(5, "s") // < 13 words: no grams at all
+    val docs = Seq((1L, clean), (2L, leaked), (3L, short), (4L, evalText))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, evalText)).toDF("bench_id", "text")
+    val out = Decontaminate.contaminated(docs, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out.size == 4, "every doc gets a verdict row")
+    assert(out(1L) == ((0L, false)))
+    assert(out(2L)._2 && out(2L)._1 == 1, s"one shared 13-gram window: ${out(2L)}")
+    assert(out(3L) == ((0L, false)), "short docs have no grams and survive")
+    // the eval text itself: 20 words -> 8 grams, all contaminated
+    assert(out(4L) == ((8L, true)))
+  }
+
+  test("gram count is length - n + 1 and hashes are deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, words(13, "w")), (2L, words(12, "w"))).toDF("doc_id", "text")
+    val g = df.select(col("doc_id"),
+      size(Decontaminate.gramHashes(col("text"), 13)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(g(1L) == 1 && g(2L) == 0)
+  }
+
+  test("bench gram table is broadcast (no corpus-side shuffle before the join)") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, words(20, s"d$i"))).toDF("doc_id", "text")
+    val bench = Seq((0L, words(20, "b"))).toDF("bench_id", "text")
+    val plan = Decontaminate.contaminated(docs, bench)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastExchange"), s"bench grams must broadcast:\n$plan")
+  }
+
+  test("latestPerKey keeps the newest row per key, ties to max tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", 10L, 1L, "old"),
+      ("u1", 20L, 2L, "new"),
+      ("u2", 5L, 3L, "only"),
+      ("u3", 7L, 4L, "tie-lo"),
+      ("u3", 7L, 5L, "tie-hi")).toDF("url", "ts", "id", "payload")
+    val out = ExactDedup.latestPerKey(df, "url", "ts", "id").collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("payload")).toMap
+    assert(out == Map("u1" -> "new", "u2" -> "only", "u3" -> "tie-hi"))
+  }
+}
