@@ -432,6 +432,32 @@ object SparkEntry {
       IncrementalDedup.ingestStats(batch, corpusShas, algo = "md5")
     }),
 
+    // ---- paragraph-level dedup (RefinedWeb-style), driver-verifiable ----
+    // same operator as q_line_dedup at "\n\n" granularity: 8-word lines
+    // pair into 2-line paragraphs, a boilerplate paragraph planted into
+    // every third doc must strip corpus-wide.
+    "q_paragraph_dedup" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val chunked = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("lines0", transform(
+          sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
+          i => array_join(slice(ws, i * lit(8) + 1, lit(8)), " ")))
+        .withColumn("paras0", transform(
+          sequence(lit(0), ceil(size(col("lines0")) / lit(2.0)).cast("int") - 1),
+          i => array_join(slice(col("lines0"), i * lit(2) + 1, lit(2)), "\n")))
+      val planted = chunked
+        .withColumn("paras",
+          when(col("doc_id") % 3 === 0,
+            concat(col("paras0"),
+              array(lit("subscribe to our newsletter\nall rights reserved"))))
+            .otherwise(col("paras0")))
+        .select(col("doc_id").cast("string").as("url"),
+          array_join(col("paras"), "\n\n").as("text"))
+      operators.LineDedup.stripFrequentLines(planted, maxDf = 10, sep = "\n\n")
+        .select(col("url"), col("kept_text"),
+          col("n_lines").as("n_paras"), col("n_stripped"))
+    }),
+
     // ---- benchmark decontamination (13-gram overlap), driver-verifiable ----
     // eval set = the doc_id%37=5 texts; any training doc sharing a 13-word
     // gram with it is flagged. Engine matches on xxhash64(gram), oracle on
@@ -1185,6 +1211,34 @@ object SparkEntry {
         |       WHEN es = greatest(de, en, es, fr) THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM h""".stripMargin,
+    // mirrors q_paragraph_dedup: chunk → pair into paragraphs → plant →
+    // df-by-paragraph-TEXT (engine uses xxhash64 — identical while
+    // collision-free) → strip + reassemble
+    "q_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+        |    i -> array_to_string(w[i*8+1:i*8+8], ' ')) AS ls FROM d),
+        |pa AS (SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(ls) / 2.0) AS BIGINT)),
+        |    i -> array_to_string(ls[i*2+1:i*2+2], chr(10))) AS ps FROM ch),
+        |pl AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |  THEN list_append(ps,
+        |    'subscribe to our newsletter' || chr(10) || 'all rights reserved')
+        |  ELSE ps END AS ps FROM pa),
+        |l AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ps) + 1),
+        |    i -> {'pos': i, 'p': ps[CAST(i AS INT)]})) AS e FROM pl),
+        |ln AS (SELECT doc_id, e.pos AS pos, e.p AS p FROM l),
+        |df AS (SELECT p, count(DISTINCT doc_id) AS df FROM ln GROUP BY p),
+        |mk AS (SELECT ln.doc_id, ln.pos, ln.p, df.df >= 10 AS strip
+        |  FROM ln JOIN df ON ln.p = df.p)
+        |SELECT CAST(doc_id AS VARCHAR) AS url,
+        |  coalesce(string_agg(CASE WHEN NOT strip THEN p END, chr(10) || chr(10)
+        |    ORDER BY pos), '') AS kept_text,
+        |  count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN strip THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped
+        |FROM mk GROUP BY doc_id""".stripMargin,
     // mirrors q_decontaminate with gram STRINGS (engine: xxhash64 of the
     // same grams — identical verdicts while grams are collision-free)
     "q_decontaminate" ->

@@ -32,12 +32,18 @@ import org.apache.spark.sql.functions._
   */
 object LineDedup {
 
-  /** @param docs (url, text) — text with '\n' line separators
-    * @param maxDf lines appearing in ≥ maxDf distinct docs are stripped
+  /** @param docs (url, text) — text with `sep` unit separators
+    * @param maxDf units appearing in ≥ maxDf distinct docs are stripped
+    * @param sep the dedup granularity: "\n" = lines (CCNet), "\n\n" =
+    *        paragraphs (the RefinedWeb / Falcon variant of the same
+    *        operator — Penedo et al. 2023 dedup exact paragraphs the
+    *        same way)
     * @return (url, kept_text, n_lines, n_stripped) for every input doc */
-  def stripFrequentLines(docs: DataFrame, maxDf: Long): DataFrame = {
+  def stripFrequentLines(docs: DataFrame, maxDf: Long, sep: String = "\n"): DataFrame = {
     val lines = docs
-      .select(col("url"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .select(col("url"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
     // document frequency per line; hash key keeps the shuffle narrow and
     // the join build side compact (the line text never enters this agg)
     val freq = lines
@@ -56,7 +62,7 @@ object LineDedup {
               sort_array(collect_list(struct(col("pos"), col("line"), col("strip")))),
               x => !x.getField("strip")),
             x => x.getField("line")),
-          "\n").as("kept_text"),
+          sep).as("kept_text"),
         count(lit(1)).as("n_lines"),
         sum(when(col("strip"), 1L).otherwise(0L)).as("n_stripped"))
   }

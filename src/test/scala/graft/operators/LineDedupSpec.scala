@@ -35,6 +35,24 @@ class LineDedupSpec extends AnyFunSuite {
     assert(out("b0") == "below edge\nown b0") // df=2 survives
   }
 
+  test("paragraph granularity: sep=\"\\n\\n\" dedups whole paragraphs, not their lines") {
+    import spark.implicits._
+    val boiler = "subscribe now\nall rights reserved" // one 2-line paragraph
+    val docs = (0 until 12).map { i =>
+      val own = s"unique first $i\nunique second $i"
+      val paras = if (i % 2 == 0) Seq(boiler, own) else Seq(own)
+      (s"u$i", paras.mkString("\n\n"))
+    }.toDF("url", "text")
+    val out = LineDedup.stripFrequentLines(docs, maxDf = 5, sep = "\n\n")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the boilerplate PARAGRAPH (df=6 ≥ 5) strips as one unit; the unique
+    // paragraph keeps its internal newline intact
+    assert(out("u0") == (("unique first 0\nunique second 0", 2L, 1L)))
+    assert(out("u1") == (("unique first 1\nunique second 1", 1L, 0L)))
+  }
+
   test("a fully-boilerplate doc empties; counts account for every line") {
     import spark.implicits._
     val docs = ((0 until 6).map(i => (s"c$i", "same line"))).toDF("url", "text")
