@@ -143,15 +143,18 @@ object Bench {
         }
         // One cold sample in a fresh-ish JVM measures JIT + host bursts as
         // much as the engine (VERDICT r2 §wrong.1: a 3 s query sampled cold
-        // read 30 s). Protocol: run twice in-session, headline = min (the
-        // engine's time in the quietest of the two windows), cold time kept
-        // under a separate "<q>_cold" key for the JIT-inclusive view.
+        // read 30 s). Protocol: run THREE times in-session, headline = min
+        // (the engine's time in the quietest window — with two samples the
+        // warm number was still one co-tenant burst away from distortion,
+        // VERDICT r3 wrong.4), cold time kept under a separate "<q>_cold"
+        // key for the JIT-inclusive view.
         val cold = sample()
-        val warm = if (failed) -1.0 else sample()
+        val warm1 = if (failed) -1.0 else sample()
+        val warm2 = if (failed) -1.0 else sample()
         // a failed query must not masquerade as a fast successful one in
         // the machine-readable output (ADVICE r1): record -1, exclude from
         // the total
-        val best = math.min(cold, warm)
+        val best = math.min(cold, math.min(warm1, warm2))
         results(name) = if (failed) -1.0 else best
         results(name + "_cold") = if (failed) -1.0 else cold
         if (!failed) queryTimes(name) = best

@@ -1319,17 +1319,20 @@ object SparkEntry {
         |  string_split(text, chr(10)) AS lines FROM t),
         |mm AS (SELECT doc_id,
         |  len(ws) AS n_words,
-        |  round(CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
-        |    AS DOUBLE) / len(ws), 6) AS mean_word_len,
-        |  round(CAST(len(regexp_extract_all(text, '#')) +
-        |    len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(ws), 6)
-        |    AS symbol_ratio,
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+        |    round(CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+        |      AS DOUBLE) / len(ws), 6) END AS mean_word_len,
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+        |    round(CAST(len(regexp_extract_all(text, '#')) +
+        |      len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(ws), 6)
+        |    END AS symbol_ratio,
         |  round(CAST(len(list_filter(lines, l -> l[1:2] IN ('- ', '* ')))
         |    AS DOUBLE) / len(lines), 6) AS bullet_frac,
         |  round(CAST(len(list_filter(lines, l -> l[-3:] = '...'))
         |    AS DOUBLE) / len(lines), 6) AS ellipsis_frac,
-        |  round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
-        |    AS DOUBLE) / len(ws), 6) AS alpha_frac,
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+        |    round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) / len(ws), 6) END AS alpha_frac,
         |  len(regexp_extract_all(lower(text),
         |    '\b(the|be|to|of|and|that|have|with)\b')) AS stop_hits
         |  FROM m)

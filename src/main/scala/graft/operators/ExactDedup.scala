@@ -22,19 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object ExactDedup {
 
-  /** (rep, url) star edges within every block of size ≥ 2, plus the per-url
-    * block size. Input needs columns: url, nk, and the block columns
-    * (default just sha; Same*-scope runs block on (sha, scope) so identical
-    * docs within one scope always star together regardless of where the
-    * globally-first copy of their text lives). min_by/min keep the partial
-    * aggregation hash-based — min(struct(..)) planned a SortAggregate. */
   /** Re-crawl collapse: keep the row with the maximum `ts` per `key`
     * (ties broken toward the maximum `tieBreak`) — the standard keep-latest
     * rule for repeatedly-crawled urls. Narrow two-phase shape: a
     * map-side-combining `max(struct(ts, tieBreak))` election over three
-    * columns, then an inner join brings the winner's full row back — wide
-    * payloads (html, text) cross one exchange and never enter the
-    * aggregate's buffers, the same discipline as rep election above. */
+    * columns, then a LEFT SEMI join on (key, ts, tieBreak) keeps the
+    * winner's full row — wide payloads (html, text) cross one exchange and
+    * never enter the aggregate's buffers, the same discipline as rep
+    * election below.
+    *
+    * Precondition: `tieBreak` must be unique per (key, ts) — the semi join
+    * keeps EVERY row tying on all three columns, so a non-unique tieBreak
+    * returns more than one row per key (use a row id, as the bench's
+    * doc_id, when ts alone can tie). */
   def latestPerKey(
       df: DataFrame,
       key: String,
@@ -47,6 +47,12 @@ object ExactDedup {
     df.join(elect, Seq(key, ts, tieBreak), "left_semi")
   }
 
+  /** (rep, url) star edges within every block of size ≥ 2, plus the per-url
+    * block size. Input needs columns: url, nk, and the block columns
+    * (default just sha; Same*-scope runs block on (sha, scope) so identical
+    * docs within one scope always star together regardless of where the
+    * globally-first copy of their text lives). min_by/min keep the partial
+    * aggregation hash-based — min(struct(..)) planned a SortAggregate. */
   def repsAndEdges(
       docs: DataFrame,
       blockCols: Seq[String] = Seq("sha")): (DataFrame, DataFrame) = {

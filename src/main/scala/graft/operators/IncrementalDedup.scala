@@ -42,17 +42,27 @@ object IncrementalDedup {
   /** New-content extraction: batch (url, text) minus corpus digests.
     * Returns (url, text, sha): one elected representative (min url) per
     * batch-distinct sha that is absent from `corpusShas` (a frame with a
-    * `sha` column). */
+    * `sha` column).
+    *
+    * Shape: a narrow (sha → url, rid) election, a left-anti against the
+    * corpus digests, then the text re-attaches by the UNIQUE per-row id —
+    * document bodies never enter any aggregate's sort/hash buffers, and a
+    * batch carrying exact duplicate (url, text) rows still emits exactly
+    * one output row per sha (ADVICE r3: the former (sha, url) re-attach
+    * join multiplied by the copy count). The row id is reproducible for a
+    * deterministic source scan (partitionId ⧺ row index), which both
+    * branches of the self-reference read identically. */
   def newDocs(batch: DataFrame, corpusShas: DataFrame, algo: String = "sha256"): DataFrame = {
-    val hashed = batch.withColumn("sha", digestCol(col("text"), algo))
-    // batch-internal exact dedup: narrow (sha, url) election, texts
-    // re-attach via the elected (sha, url) pair — document bodies never
-    // enter the aggregate's sort/hash buffers
+    val hashed = batch
+      .withColumn("sha", digestCol(col("text"), algo))
+      .withColumn("rid", monotonically_increasing_id())
     val reps = hashed.groupBy(col("sha"))
-      .agg(min(col("url")).as("url"))
+      .agg(
+        min(col("url")).as("url"),
+        min_by(col("rid"), struct(col("url"), col("rid"))).as("rid"))
     reps
       .join(corpusShas.select(col("sha")), Seq("sha"), "left_anti")
-      .join(hashed.select(col("sha"), col("url"), col("text")), Seq("sha", "url"))
+      .join(hashed.select(col("rid"), col("text")), Seq("rid"))
       .select(col("url"), col("text"), col("sha"))
   }
 

@@ -64,22 +64,27 @@ object QualityFilters {
         .as("__stop"))
     val ws = col("__ws")
     val ls = col("__ls")
+    // empty/whitespace-only docs: size(ws) = 0 would make the three
+    // per-word ratios 0/0 = NaN with implementation-defined (and
+    // DuckDB-divergent) downstream semantics (ADVICE r3) — guard to a
+    // deterministic 0.0; `passes` then fails cleanly on the word-count
+    // floor on both engine and oracle
+    def perWord(num: Column): Column =
+      when(size(ws) === 0, lit(0.0)).otherwise(round(num / size(ws), 6))
     val metrics = arrays.select(
       col(id),
       size(ws).cast("long").as("n_words"),
-      round(
-        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-          size(ws), 6).as("mean_word_len"),
-      round(col("__n_sym").cast("double") / size(ws), 6).as("symbol_ratio"),
+      perWord(aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double"))
+        .as("mean_word_len"),
+      perWord(col("__n_sym").cast("double")).as("symbol_ratio"),
       round(
         size(filter(ls, l => substring(l, 1, 2).isin("- ", "* "))).cast("double") /
           size(ls), 6).as("bullet_frac"),
       round(
         size(filter(ls, l => substring(l, -3, 3) === "...")).cast("double") /
           size(ls), 6).as("ellipsis_frac"),
-      round(
-        size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") /
-          size(ws), 6).as("alpha_frac"),
+      perWord(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double"))
+        .as("alpha_frac"),
       col("__stop").cast("long").as("stop_hits"))
     metrics.select(
       col(id), col("n_words"), col("mean_word_len"), col("symbol_ratio"),

@@ -50,6 +50,20 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), s"bench grams must broadcast:\n$plan")
   }
 
+  test("over-threshold eval set degrades to a shuffle join with identical verdicts") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, words(20, s"d$i"))).toDF("doc_id", "text")
+    val bench = Seq((0L, words(40, "d3"))).toDF("bench_id", "text") // 28 grams > 2
+    val gated = Decontaminate.contaminated(docs, bench, maxBroadcastGrams = 2L)
+    val plan = gated.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"an over-threshold eval set must not force a broadcast:\n$plan")
+    val expect = Decontaminate.contaminated(docs, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = gated.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, "gated and broadcast paths must agree")
+  }
+
   test("latestPerKey keeps the newest row per key, ties to max tiebreak") {
     import spark.implicits._
     val df = Seq(

@@ -52,6 +52,17 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(corpus0.count() == 2) // silence unused warning path
   }
 
+  test("exact duplicate (url, text) batch rows emit one output row per sha") {
+    import spark.implicits._
+    val batch = Seq(
+      ("u1", "text C"), ("u1", "text C"), ("u1", "text C"),
+      ("u2", "text D")).toDF("url", "text")
+    val empty = Seq.empty[String].toDF("sha")
+    val out = IncrementalDedup.newDocs(batch, empty).collect()
+    assert(out.length == 2, s"one row per distinct sha, got ${out.length}")
+    assert(out.map(_.getAs[String]("url")).toSet == Set("u1", "u2"))
+  }
+
   test("empty corpus keeps every distinct batch text") {
     val (batch, _) = frames()
     import spark.implicits._

@@ -116,6 +116,19 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("doc_kept"))
   }
 
+  test("gopher: empty and whitespace-only docs fail deterministically, no NaN") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   \n\t  ")).toDF("doc_id", "text")
+    val rows = QualityFilters.gopherQuality(df).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") == 0L)
+      Seq("mean_word_len", "symbol_ratio", "alpha_frac").foreach { c =>
+        assert(r.getAs[Double](c) == 0.0, s"$c must be a clean 0.0, not NaN")
+      }
+      assert(!r.getAs[Boolean]("passes"))
+    }
+  }
+
   test("gopher and c4 are shuffle-free and split each text at most twice") {
     import spark.implicits._
     // a parquet-backed frame: local relations constant-fold the projection
