@@ -316,6 +316,38 @@ object SparkEntry {
       operators.TextAnalysis.topBigramFraction(d)
     }),
 
+    // ---- FULL Gopher repetition suite (Rae et al. 2021 §A1.1), driver-
+    // verifiable ---- docs chunk into 8-word lines → 2-line paragraphs;
+    // planted: a repeated first paragraph (%5=0 → dup paragraph + its
+    // lines), a repeated first line as its own paragraph (%7=3 → dup line,
+    // no dup paragraph), a machine-repetition tail (%11=2 → top/dup n-gram
+    // signals) — every output column fires non-vacuously.
+    "q_gopher_repetition" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val chunked = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("lines0", transform(
+          sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
+          i => array_join(slice(ws, i * lit(8) + 1, lit(8)), " ")))
+        .withColumn("paras0", transform(
+          sequence(lit(0), ceil(size(col("lines0")) / lit(2.0)).cast("int") - 1),
+          i => array_join(slice(col("lines0"), i * lit(2) + 1, lit(2)), "\n")))
+      val planted = chunked
+        .withColumn("paras",
+          when(col("doc_id") % 5 === 0,
+            concat(col("paras0"), slice(col("paras0"), 1, 1)))
+            .otherwise(col("paras0")))
+        .withColumn("paras",
+          when(col("doc_id") % 7 === 3,
+            concat(col("paras"), slice(col("lines0"), 1, 1)))
+            .otherwise(col("paras")))
+        .withColumn("paras",
+          when(col("doc_id") % 11 === 2,
+            concat(col("paras"), array(rtrim(repeat(lit("buy now "), 20)))))
+            .otherwise(col("paras")))
+        .select(col("doc_id"), array_join(col("paras"), "\n\n").as("text"))
+      TextAnalysis.gopherRepetition(planted)
+    }),
+
     // URL canonicalization over deliberately messy variants.
     "q_url_canon" -> ((s, dir) => {
       val messy0 = concat(
@@ -937,6 +969,92 @@ object SparkEntry {
         |  round(CAST(coalesce(t.top, 0) AS DOUBLE)
         |    / greatest(coalesce(t.nb, 1), 1), 9) AS top_bigram_frac
         |FROM d LEFT JOIN t ON d.doc_id = t.doc_id""".stripMargin,
+    // mirrors q_gopher_repetition: same chunk/plant CTEs, then every
+    // repetition signal recomputed over the unit/gram STRINGS (engine
+    // groups by (xxhash64, length) — identical while collision-free, and
+    // every output depends only on (count, length) so top-gram ties
+    // cannot diverge)
+    "q_gopher_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+        |    i -> array_to_string(w[i*8+1:i*8+8], ' ')) AS ls FROM d),
+        |pa AS (SELECT doc_id, ls,
+        |  list_transform(range(0, CAST(ceil(len(ls) / 2.0) AS BIGINT)),
+        |    i -> array_to_string(ls[i*2+1:i*2+2], chr(10))) AS ps FROM ch),
+        |q1 AS (SELECT doc_id, ls, CASE WHEN doc_id % 5 = 0
+        |  THEN list_append(ps, ps[1]) ELSE ps END AS ps FROM pa),
+        |q2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3
+        |  THEN list_append(ps, ls[1]) ELSE ps END AS ps FROM q1),
+        |q3 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 2
+        |  THEN list_append(ps, rtrim(repeat('buy now ', 20))) ELSE ps END AS ps
+        |  FROM q2),
+        |t AS (SELECT doc_id, array_to_string(ps, chr(10) || chr(10)) AS text
+        |  FROM q3),
+        |ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS u FROM t),
+        |lc AS (SELECT doc_id, u, count(*) AS cnt FROM ln GROUP BY 1, 2),
+        |la AS (SELECT doc_id,
+        |  round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 6)
+        |    AS dup_line_frac,
+        |  CASE WHEN sum(cnt * length(u)) = 0 THEN 0.0 ELSE
+        |    round(CAST(sum(CASE WHEN cnt > 1 THEN (cnt-1) * length(u)
+        |      ELSE 0 END) AS DOUBLE) / sum(cnt * length(u)), 6) END
+        |    AS dup_line_char_frac
+        |  FROM lc GROUP BY doc_id),
+        |pn AS (SELECT doc_id,
+        |  unnest(string_split(text, chr(10) || chr(10))) AS u FROM t),
+        |pc AS (SELECT doc_id, u, count(*) AS cnt FROM pn GROUP BY 1, 2),
+        |paa AS (SELECT doc_id,
+        |  round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 6)
+        |    AS dup_para_frac,
+        |  CASE WHEN sum(cnt * length(u)) = 0 THEN 0.0 ELSE
+        |    round(CAST(sum(CASE WHEN cnt > 1 THEN (cnt-1) * length(u)
+        |      ELSE 0 END) AS DOUBLE) / sum(cnt * length(u)), 6) END
+        |    AS dup_para_char_frac
+        |  FROM pc GROUP BY doc_id),
+        |wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM t),
+        |gr AS (SELECT doc_id, nn.n,
+        |  unnest(list_transform(range(0, greatest(len(w) - nn.n + 1, 0)),
+        |    i -> array_to_string(w[i+1:i+nn.n], ' '))) AS g
+        |  FROM wd CROSS JOIN (VALUES (2), (3), (4)) AS nn(n)),
+        |gc AS (SELECT doc_id, n, g, count(*) AS cnt FROM gr GROUP BY 1, 2, 3),
+        |gw AS (SELECT doc_id, n, cnt, length(g) AS gl,
+        |  row_number() OVER (PARTITION BY doc_id, n
+        |    ORDER BY cnt DESC, length(g) DESC) AS rn FROM gc),
+        |gtop AS (SELECT doc_id, n, cnt * gl AS top_chars FROM gw WHERE rn = 1),
+        |gdup AS (SELECT doc_id, n,
+        |  sum(CASE WHEN cnt > 1 THEN (cnt-1) * length(g) ELSE 0 END) AS dup_chars
+        |  FROM gc GROUP BY 1, 2),
+        |gp AS (SELECT gtop.doc_id,
+        |  max(CASE WHEN gtop.n = 2 THEN gtop.top_chars END) AS t2,
+        |  max(CASE WHEN gtop.n = 3 THEN gtop.top_chars END) AS t3,
+        |  max(CASE WHEN gtop.n = 4 THEN gtop.top_chars END) AS t4,
+        |  max(CASE WHEN gtop.n = 2 THEN gdup.dup_chars END) AS d2,
+        |  max(CASE WHEN gtop.n = 3 THEN gdup.dup_chars END) AS d3,
+        |  max(CASE WHEN gtop.n = 4 THEN gdup.dup_chars END) AS d4
+        |  FROM gtop JOIN gdup ON gtop.doc_id = gdup.doc_id AND gtop.n = gdup.n
+        |  GROUP BY gtop.doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(la.dup_line_frac, 0.0) AS dup_line_frac,
+        |  coalesce(la.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+        |  coalesce(paa.dup_para_frac, 0.0) AS dup_para_frac,
+        |  coalesce(paa.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+        |  round(CAST(coalesce(gp.t2, 0) AS DOUBLE) / length(t.text), 6)
+        |    AS top_2gram_char_frac,
+        |  round(CAST(coalesce(gp.t3, 0) AS DOUBLE) / length(t.text), 6)
+        |    AS top_3gram_char_frac,
+        |  round(CAST(coalesce(gp.t4, 0) AS DOUBLE) / length(t.text), 6)
+        |    AS top_4gram_char_frac,
+        |  round(CAST(coalesce(gp.d2, 0) AS DOUBLE) / length(t.text), 6)
+        |    AS dup_2gram_char_frac,
+        |  round(CAST(coalesce(gp.d3, 0) AS DOUBLE) / length(t.text), 6)
+        |    AS dup_3gram_char_frac,
+        |  round(CAST(coalesce(gp.d4, 0) AS DOUBLE) / length(t.text), 6)
+        |    AS dup_4gram_char_frac
+        |FROM t
+        |LEFT JOIN la ON t.doc_id = la.doc_id
+        |LEFT JOIN paa ON t.doc_id = paa.doc_id
+        |LEFT JOIN gp ON t.doc_id = gp.doc_id""".stripMargin,
     "q_url_canon" ->
       s"""WITH m0 AS (
         |  SELECT doc_id, $urlSql ||

@@ -113,6 +113,118 @@ object TextAnalysis {
           9).as("top_bigram_frac"))
   }
 
+  /** The FULL Gopher repetition suite (Rae et al. 2021 §A1.1) — the
+    * signals real pipelines gate on, beyond [[topBigramFraction]]'s single
+    * top-2-gram number: per document,
+    *
+    *   - `dup_line_frac` / `dup_para_frac`: fraction of lines (paragraphs)
+    *     that are repeats of an earlier identical line (occurrences beyond
+    *     the first, over total);
+    *   - `dup_line_char_frac` / `dup_para_char_frac`: the characters those
+    *     repeated occurrences cover, over the summed unit characters;
+    *   - `top_{2,3,4}gram_char_frac`: characters covered by the most
+    *     frequent word n-gram (count × gram length over text length);
+    *   - `dup_{2,3,4}gram_char_frac`: characters covered by occurrences
+    *     beyond the first of every duplicated word n-gram, over text
+    *     length (the standard non-overlap-corrected form).
+    *
+    * Scale shape — the [[topBigramFraction]] discipline, widened: every
+    * family is explode → two partially-aggregated groupBys, linear in
+    * corpus size. Unit/gram TEXT never crosses a shuffle: group keys are
+    * (xxhash64(unit), length(unit)) and every output depends only on
+    * (count, length), so ties in the top-gram election cannot change the
+    * emitted fraction and the DuckDB oracle (which groups by the strings
+    * themselves) agrees exactly at any collision-free scale. */
+  def gopherRepetition(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+
+    // duplicate-unit stats for one separator granularity
+    def unitStats(sep: String, pfx: String): DataFrame = {
+      val units = docs.select(
+        id,
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("u"))
+      units
+        .groupBy(id, xxhash64(col("u")).as("uh"), length(col("u")).as("ul"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(id)
+        .agg(
+          sum(col("cnt")).as("n_units"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("cnt") > 1, (col("cnt") - 1) * col("ul")).otherwise(0L))
+            .as("dup_chars"),
+          sum(col("cnt") * col("ul")).as("tot_chars"))
+        .select(
+          id,
+          round((col("n_units") - col("n_distinct")).cast("double") / col("n_units"), 6)
+            .as(s"dup_${pfx}_frac"),
+          when(col("tot_chars") === 0, lit(0.0))
+            .otherwise(round(col("dup_chars").cast("double") / col("tot_chars"), 6))
+            .as(s"dup_${pfx}_char_frac"))
+    }
+
+    // word n-gram stats for n = 2..4: (id, n, gram) counts on narrow
+    // (hash, len) keys, then a conditional-aggregation pivot. The short-doc
+    // guard mirrors Decontaminate.gramHashes — sequence(0, k) DESCENDS for
+    // negative k instead of emitting an empty array.
+    val ws = split(col(textCol), " ")
+    val grams = (2 to 4).map { n =>
+      docs
+        .select(id, ws.as("w"))
+        .select(
+          id, lit(n).as("n"),
+          explode(
+            when(size(col("w")) < n, array().cast("array<string>"))
+              .otherwise(transform(
+                sequence(lit(0), size(col("w")) - n),
+                i => array_join(slice(col("w"), i + 1, lit(n)), " ")))).as("g"))
+    }.reduce(_ unionByName _)
+    val gramCnt = grams
+      .groupBy(id, col("n"), xxhash64(col("g")).as("gh"), length(col("g")).as("gl"))
+      .agg(count(lit(1)).as("cnt"))
+    val gramAgg = gramCnt
+      .groupBy(id, col("n"))
+      .agg(
+        max(col("cnt")).as("top_cnt"),
+        max_by(col("gl"), struct(col("cnt"), col("gl"))).as("top_gl"),
+        sum(when(col("cnt") > 1, (col("cnt") - 1) * col("gl")).otherwise(0L))
+          .as("dup_chars"))
+      .select(
+        id, col("n"),
+        (col("top_cnt") * col("top_gl")).as("top_chars"), col("dup_chars"))
+    val pivotCols = (2 to 4).flatMap { n =>
+      Seq(
+        sum(when(col("n") === n, col("top_chars"))).as(s"top_${n}chars"),
+        sum(when(col("n") === n, col("dup_chars"))).as(s"dup_${n}chars"))
+    }
+    val pivoted = gramAgg
+      .groupBy(id)
+      .agg(pivotCols.head, pivotCols.tail: _*)
+
+    val base = docs.select(id, length(col(textCol)).cast("double").as("len"))
+    val out = base
+      .join(unitStats("\n", "line"), Seq(idCol), "left")
+      .join(unitStats("\n\n", "para"), Seq(idCol), "left")
+      .join(pivoted, Seq(idCol), "left")
+    def gfrac(c: String): Column =
+      when(col("len") === 0, lit(0.0))
+        .otherwise(round(coalesce(col(c), lit(0L)).cast("double") / col("len"), 6))
+    out.select(
+      id,
+      coalesce(col("dup_line_frac"), lit(0.0)).as("dup_line_frac"),
+      coalesce(col("dup_line_char_frac"), lit(0.0)).as("dup_line_char_frac"),
+      coalesce(col("dup_para_frac"), lit(0.0)).as("dup_para_frac"),
+      coalesce(col("dup_para_char_frac"), lit(0.0)).as("dup_para_char_frac"),
+      gfrac("top_2chars").as("top_2gram_char_frac"),
+      gfrac("top_3chars").as("top_3gram_char_frac"),
+      gfrac("top_4chars").as("top_4gram_char_frac"),
+      gfrac("dup_2chars").as("dup_2gram_char_frac"),
+      gfrac("dup_3chars").as("dup_3gram_char_frac"),
+      gfrac("dup_4chars").as("dup_4gram_char_frac"))
+  }
+
   // ---- fingerprinting -------------------------------------------------------
 
   /** Cheap 64-bit content fingerprint (xxhash64 of the text). */

@@ -46,6 +46,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(3L) == 0.0)
   }
 
+  test("gopherRepetition: hand-computed line/paragraph/n-gram signals") {
+    import spark.implicits._
+    val d = Seq(
+      // lines: [x y, x y, "", x y, z w] → dup_line_frac 2/5, dup chars
+      // 2×3 over 12; paragraphs: [x y\nx y, x y\nz w] → no dup paragraph
+      (1L, "x y\nx y\n\nx y\nz w"),
+      // single line, 6 words: top 2-gram "spam ham" ×3 (24 of 26 chars);
+      // 3-grams both ×2 — "spam ham spam" (13) wins the (cnt, len) tie,
+      // dup covers 13+12; top 4-gram ×2 len 17 (34/26 — the standard
+      // uncorrected form exceeds 1 on pathological text)
+      (2L, "spam ham spam ham spam ham"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRepetition(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def g(id: Long, c: String): Double =
+      r(id).getDouble(r(id).fieldIndex(c))
+    assert(math.abs(g(1L, "dup_line_frac") - 0.4) < 1e-9)
+    assert(math.abs(g(1L, "dup_line_char_frac") - 0.5) < 1e-9)
+    assert(g(1L, "dup_para_frac") == 0.0)
+    assert(g(1L, "dup_para_char_frac") == 0.0)
+    assert(math.abs(g(2L, "top_2gram_char_frac") - 24.0 / 26) < 1e-6)
+    assert(math.abs(g(2L, "dup_2gram_char_frac") - 24.0 / 26) < 1e-6)
+    assert(math.abs(g(2L, "top_3gram_char_frac") - 1.0) < 1e-6)
+    assert(math.abs(g(2L, "dup_3gram_char_frac") - 25.0 / 26) < 1e-6)
+    assert(math.abs(g(2L, "top_4gram_char_frac") - 34.0 / 26) < 1e-6)
+    assert(math.abs(g(2L, "dup_4gram_char_frac") - 17.0 / 26) < 1e-6)
+    // empty text: every signal a deterministic 0.0, no NaN
+    assert((2 to 4).forall(n => g(3L, s"top_${n}gram_char_frac") == 0.0))
+    assert(g(3L, "dup_line_frac") == 0.0 && g(3L, "dup_line_char_frac") == 0.0)
+  }
+
   test("token counts: whitespace and BPE-ish") {
     import spark.implicits._
     val r = Seq("Hello, world! 42 times").toDF("text")
