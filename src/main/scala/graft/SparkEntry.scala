@@ -539,6 +539,27 @@ object SparkEntry {
         .select(col("url"), col("s"), col("e"))
     }),
 
+    // ---- keep-one-copy span dedup (Lee et al. 2022 standard variant) ----
+    // Same planted clique as q_dup_spans, but spans are cut only from the
+    // (nk, url)-LATER side of each pair, so every duplicated passage
+    // survives exactly once (in its order-minimal doc). Urls are numeric
+    // doc_id strings, whose natural order IS doc_id order — so DuckDB
+    // orients the exhaustive 200-gram truth by y.doc_id < x.doc_id.
+    "q_span_dedup_keep" -> ((s, dir) => {
+      val passage = " " + ("shared boilerplate passage " * 10)
+      val base = docs(s, dir).where(length(col("text")) >= 250)
+        .select(col("doc_id"), col("text"))
+      val planted = base.unionByName(
+        base.where(col("doc_id") % 25 === 11)
+          .withColumn("doc_id", col("doc_id") + lit(4000000L))
+          .withColumn("text", concat(col("text"), lit(passage))))
+      val d = planted
+        .select(col("doc_id").cast("string").as("url"), col("text"))
+        .withColumn("nk", gf.natural_sort_key(col("url")))
+      operators.SubstringDup.dupSpansKeepOne(s, d, operators.SubstringDup.Config())
+        .select(col("url"), col("s"), col("e"))
+    }),
+
     // ---- substring-dup pass (O15), driver-verifiable ----
     // Winnowed anchors → bounded fingerprint buckets → exact ≥L-char
     // common-substring verify, against the EXACT SQL truth: two docs share
@@ -1172,6 +1193,31 @@ object SparkEntry {
         |gg AS (SELECT url, i, substr(text, CAST(i AS INT), 200) AS gram FROM g),
         |dup AS (SELECT DISTINCT x.url, x.i FROM gg x
         |  JOIN gg y ON x.gram = y.gram AND x.url <> y.url),
+        |m AS (SELECT url, i, max(i + 200) OVER (PARTITION BY url ORDER BY i
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e FROM dup),
+        |isl AS (SELECT url, i, sum(CASE WHEN prev_e IS NULL OR i > prev_e
+        |  THEN 1 ELSE 0 END) OVER (PARTITION BY url ORDER BY i) AS island FROM m)
+        |SELECT url, min(i) AS s, max(i + 200) AS e FROM isl
+        |GROUP BY url, island""".stripMargin,
+    // mirrors q_span_dedup_keep: duplicated gram positions restricted to
+    // grams shared with a STRICTLY EARLIER doc (numeric-url natural order
+    // == doc_id order), then the same gaps-and-islands merge as q_dup_spans
+    "q_span_dedup_keep" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 250),
+        |d AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |    text || ' ' || repeat('shared boilerplate passage ', 10)
+        |  FROM base WHERE doc_id % 25 = 11),
+        |u AS (SELECT CAST(doc_id AS VARCHAR) AS url, doc_id, text FROM d),
+        |g AS (SELECT url, doc_id, unnest(range(1, length(text) - 198)) AS i,
+        |  text FROM u),
+        |gg AS (SELECT url, doc_id, i, substr(text, CAST(i AS INT), 200) AS gram
+        |  FROM g),
+        |dup AS (SELECT DISTINCT x.url, x.i FROM gg x
+        |  JOIN gg y ON x.gram = y.gram AND y.doc_id < x.doc_id),
         |m AS (SELECT url, i, max(i + 200) OVER (PARTITION BY url ORDER BY i
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e FROM dup),
         |isl AS (SELECT url, i, sum(CASE WHEN prev_e IS NULL OR i > prev_e

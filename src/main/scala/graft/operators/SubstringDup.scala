@@ -162,9 +162,67 @@ object SubstringDup {
       .select(col("url"), col("m.s").as("s"), col("m.e").as("e"))
   }
 
+  /** Keep-one-copy duplicated spans — the standard Lee et al. 2022
+    * pipeline variant: every duplicated passage survives exactly once
+    * corpus-wide, in its (natural-key, url)-minimal document, and is cut
+    * from every other occurrence.
+    *
+    * Election rides the pair graph directly, no connected-components pass
+    * needed: the (nk, url) order is total, so for each candidate pair the
+    * span kernel runs against the LATER side only — the earlier side keeps.
+    * A passage present in docs d1 < d2 < ... < dk is cut from d2..dk (each
+    * pairs with the earlier d1) and kept in d1 (d1 is never the later side
+    * of a pair sharing it). This is the distributed analog of the
+    * reference's one-keep-per-cluster election
+    * (`ViewModels/MainViewModel.cs:1226-1240`) at span granularity.
+    *
+    * Scale shape matches [[dupSpans]] minus half the kernel work: one
+    * oriented `shared_spans` call per candidate pair instead of two; the
+    * per-doc union ships only ints. Completeness rides the same winnowing
+    * guarantee — any single shared ≥ L-char gram is itself a ≥ L-char
+    * shared substring, so its pair is a candidate.
+    *
+    * @return (url, s, e) — merged disjoint spans to remove, per url; docs
+    *         that only ever appear as the earlier side emit no rows. */
+  def dupSpansKeepOne(
+      spark: SparkSession,
+      docs: DataFrame,
+      cfg: Config,
+      scopeCol: org.apache.spark.sql.Column = lit("")): DataFrame = {
+    val candidates = candidatePairs(spark, docs, cfg, scopeCol)
+    val touched = candidates.select(col("src").as("url"))
+      .unionByName(candidates.select(col("dst").as("url")))
+      .distinct()
+    val texts = docs.select(col("url"), col("nk"), col("text"))
+      .join(touched, Seq("url"), "left_semi")
+    val paired = candidates
+      .join(texts.select(
+        col("url").as("src"), col("nk").as("nk_a"), col("text").as("text_a")), "src")
+      .join(texts.select(
+        col("url").as("dst"), col("nk").as("nk_b"), col("text").as("text_b")), "dst")
+      .repartition(col("src"), col("dst"))
+    // orient: the (nk, url)-earlier side keeps, spans cut from the later
+    val srcFirst =
+      col("nk_a") < col("nk_b") ||
+        (col("nk_a") === col("nk_b") && col("src") <= col("dst"))
+    val spanRows = paired
+      .select(
+        when(srcFirst, col("dst")).otherwise(col("src")).as("url"),
+        explode(gf.shared_spans(
+          when(srcFirst, col("text_b")).otherwise(col("text_a")),
+          when(srcFirst, col("text_a")).otherwise(col("text_b")),
+          cfg.minSubstr)).as("sp"))
+      .select(
+        col("url"),
+        shiftright(col("sp"), 32).as("s"),
+        col("sp").bitwiseAND(lit(0xFFFFFFFFL)).as("e"))
+    mergeSpans(spanRows)
+  }
+
   /** The cleaned corpus: every duplicated span cut from every document (the
-    * strict every-copy variant; keep-one-copy is the same operator applied
-    * to spans computed against a keep-set). Stitching is a per-row fold
+    * strict every-copy variant; [[dupSpansKeepOne]] computes the spans for
+    * the keep-one-copy variant — feed its output here to cut them).
+    * Stitching is a per-row fold
     * over the doc's merged spans — no shuffle beyond the span groupBy.
     *
     * @return (url, cleaned_text, n_spans, removed_chars) for every doc in

@@ -101,6 +101,58 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got == truth)
   }
 
+  test("dupSpansKeepOne: each duplicated passage survives exactly once corpus-wide") {
+    import spark.implicits._
+    val passage = ("all rights reserved to the example corporation " * 6).trim
+    val docsSeq = Seq(
+      "u1" -> (prose(31, 50) + " " + passage),
+      "u2" -> (passage + " " + prose(32, 50)),
+      "u3" -> (prose(33, 40) + " " + passage + " " + prose(33, 40)),
+      "u4" -> prose(34, 120))
+    val df = docsSeq.toDF("url", "text")
+      .withColumn("nk", graft.functions.gf.natural_sort_key(org.apache.spark.sql.functions.col("url")))
+    val cfg = SubstringDup.Config(minSubstr = 200, anchorK = 50)
+    val spans = SubstringDup.dupSpansKeepOne(spark, df, cfg)
+    val got = spans.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // brute truth: per doc, spans shared with any STRICTLY EARLIER doc
+    // (url order here == natural order), merged
+    val L = 200
+    val truth = (for {
+      ((ua, ta), ia) <- docsSeq.zipWithIndex
+      merged = {
+        val rows = docsSeq.take(ia).flatMap { case (_, tb) => bruteSpans(ta, tb, L) }
+        val sorted = rows.sorted
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        sorted.foreach { case (s, e) =>
+          out.lastOption match {
+            case Some((ls, le)) if s <= le => out(out.length - 1) = (ls, math.max(le, e))
+            case _ => out += ((s, e))
+          }
+        }
+        out
+      }
+      (s, e) <- merged
+    } yield (ua, s, e)).toSet
+    assert(got == truth)
+    // the order-minimal doc u1 is never the later side: no spans cut from it
+    assert(!got.exists(_._1 == "u1"))
+
+    // THE keep-one-copy guarantee: after cutting, the passage occurs
+    // exactly once in the whole corpus (in u1), not zero times
+    val cleaned = SubstringDup.removeSpans(df, spans).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val occurrences = cleaned.values.map { t =>
+      Iterator.iterate(t.indexOf(passage))(i => t.indexOf(passage, i + 1))
+        .takeWhile(_ >= 0).size
+    }.sum
+    assert(occurrences == 1, s"passage should survive exactly once, got $occurrences")
+    assert(cleaned("u1").contains(passage))
+    // untouched doc passes through
+    assert(cleaned("u4") == docsSeq.toMap.apply("u4"))
+  }
+
   test("removeSpans: cleaned corpus has no cross-doc substring ≥ L; clean docs pass through") {
     import spark.implicits._
     val passage = ("subscribe to our newsletter for daily updates " * 6).trim
