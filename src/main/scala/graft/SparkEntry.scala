@@ -348,6 +348,17 @@ object SparkEntry {
       TextAnalysis.gopherRepetition(planted)
     }),
 
+    // ---- CCNet-style perplexity quality bucket, driver-verifiable ----
+    // char-trigram LM trained on the doc_id%10=7 slice, every doc scored
+    // as -mean log P(trigram), exact (rank-based) tercile buckets.
+    "q_perplexity_bucket" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val train = d.where(col("doc_id") % 10 === 7)
+      val tri = Perplexity.trainTrigrams(train)
+      Perplexity.bucketExact(Perplexity.score(
+        d, tri, Perplexity.contextCounts(tri), Perplexity.alphabetSize(train)))
+    }),
+
     // URL canonicalization over deliberately messy variants.
     "q_url_canon" -> ((s, dir) => {
       val messy0 = concat(
@@ -1076,6 +1087,36 @@ object SparkEntry {
         |LEFT JOIN la ON t.doc_id = la.doc_id
         |LEFT JOIN paa ON t.doc_id = paa.doc_id
         |LEFT JOIN gp ON t.doc_id = gp.doc_id""".stripMargin,
+    // mirrors q_perplexity_bucket: same trigram LM recomputed from the
+    // training slice, same add-one conditional, same rank-based terciles
+    "q_perplexity_bucket" ->
+      """WITH tr AS (SELECT text FROM documents WHERE doc_id % 10 = 7),
+        |tg AS (SELECT unnest(list_transform(range(1, length(text) - 1),
+        |  i -> substr(text, CAST(i AS INT), 3))) AS gram FROM tr),
+        |tri AS (SELECT gram, count(*) AS c3 FROM tg GROUP BY gram),
+        |ctx AS (SELECT substr(gram, 1, 2) AS g2, sum(c3) AS c2
+        |  FROM tri GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT substr(text, CAST(i AS INT), 1)) AS v
+        |  FROM (SELECT text, unnest(range(1, length(text) + 1)) AS i FROM tr)),
+        |dg AS (SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+        |  i -> substr(text, CAST(i AS INT), 3))) AS gram FROM documents),
+        |lp AS (SELECT doc_id,
+        |  ln(CAST(coalesce(tri.c3, 0) + 1 AS DOUBLE)
+        |    / CAST(coalesce(ctx.c2, 0) + vv.v AS DOUBLE)) AS lp
+        |  FROM dg LEFT JOIN tri ON dg.gram = tri.gram
+        |  LEFT JOIN ctx ON substr(dg.gram, 1, 2) = ctx.g2
+        |  CROSS JOIN vv),
+        |sc AS (SELECT doc_id, round(-sum(lp) / count(*), 6) AS logppl
+        |  FROM lp GROUP BY doc_id),
+        |al AS (SELECT d.doc_id, coalesce(sc.logppl, 0.0) AS logppl
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |rk AS (SELECT doc_id, logppl,
+        |  row_number() OVER (ORDER BY logppl, doc_id) AS rn,
+        |  count(*) OVER () AS n FROM al)
+        |SELECT doc_id, logppl,
+        |  CASE WHEN rn * 3 <= n THEN 'head'
+        |       WHEN rn * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM rk""".stripMargin,
     "q_url_canon" ->
       s"""WITH m0 AS (
         |  SELECT doc_id, $urlSql ||

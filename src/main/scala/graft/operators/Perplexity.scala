@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CCNet-style model-based quality scoring (Wenzek et al. 2020): score
+  * every document by the perplexity of a language model trained on a
+  * reference corpus, then split the corpus into head / middle / tail
+  * quality buckets. CCNet trains a 5-gram Kneser-Ney word LM on
+  * Wikipedia; this offline engine trains a char-trigram LM with add-one
+  * smoothing on a held-out corpus slice — the same two-pass shape
+  * (train counts → broadcast → score as a per-doc fold) and the same
+  * bucketing semantics, with every step exactly recomputable by the
+  * DuckDB oracle.
+  *
+  * Model: P(c₃ | c₁c₂) = (cnt₃(c₁c₂c₃) + 1) / (cnt₂(c₁c₂) + V), where
+  * cnt₂ is the *prefix-context* count (sum of cnt₃ over the context, so
+  * the distribution normalizes exactly) and V is the training alphabet
+  * size. Score = −mean log P over the doc's trigrams; lower = more like
+  * the reference slice. Documents too short to have a trigram score 0.0
+  * (deterministic, not NaN).
+  *
+  * Scale shape: training is two narrow groupBys over the (small,
+  * sampled) reference slice; the model is a broadcast hash join against
+  * the exploded document trigrams — document text never shuffles, only
+  * (id, 3-char gram) rows flow into map-side-combined partial sums. At
+  * web scale the model vocabulary is capped with `minCount` (drop
+  * hapax grams — CCNet prunes its LM the same way); the smoothing
+  * denominator keeps every capped gram scorable.
+  *
+  * Reference anchor: quality gating decides what enters the dedup corpus
+  * the same way the reference's pre-filters decide which files enter
+  * comparison (`ViewModels/MainViewModel.cs:1056-1076`).
+  */
+object Perplexity {
+
+  /** 1-based char n-grams of `c` as an array (empty when too short). */
+  def charGrams(c: Column, n: Int): Column =
+    when(length(c) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(c) - (n - 1)),
+        i => substr(c, i, lit(n))))
+
+  /** Char-trigram counts of the training slice: (gram, c3). `minCount`
+    * prunes rare grams for web-scale model size (0 disables — the oracle
+    * default; smoothing keeps pruned grams scorable). */
+  def trainTrigrams(train: DataFrame, textCol: String = "text",
+      minCount: Long = 0L): DataFrame =
+    train
+      .select(explode(charGrams(col(textCol), 3)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("c3"))
+      .where(col("c3") >= minCount)
+
+  /** Prefix-context counts derived from the trigram table (so the
+    * conditional distribution normalizes exactly): (g2, c2). */
+  def contextCounts(tri: DataFrame): DataFrame =
+    tri.groupBy(substring(col("gram"), 1, 2).as("g2"))
+      .agg(sum(col("c3")).as("c2"))
+
+  /** Training alphabet size V as a one-row frame (v: long) — the add-one
+    * smoothing denominator. A one-row broadcast, never a collect. */
+  def alphabetSize(train: DataFrame, textCol: String = "text"): DataFrame =
+    train
+      .select(explode(charGrams(col(textCol), 1)).as("ch"))
+      .agg(countDistinct(col("ch")).as("v"))
+
+  /** Per-document score: (idCol, logppl) where logppl = round(−mean log
+    * P(trigram), 6), 0.0 for docs with no trigram. Lower = closer to the
+    * training slice. The model side of every join is broadcast; rounding
+    * to 6 decimals makes the float fold order-insensitive in practice so
+    * engine and oracle rank identically. */
+  def score(
+      docs: DataFrame,
+      tri: DataFrame,
+      ctx: DataFrame,
+      v: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val grams = docs.select(id, explode(charGrams(col(textCol), 3)).as("gram"))
+    val lp = grams
+      .join(broadcast(tri), Seq("gram"), "left")
+      .join(broadcast(ctx), grams("gram").substr(1, 2) === col("g2"), "left")
+      .crossJoin(broadcast(v))
+      .select(
+        id,
+        log(
+          (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c2"), lit(0L)) + col("v")).cast("double")).as("lp"))
+      .groupBy(id)
+      .agg(round(-sum(col("lp")) / count(lit(1)), 6).as("logppl"))
+    docs.select(id)
+      .join(lp, Seq(idCol), "left")
+      .select(id, coalesce(col("logppl"), lit(0.0)).as("logppl"))
+  }
+
+  /** Exact tercile buckets over the scored corpus: rank by (logppl, id)
+    * — a deterministic total order, no float-threshold boundary cases —
+    * and split head / middle / tail by integer arithmetic. The single
+    * global window sort is the driver/oracle path; production uses
+    * [[bucketByThresholds]] with cutoffs sampled once, CCNet-style. */
+  def bucketExact(scored: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val w = Window.orderBy(col("logppl"), col(idCol))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(
+        col(idCol), col("logppl"),
+        when(col("rn") * 3 <= col("n"), lit("head"))
+          .when(col("rn") * 3 <= col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Production bucketing: fixed cutoffs (sampled once upstream, as
+    * CCNet does) — a pure projection, no global pass. */
+  def bucketByThresholds(scored: DataFrame, t1: Double, t2: Double,
+      idCol: String = "doc_id"): DataFrame =
+    scored.select(
+      col(idCol), col("logppl"),
+      when(col("logppl") <= t1, lit("head"))
+        .when(col("logppl") <= t2, lit("middle"))
+        .otherwise(lit("tail")).as("bucket"))
+}
