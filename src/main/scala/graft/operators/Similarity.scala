@@ -23,6 +23,16 @@ import graft.functions.gf
   */
 object Similarity {
 
+  /** Centroid initialization strategy for [[semDedup]]. */
+  sealed trait CentroidInit
+
+  /** k lowest vec_ids — deterministic, oracle-able; test default. */
+  case object LowestIdInit extends CentroidInit
+
+  /** Hash-sampled seeds + Lloyd refinement — the production init. */
+  final case class SampledInit(seed: Long = 42L, refineRounds: Int = 1)
+      extends CentroidInit
+
   /** Σ aᵢ·bᵢ via built-ins. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
@@ -160,21 +170,41 @@ object Similarity {
     * one representative per duplicate group (lowest id: the deterministic
     * stand-in for the paper's keeper choice).
     *
-    * Determinism contract (what makes this oracle-able in SQL): centroids
-    * are the k lowest vec_ids; assignment ties break to the lowest
-    * centroid_id. At web scale swap the init for the hash-sampled
-    * [[ivfCentroids]] + [[ivfRefine]] — the operator shape is unchanged.
+    * Init is selected by `init`:
+    *   - [[LowestIdInit]] (default): centroids are the k lowest vec_ids —
+    *     fully deterministic, what makes the operator oracle-able in SQL;
+    *     at production scale ids correlate with crawl order, biasing
+    *     cluster geometry, so it is the TEST default only.
+    *   - [[SampledInit]]: the production path — hash-sampled
+    *     [[ivfCentroids]] seeds, `refineRounds` Lloyd rounds of
+    *     [[ivfRefine]]. Same O(k) broadcast and operator shape.
+    * Assignment ties break to the lowest centroid_id either way.
     * Scaling is the paper's own argument: k grows ∝ N so the expected
     * cluster size stays constant, the centroid broadcast is O(k), the
     * assignment one O(N·k) scan, and the intra-cluster self-join (keyed on
     * centroid_id, one shuffle) does bounded per-cluster pair work.
     *
     * Output: (vec_id, centroid_id, cos_c, deleted) — one row per vector. */
-  def semDedup(corpus: DataFrame, k: Int, tau: Double): DataFrame = {
-    val centroids = corpus
-      .orderBy(col("vec_id"))
-      .limit(k)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_embedding"))
+  def semDedup(
+      corpus: DataFrame,
+      k: Int,
+      tau: Double,
+      init: CentroidInit = LowestIdInit): DataFrame = {
+    val centroids = init match {
+      case LowestIdInit =>
+        corpus
+          .orderBy(col("vec_id"))
+          .limit(k)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("c_embedding"))
+      case SampledInit(seed, refineRounds) =>
+        var c = ivfCentroids(corpus, k, seed)
+        var round = 0
+        while (round < refineRounds) {
+          c = ivfRefine(corpus, c).localCheckpoint()
+          round += 1
+        }
+        c
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("centroid_id"))

@@ -184,6 +184,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall { case (id, x) => again(id) == x.getAs[Boolean]("deleted") })
   }
 
+  test("semDedup: SampledInit (production) still deletes planted copies") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val base = (0 until 100).map(i => (i.toLong, Array.fill(16)(r.nextDouble() * 2 - 1)))
+    val copies = Seq(3L, 17L, 42L).map(i => (i + 1000L, base(i.toInt)._2.clone))
+    val c = (base ++ copies).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(c, k = 5, tau = 0.95,
+      init = Similarity.SampledInit(seed = 7L, refineRounds = 1))
+    val rows = out.collect().map(x => x.getAs[Long]("vec_id") -> x).toMap
+    assert(rows.size == 103, "one row per vector")
+    // an exact copy has the same embedding as its base → same nearest
+    // centroid under ANY centroid table (ties break identically), cosine 1
+    // within the cluster → the higher id of each pair must be deleted,
+    // whatever geometry the sampled+refined init produced
+    val deleted = rows.collect { case (id, x) if x.getAs[Boolean]("deleted") => id }.toSet
+    assert(Set(1003L, 1017L, 1042L).subsetOf(deleted), s"got $deleted")
+    Seq(3L, 17L, 42L).foreach { i =>
+      assert(!deleted.contains(i), s"base $i must keep (lower id)")
+      assert(rows(i + 1000L).getAs[Long]("centroid_id") ==
+        rows(i).getAs[Long]("centroid_id"))
+    }
+    // deterministic under a fixed seed
+    val again = Similarity.semDedup(c, k = 5, tau = 0.95,
+      init = Similarity.SampledInit(seed = 7L, refineRounds = 1)).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Boolean]("deleted")).toMap
+    assert(rows.forall { case (id, x) => again(id) == x.getAs[Boolean]("deleted") })
+  }
+
   test("semDedup: centroid table is broadcast, not shuffled to the corpus") {
     val c = corpus(200, 16)
     val plan = Similarity.semDedup(c, k = 8, tau = 0.9)
