@@ -663,6 +663,20 @@ object SparkEntry {
     "q_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))),
 
+    // ---- trigram-profile language id (~25 languages), driver-verifiable --
+    // one held-out sentence per language planted on doc_id%26=i (i<25),
+    // the %26=25 stratum keeps its original text; DuckDB re-derives the
+    // trigram profiles from the same embedded fixture strings and replays
+    // the script rules + coverage vote exactly.
+    "q_langid_trigram" -> ((s, dir) => {
+      val planted = operators.LangProfiles.heldOut.zipWithIndex
+        .foldLeft(when(lit(false), lit(""))) { case (acc, ((_, t), i)) =>
+          acc.when(col("doc_id") % 26 === i, lit(t))
+        }.otherwise(col("text"))
+      operators.LangId.langIdTrigram(
+        docs(s, dir).select(col("doc_id"), planted.as("text")))
+    }),
+
     // ---- Gopher quality rules (Rae et al. 2021), driver-verifiable ----
     // Docs chunked into 8-word lines; rule-violating slices planted so
     // every rule fires non-vacuously: all-bullet lines (doc_id%7=0),
@@ -1416,6 +1430,47 @@ object SparkEntry {
         |       WHEN es = greatest(de, en, es, fr) THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM h""".stripMargin,
+    // mirrors q_langid_trigram end to end, all generated from the SAME
+    // Scala fixture constants (LangProfiles / LangId.scriptRules): profile
+    // derivation, planting, script rules, and the integer coverage vote
+    "q_langid_trigram" -> {
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      val profValues = operators.LangProfiles.profileText
+        .map { case (l, t) => s"(${q(l)}, ${q(t)})" }.mkString(",\n|    ")
+      val plantArms = operators.LangProfiles.heldOut.zipWithIndex
+        .map { case ((_, t), i) => s"WHEN doc_id % 26 = $i THEN ${q(t)}" }
+        .mkString("\n|    ")
+      s"""WITH prof_src(lang, s) AS (VALUES
+        |    $profValues),
+        |pg AS (SELECT lang, unnest(list_transform(range(1, length(lower(s)) - 1),
+        |  i -> substr(lower(s), CAST(i AS INT), 3))) AS gram FROM prof_src),
+        |pc AS (SELECT lang, gram, count(*) AS cnt FROM pg GROUP BY 1, 2),
+        |pr AS (SELECT lang, gram, row_number() OVER (PARTITION BY lang
+        |  ORDER BY cnt DESC, gram) AS rn FROM pc),
+        |prof AS (SELECT lang, gram FROM pr WHERE rn <= 200),
+        |planted AS (SELECT doc_id, CASE
+        |    $plantArms
+        |    ELSE text END AS text FROM documents),
+        |scr AS (SELECT doc_id, text, CASE
+        |       ${operators.LangId.scriptCaseSql("text")}
+        |       END AS script_lang FROM planted),
+        |dg AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, length(lower(text)) - 1),
+        |    i -> substr(lower(text), CAST(i AS INT), 3))) AS gram
+        |  FROM scr WHERE script_lang IS NULL),
+        |tot AS (SELECT doc_id, count(*) AS total FROM dg GROUP BY doc_id),
+        |hits AS (SELECT doc_id, prof.lang, count(*) AS h FROM dg
+        |  JOIN prof ON dg.gram = prof.gram GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang, h, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY h DESC, lang) AS rn FROM hits),
+        |vote AS (SELECT b.doc_id,
+        |  CASE WHEN b.h * 10 >= t.total * 1 THEN b.lang ELSE 'und' END AS vote_lang
+        |  FROM best b JOIN tot t ON b.doc_id = t.doc_id WHERE b.rn = 1)
+        |SELECT s.doc_id,
+        |  coalesce(s.script_lang, v.vote_lang, 'und') AS pred_lang
+        |FROM scr s LEFT JOIN vote v ON s.doc_id = v.doc_id""".stripMargin
+    },
+
     // mirrors q_paragraph_dedup: chunk → pair into paragraphs → plant →
     // df-by-paragraph-TEXT (engine uses xxhash64 — identical while
     // collision-free) → strip + reassemble

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Portable trigram-profile language identification (Cavnar & Trenkle
+  * 1994, "N-Gram-Based Text Categorization"), ~25 languages — the
+  * web-corpus replacement for the 4-stopword-list heuristic
+  * [[TextAnalysis.langId]].
+  *
+  * Two tiers:
+  *   1. Script rules: languages whose script is (near-)unique identify
+  *      by codepoint range alone — hangul → ko, kana → ja, CJK
+  *      ideographs → zh (kana checked first: Japanese text contains
+  *      ideographs too), Cyrillic → ru, Arabic → ar, Hebrew → he,
+  *      Greek → el, Devanagari → hi, Thai → th. One codegen'd regex
+  *      existence check each, no shuffle.
+  *   2. Latin-script trigram vote: per-language profiles = the ranked
+  *      character trigrams of a small embedded sample text (original
+  *      prose fixtures, [[LangProfiles.profileText]]); a document's
+  *      language is the profile covering the largest share of its
+  *      trigram occurrences (integer argmax, ties to the lower language
+  *      code), or "und" below a minimum coverage.
+  *
+  * Scale shape: the profile table is a few hundred rows per language —
+  * broadcast; documents explode to (id, trigram) rows into two
+  * map-side-combined groupBys, linear in corpus size, text never
+  * shuffles. Every step (profile derivation included) is recomputable
+  * in SQL from the same fixture strings, which is what keeps the
+  * driver oracle exact.
+  *
+  * Reference anchor: per-row classification enriching the scan the same
+  * way the reference derives per-file metadata during its source scan
+  * (`ViewModels/MainViewModel.cs:833-872`).
+  */
+object LangId {
+
+  /** (lang, range-start, range-end) codepoint script rules, in
+    * match-precedence order (kana before ideographs: Japanese text
+    * contains both). Both engines check existence (count > 0), no
+    * overlap semantics involved; the same hex constants generate the
+    * Spark regex ([[scriptLang]]) and the DuckDB oracle regex
+    * ([[scriptCaseSql]]). */
+  val scriptRules: Seq[(String, Int, Int)] = Seq(
+    ("ko", 0xAC00, 0xD7AF), // hangul syllables
+    ("ja", 0x3040, 0x30FF), // hiragana + katakana
+    ("zh", 0x4E00, 0x9FFF), // CJK unified ideographs
+    ("ru", 0x0400, 0x04FF), // cyrillic
+    ("ar", 0x0600, 0x06FF), // arabic
+    ("he", 0x0590, 0x05FF), // hebrew
+    ("el", 0x0370, 0x03FF), // greek + coptic
+    ("hi", 0x0900, 0x097F), // devanagari
+    ("th", 0x0E00, 0x0E7F)) // thai
+
+  private def sparkRange(a: Int, b: Int): String =
+    f"[\\u$a%04X-\\u$b%04X]"
+
+  /** DuckDB CASE arm list matching [[scriptLang]]'s precedence, over a
+    * text column named `c` — used to generate the oracle SQL from the
+    * same constants. */
+  def scriptCaseSql(c: String): String =
+    scriptRules.map { case (l, a, b) =>
+      f"WHEN len(regexp_extract_all($c, '[\\x{$a%04X}-\\x{$b%04X}]')) > 0 THEN '$l'"
+    }.mkString("\n|       ")
+
+  /** Script tier as a single scalar column: first matching rule wins,
+    * null when no non-Latin script is present. */
+  def scriptLang(text: Column): Column =
+    scriptRules.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (l, a, b)) =>
+        acc.when(regexp_count(text, lit(sparkRange(a, b))) > 0, lit(l))
+    }.otherwise(lit(null).cast("string"))
+
+  /** Profile table: (lang, gram) — the `profileSize` most frequent
+    * character trigrams of each language's sample text, ranked
+    * (count desc, gram asc) for a deterministic cut. */
+  def profileTable(docs: DataFrame, profileSize: Int = 200): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val src = LangProfiles.profileText.toDF("lang", "sample")
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))
+    src
+      .select(col("lang"), explode(Perplexity.charGrams(lower(col("sample")), 3)).as("gram"))
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= profileSize)
+      .select(col("lang"), col("gram"))
+  }
+
+  /** Classify every document: (idCol, pred_lang). `covNum`/`covDen`
+    * set the minimum winning coverage as the exact rational
+    * hits·covDen ≥ total·covNum (default 1/10) — integer arithmetic,
+    * no float threshold boundary. */
+  def langIdTrigram(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      profileSize: Int = 200,
+      covNum: Int = 1,
+      covDen: Int = 10): DataFrame = {
+    val id = col(idCol)
+    val prof = profileTable(docs, profileSize)
+    val scripted = docs.select(id, col(textCol).as("__t"))
+      .withColumn("script_lang", scriptLang(col("__t")))
+    val latin = scripted.where(col("script_lang").isNull)
+    val grams = latin.select(id, explode(Perplexity.charGrams(lower(col("__t")), 3)).as("gram"))
+    val tot = grams.groupBy(id).agg(count(lit(1)).as("total"))
+    val hits = grams
+      .join(broadcast(prof), Seq("gram"))
+      .groupBy(id, col("lang"))
+      .agg(count(lit(1)).as("h"))
+    val w = Window.partitionBy(id).orderBy(col("h").desc, col("lang"))
+    val vote = hits
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .join(tot, Seq(idCol))
+      .select(
+        id,
+        when(col("h") * covDen >= col("total") * covNum, col("lang"))
+          .otherwise(lit("und")).as("vote_lang"))
+    scripted
+      .join(vote, Seq(idCol), "left")
+      .select(
+        id,
+        coalesce(col("script_lang"), col("vote_lang"), lit("und")).as("pred_lang"))
+  }
+}
+
+/** Embedded language fixtures — short ORIGINAL sample prose composed for
+  * this engine (common everyday vocabulary; public linguistic knowledge,
+  * no corpus text). `profileText` trains the Latin-script trigram
+  * profiles; `heldOut` are distinct test sentences per language (all 25)
+  * used by the driver query's planted corpus and the spec. */
+object LangProfiles {
+
+  val profileText: Seq[(String, String)] = Seq(
+    "cs" -> "dům stojí blízko vody a děti chodí do školy každé ráno se svými přáteli protože počasí je dobré a rády si povídají o věcech které cestou vidí v létě jsou dny dlouhé a lidé se rádi procházejí po městě protože večer je teplo a všude je slyšet hudba která se jim líbí",
+    "da" -> "huset ligger tæt på vandet og børnene går i skole hver morgen sammen med deres venner fordi vejret er godt og de kan lide at tale om de ting de ser på vejen",
+    "de" -> "das haus ist nicht weit von dem wasser und die kinder gehen jeden morgen mit ihren freunden zur schule weil das wetter gut ist und sie gerne über die dinge sprechen die sie unterwegs sehen",
+    "en" -> "the house is near the water and the children walk to school every morning with their friends because the weather is good and they like to talk about the things they see on the way",
+    "es" -> "la casa está cerca del agua y los niños van a la escuela cada mañana con sus amigos porque el tiempo es bueno y les gusta hablar de las cosas que ven en el camino",
+    "fi" -> "talo on lähellä vettä ja lapset kävelevät kouluun joka aamu ystäviensä kanssa koska sää on hyvä ja he puhuvat mielellään asioista joita he näkevät matkalla",
+    "fr" -> "la maison est près de l'eau et les enfants vont à l'école chaque matin avec leurs amis parce que le temps est beau et qu'ils aiment parler des choses qu'ils voient sur le chemin",
+    "hu" -> "a ház közel van a vízhez és a gyerekek minden reggel a barátaikkal sétálnak az iskolába mert jó az idő és szeretnek beszélgetni azokról a dolgokról amiket útközben látnak",
+    "id" -> "rumah itu dekat dengan air dan anak anak berjalan ke sekolah setiap pagi bersama teman teman mereka karena cuaca bagus dan mereka suka berbicara tentang hal hal yang mereka lihat di jalan",
+    "it" -> "la casa è vicino all'acqua e i bambini vanno a scuola ogni mattina con i loro amici perché il tempo è bello e a loro piace parlare delle cose che vedono lungo la strada",
+    "nl" -> "het huis staat dicht bij het water en de kinderen lopen elke ochtend met hun vrienden naar school omdat het weer goed is en ze graag praten over de dingen die ze onderweg zien",
+    "pl" -> "dom stoi blisko wody a dzieci idą do szkoły każdego ranka ze swoimi przyjaciółmi ponieważ pogoda jest dobra i lubią rozmawiać o rzeczach które widzą po drodze w lecie dni są długie i ludzie chętnie spacerują po mieście ponieważ wieczorem jest ciepło i wszędzie słychać muzykę którą lubią",
+    "pt" -> "a casa fica perto da água e as crianças vão à escola todas as manhãs com os seus amigos porque o tempo está bom e gostam de falar sobre as coisas que veem pelo caminho",
+    "ro" -> "casa este aproape de apă și copiii merg la școală în fiecare dimineață cu prietenii lor pentru că vremea este bună și le place să vorbească despre lucrurile pe care le văd pe drum",
+    "sv" -> "huset ligger nära vattnet och barnen går till skolan varje morgon med sina vänner eftersom vädret är bra och de tycker om att prata om sakerna de ser på vägen",
+    "tr" -> "ev suya yakın ve çocuklar her sabah arkadaşlarıyla okula yürüyor çünkü hava güzel ve yolda gördükleri şeyler hakkında konuşmayı seviyorlar")
+
+  val heldOut: Seq[(String, String)] = Seq(
+    "ar" -> "بالأمس روى الرجل العجوز قصة طويلة عن البحر وأراد الجميع في القرية الصغيرة سماع نهايتها",
+    "cs" -> "včera starý muž vyprávěl dlouhý příběh o moři a všichni v malé vesnici chtěli slyšet jeho konec",
+    "da" -> "i går fortalte den gamle mand en lang historie om havet og alle i den lille landsby ville gerne høre slutningen",
+    "de" -> "gestern erzählte der alte mann eine lange geschichte über das meer und alle im kleinen dorf wollten das ende hören",
+    "el" -> "χθες ο γέρος είπε μια μεγάλη ιστορία για τη θάλασσα και όλοι στο μικρό χωριό ήθελαν να ακούσουν το τέλος της",
+    "en" -> "yesterday the old man told a long story about the sea and everyone in the small village wanted to hear the end of it",
+    "es" -> "ayer el viejo contó una larga historia sobre el mar y todos en el pequeño pueblo querían escuchar el final",
+    "fi" -> "eilen vanha mies kertoi pitkän tarinan merestä ja kaikki pienessä kylässä halusivat kuulla sen lopun",
+    "fr" -> "hier le vieil homme a raconté une longue histoire sur la mer et tout le monde dans le petit village voulait en entendre la fin",
+    "he" -> "אתמול סיפר האיש הזקן סיפור ארוך על הים וכולם בכפר הקטן רצו לשמוע את סופו",
+    "hi" -> "कल बूढ़े आदमी ने समुद्र के बारे में एक लंबी कहानी सुनाई और छोटे गाँव के सभी लोग उसका अंत सुनना चाहते थे",
+    "hu" -> "tegnap az öreg ember hosszú történetet mesélt a tengerről és a kis faluban mindenki hallani akarta a végét",
+    "id" -> "kemarin orang tua itu menceritakan kisah panjang tentang laut dan semua orang di desa kecil ingin mendengar akhirnya",
+    "it" -> "ieri il vecchio ha raccontato una lunga storia sul mare e tutti nel piccolo paese volevano sentire la fine",
+    "ja" -> "きのう おじいさんは うみの ながい はなしを しました むらの みんなが さいごまで ききたかったです",
+    "ko" -> "어제 노인은 바다에 대한 긴 이야기를 했고 마을의 모든 사람들이 끝까지 듣고 싶어 했다",
+    "nl" -> "gisteren vertelde de oude man een lang verhaal over de zee en iedereen in het kleine dorp wilde het einde horen",
+    "pl" -> "wczoraj stary człowiek opowiedział długą historię o morzu i wszyscy w małej wiosce chcieli usłyszeć jej koniec",
+    "pt" -> "ontem o velho contou uma longa história sobre o mar e todos na pequena aldeia queriam ouvir o final",
+    "ro" -> "ieri bătrânul a spus o poveste lungă despre mare și toți din satul mic voiau să audă sfârșitul ei",
+    "ru" -> "вчера старик рассказал длинную историю о море и все в маленькой деревне хотели услышать её конец",
+    "sv" -> "igår berättade den gamle mannen en lång historia om havet och alla i den lilla byn ville höra slutet",
+    "th" -> "เมื่อวานชายชราเล่าเรื่องยาวเกี่ยวกับทะเลและทุกคนในหมู่บ้านเล็กๆอยากฟังตอนจบ",
+    "tr" -> "dün yaşlı adam deniz hakkında uzun bir hikaye anlattı ve küçük köydeki herkes sonunu duymak istedi",
+    "zh" -> "昨天老人讲了一个关于大海的长故事村里的每个人都想听结尾")
+}
