@@ -125,13 +125,16 @@ object Bench {
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "500000").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
+    // scaling-only mode for repeated quiet-window sampling: the headline
+    // pass costs minutes per attempt and is independent of the scaling arm
+    val doHeadline = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE", "1") == "1"
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val queryTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     val spark = session(cpus)
     try {
-      headline.foreach { name =>
+      (if (doHeadline) headline else Seq.empty[String]).foreach { name =>
         val fn = SparkEntry.queries(name)
         var failed = false
         def sample(): Double = timed {
