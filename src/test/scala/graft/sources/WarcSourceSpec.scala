@@ -128,6 +128,18 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(recs.size == 2)
   }
 
+  test("dedup pipeline over WARC ingest matches the parquet-twin run") {
+    def decisionsOf(pages: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+      graft.DedupPipeline.run(spark, pages, graft.DedupConfig(), fromHtml = true)
+        .decisions.select("url", "cluster", "state").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    val fromWarc = decisionsOf(WarcSource.pages(spark, warcDir.toString + "/*.warc"))
+    val fromParquet = decisionsOf(
+      spark.createDataFrame(corpus.pages).withColumn("lang", lit(null).cast("string")))
+    assert(fromWarc == fromParquet && fromWarc.size == S)
+  }
+
   private def parseAll(bytes: Array[Byte]): Seq[WarcSource.WarcPage] =
     WarcSource.parseRecords(bytes).toSeq
 }
