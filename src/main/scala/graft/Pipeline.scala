@@ -256,7 +256,13 @@ object DedupPipeline {
       if (!cfg.enableNear) spark.emptyDataFrame.select(
         lit("").as("src"), lit("").as("dst"), lit("near").as("kind")).limit(0)
       else stage("near_edges", multiConsumer = false) {
+        // verification consumes the candidate frame three times (two
+        // touched-url scans + the melted probe side); AQE stage reuse only
+        // partially deduplicates the copies (measured 1.47× wall / 1.74×
+        // shuffle bytes unpersisted — tools/ReuseCheck), so the narrow
+        // ~50 MB-per-M-pairs frame is worth pinning
         val cands = Lsh.candidatePairs(spark, sigs, cfg.lshConfig, scopeCol = col("bscope"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Lsh.verifiedEdges(cands, sigs, cfg.lshConfig, cfg.jaccardTau)
           .select(col("src"), col("dst"))
           .withColumn("kind", lit("near"))
@@ -267,8 +273,11 @@ object DedupPipeline {
       if (!cfg.enableSubstr) spark.emptyDataFrame.select(
         lit("").as("src"), lit("").as("dst"), lit("substring").as("kind")).limit(0)
       else stage("substr_edges", multiConsumer = false) {
+        // same three-consumer shape as near_edges above: pin the narrow
+        // candidate frame rather than re-running fingerprint bucketing
         val cands = SubstringDup.candidatePairs(
           spark, reps, cfg.substrConfig, scopeCol = col("bscope"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         SubstringDup.verifiedEdges(cands, reps, cfg.substrConfig)
           .withColumn("kind", lit("substring"))
       }

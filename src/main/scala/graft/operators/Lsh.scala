@@ -8,17 +8,16 @@ import graft.functions.gf
 /** Near-duplicate candidate generation: MinHash LSH banding (+ optional
   * SimHash blocks / Manku tables), entirely in Catalyst.
   *
-  * Pipeline: signature columns → one global (sigd) window electing a
-  * center per distinct signature (non-centers star to it — linear: the
-  * hot-bucket "skew bomb" of repeated boilerplate never goes quadratic;
-  * the exact stage already stars byte-identical docs, this covers
-  * identical-signature-but-different-bytes) → posexplode band buckets of
-  * the CENTERS only (identical signatures share identical buckets, so
-  * non-centers can't contribute new pairs) → one window pass per bucket
-  * ranking members by (nk-prefix, id), kept up to `bucketCap` (counting
-  * what was dropped — no silent truncation) → a same-partitioning groupBy
-  * assembles the capped members and a higher-order transform expands the
-  * pairs.
+  * Pipeline: signature columns → one partially-aggregated (sigd) groupBy
+  * electing a center per distinct signature (non-centers star to it —
+  * linear: the hot-bucket "skew bomb" of repeated boilerplate never goes
+  * quadratic; the exact stage already stars byte-identical docs, this
+  * covers identical-signature-but-different-bytes) → posexplode band
+  * buckets of the CENTERS only (identical signatures share identical
+  * buckets, so non-centers can't contribute new pairs) → one bounded-top-k
+  * aggregate per bucket keeping members by (nk-prefix, id) up to
+  * `bucketCap` (counting what was dropped — no silent truncation) and a
+  * higher-order transform expands the pairs.
   *
   * This is the scaled analog of the reference's per-device scheduling
   * discipline — bounded work per hot resource
@@ -120,40 +119,38 @@ object Lsh {
       Seq(keyCol.as("bkey"), col("id"), col("nkp")) ++
         (if (dedupNeeded) Seq(col("sigd")) else Nil) :+ col("simhash"): _*)
 
-    // One window pass over (sigd, scope) serves two purposes: rank-1 rows
-    // are the distinct-signature CENTERS, every later row stars to its
-    // center. Identical signatures imply identical band buckets, so only
-    // centers enter the band explode — a non-center member could never
-    // contribute a pair the center doesn't (the round-2.1 rework: round 2
-    // exploded every doc and deduped per bucket with a lag window, paying
-    // the wide exchange for rows that were then dropped).
+    // Distinct-signature CENTER election is ONE partially-aggregable
+    // groupBy per branch, not a window (the round-4 rework): identical
+    // signatures imply identical band buckets, so only centers enter the
+    // band explode — a non-center member could never contribute a pair the
+    // center doesn't. min(struct(nkp, id, …)) elects the (nkp, id)-first
+    // member exactly as the former window rank did, but the map-side
+    // PARTIAL pass collapses each input partition's share of a hot
+    // identical-signature group (viral boilerplate) to one row before the
+    // exchange — no task ever sorts the whole group, and AQE can split the
+    // stars join below if the group is still hot.
     //
-    // The window runs NARROW (four longs per row — the ~1 KB sig array is
-    // dropped first): the sigd exchange and both window sorts move 32 B
-    // rows, and the signatures re-attach to the elected centers through a
-    // semi-join whose build side is the bare center-id set (8 B rows —
-    // ShuffledHashJoin/broadcast build, never a sort of wide rows). Before
-    // this rework the full sig column crossed the sigd exchange AND two
-    // sorts just to be ranked; a 10⁶-member identical-signature group
-    // (boilerplate skew) shipped a gigabyte of signatures to rank rows of
-    // which all but one were discarded by the rn=1 filter.
+    // The 32 band-bucket keys (256 B) ride the elected struct, so the
+    // ~1 KB signature never re-attaches: the round-3 shape semi-joined the
+    // full sig table against the elected ids, which at 2M docs exchanged
+    // 1.6 GB of signatures (and burned ~30% of the stage's task time)
+    // just to recover `sig` for the band explode.
     import org.apache.spark.sql.expressions.Window
     val narrow = base.drop("sig")
-    val wSig = Window.partitionBy(col("sigd"), col("bscope_")).orderBy(col("nkp"), col("id"))
-    val ranked = narrow.select(
-      col("id"), col("nkp"), col("sigd"), col("simhash"), col("bscope_"),
-      first(col("id")).over(wSig).as("center_id"),
-      first(col("simhash")).over(wSig).as("center_sim"),
-      row_number().over(wSig).as("rn"))
-    val centers = base.join(
-      ranked.where(col("rn") === 1).select(col("id")).hint("shuffle_hash"),
-      Seq("id"), "left_semi")
+    val elected = base
+      .select(
+        col("sigd"), col("bscope_"), col("nkp"), col("id"), col("simhash"),
+        gf.band_buckets(col("sig"), cfg.bands, cfg.rowsPerBand, cfg.seed).as("bks"))
+      .groupBy(col("sigd"), col("bscope_"))
+      .agg(min(struct(col("nkp"), col("id"), col("simhash"), col("bks"))).as("c"))
+      .select(
+        col("sigd"), col("bscope_"), col("c.nkp").as("nkp"),
+        col("c.id").as("id"), col("c.simhash").as("simhash"), col("c.bks").as("bks"))
 
     val minhashBuckets = compact(
-      centers.select(
+      elected.select(
         col("id"), col("nkp"), col("sigd"), col("simhash"), col("bscope_"),
-        posexplode(gf.band_buckets(col("sig"), cfg.bands, cfg.rowsPerBand, cfg.seed))
-          .as(Seq("band", "bucket"))),
+        posexplode(col("bks")).as(Seq("band", "bucket"))),
       // tag the band into the bucket key so cross-band collisions split
       xxhash64(col("band"), col("bucket"), col("bscope_")))
 
@@ -178,9 +175,19 @@ object Lsh {
     // signatures imply identical band buckets, so grouping by sigd once
     // (757k rows) replaces finding the same stars 32× inside the exploded
     // bucket table. Star center = (nkp, id)-first member — the same row
-    // that entered the band explode above.
-    val sigStars = ranked
-      .where(col("rn") > 1)
+    // that entered the band explode above (a second narrow groupBy rather
+    // than a reuse of `elected`, so column pruning drops the bucket arrays
+    // from this branch's exchange; the join is a plain shuffle join on
+    // sigd, which AQE skew-splits when one signature group is hot).
+    val centersNarrow = narrow
+      .groupBy(col("sigd"), col("bscope_"))
+      .agg(min(struct(col("nkp"), col("id"), col("simhash"))).as("c"))
+      .select(
+        col("sigd"), col("bscope_"),
+        col("c.id").as("center_id"), col("c.simhash").as("center_sim"))
+    val sigStars = narrow
+      .join(centersNarrow, Seq("sigd", "bscope_"))
+      .where(col("id") =!= col("center_id"))
       .select(
         col("center_id").as("src_id"), col("id").as("dst_id"),
         lit(true).as("same_sig"),
@@ -291,16 +298,29 @@ object Lsh {
       .join(touched, Seq("url"), "left_semi")
       .select(col("url"), gf.shingle_set(col("text"), cfg.shingleK, cfg.seed).as("sset"))
 
-    // expensive exact verification: join sets, then REBALANCE before the
-    // merge kernel — join output is partitioned by the join key, and hot
-    // bucket representatives concentrate thousands of pairs on one task;
-    // hashing on the full pair spreads the kernel evenly (the skew
-    // discipline of the reference's per-disk scheduler,
-    // ViewModels/MainViewModel.cs:1166-1213, applied to CPU)
-    pre
-      .join(sets.select(col("url").as("src"), col("sset").as("set_a")), "src")
-      .join(sets.select(col("url").as("dst"), col("sset").as("set_b")), "dst")
-      .repartition(col("src"), col("dst"))
+    // Expensive exact verification. Each pair melts into two endpoint
+    // probes so ONE hash join attaches both shingle sets from a single
+    // evaluation of the `sets` subtree; the round-3 shape joined `sets`
+    // twice (once per side) and Spark planned the shingle pipeline twice —
+    // exchange reuse never fired across the two renamed sides, so the
+    // dominant cost of this stage (tokenize+hash+sort per doc, 2.4 GB of
+    // set bytes at 2M docs) was paid double. The SHUFFLE_HASH hint keeps
+    // the wide set arrays out of a sort-merge sort; the reassembly groupBy
+    // is keyed by the pair itself, so it is skew-free by construction (the
+    // skew discipline of the reference's per-disk scheduler,
+    // ViewModels/MainViewModel.cs:1166-1213, applied to CPU).
+    val melted = pre
+      .select(col("src"), col("dst"), col("ham"), col("nshared"),
+        explode(array(lit(true), lit(false))).as("is_src"))
+      .withColumn("url", when(col("is_src"), col("src")).otherwise(col("dst")))
+    melted
+      .join(sets.hint("shuffle_hash"), Seq("url"))
+      .groupBy(col("src"), col("dst"))
+      .agg(
+        first(col("ham")).as("ham"),
+        first(col("nshared")).as("nshared"),
+        max(when(col("is_src"), col("sset"))).as("set_a"),
+        max(when(!col("is_src"), col("sset"))).as("set_b"))
       .withColumn("jaccard", gf.merge_jaccard(col("set_a"), col("set_b")))
       .where(col("jaccard") >= tau)
       .select(col("src"), col("dst"), col("jaccard"), col("ham"), col("nshared"))

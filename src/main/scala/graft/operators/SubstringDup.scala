@@ -109,15 +109,8 @@ object SubstringDup {
       cfg: Config,
       scopeCol: org.apache.spark.sql.Column = lit("")): DataFrame = {
     val candidates = candidatePairs(spark, docs, cfg, scopeCol)
-    val touched = candidates.select(col("src").as("url"))
-      .unionByName(candidates.select(col("dst").as("url")))
-      .distinct()
-    val texts = docs.select(col("url"), col("text"))
-      .join(touched, Seq("url"), "left_semi")
-    val paired = candidates
-      .join(texts.select(col("url").as("src"), col("text").as("text_a")), "src")
-      .join(texts.select(col("url").as("dst"), col("text").as("text_b")), "dst")
-      .repartition(col("src"), col("dst"))
+    val texts = touchedTexts(candidates, docs.select(col("url"), col("text")))
+    val paired = pairedTexts(candidates, texts)
     // both directions from one kernel invocation pair; packed (s << 32) | e
     val perPair = paired.select(
       col("src"), col("dst"),
@@ -190,17 +183,19 @@ object SubstringDup {
       cfg: Config,
       scopeCol: org.apache.spark.sql.Column = lit("")): DataFrame = {
     val candidates = candidatePairs(spark, docs, cfg, scopeCol)
-    val touched = candidates.select(col("src").as("url"))
-      .unionByName(candidates.select(col("dst").as("url")))
-      .distinct()
-    val texts = docs.select(col("url"), col("nk"), col("text"))
-      .join(touched, Seq("url"), "left_semi")
-    val paired = candidates
-      .join(texts.select(
-        col("url").as("src"), col("nk").as("nk_a"), col("text").as("text_a")), "src")
-      .join(texts.select(
-        col("url").as("dst"), col("nk").as("nk_b"), col("text").as("text_b")), "dst")
-      .repartition(col("src"), col("dst"))
+    val texts = touchedTexts(candidates, docs.select(col("url"), col("nk"), col("text")))
+    // the pairedTexts melt, widened with each side's natural key
+    val melted = candidates
+      .select(col("src"), col("dst"), explode(array(lit(true), lit(false))).as("is_src"))
+      .withColumn("url", when(col("is_src"), col("src")).otherwise(col("dst")))
+    val paired = melted
+      .join(texts.hint("shuffle_hash"), Seq("url"))
+      .groupBy(col("src"), col("dst"))
+      .agg(
+        max(when(col("is_src"), col("nk"))).as("nk_a"),
+        max(when(!col("is_src"), col("nk"))).as("nk_b"),
+        max(when(col("is_src"), col("text"))).as("text_a"),
+        max(when(!col("is_src"), col("text"))).as("text_b"))
     // orient: the (nk, url)-earlier side keeps, spans cut from the later
     val srcFirst =
       col("nk_a") < col("nk_b") ||
@@ -261,18 +256,42 @@ object SubstringDup {
   /** Exact verification: keep pairs with a real common substring ≥ L chars
     * (rolling-hash candidate positions confirmed by direct character
     * comparison — zero false positives). Only texts of candidate-touched
-    * docs are shuffled (semi-join reduction). */
+    * docs are shuffled (semi-join reduction), and the `texts` subtree is
+    * evaluated ONCE: each pair melts into two endpoint probes for a single
+    * hash join, reassembled by a pair-keyed (skew-free) groupBy — the
+    * two-join formulation planned the semi-join shuffle twice and moved
+    * both texts a third time through a rebalance. */
   def verifiedEdges(candidates: DataFrame, docs: DataFrame, cfg: Config): DataFrame = {
+    val texts = touchedTexts(candidates, docs.select(col("url"), col("text")))
+    pairedTexts(candidates, texts)
+      .where(gf.common_substring_ge(col("text_a"), col("text_b"), cfg.minSubstr))
+      .select(col("src"), col("dst"))
+  }
+
+  /** docs rows of pair-touched urls (semi-join reduction). */
+  private def touchedTexts(candidates: DataFrame, docs: DataFrame): DataFrame = {
     val touched = candidates.select(col("src").as("url"))
       .unionByName(candidates.select(col("dst").as("url")))
       .distinct()
-    val texts = docs.select(col("url"), col("text"))
-      .join(touched, Seq("url"), "left_semi")
-    candidates
-      .join(texts.select(col("url").as("src"), col("text").as("text_a")), "src")
-      .join(texts.select(col("url").as("dst"), col("text").as("text_b")), "dst")
-      .repartition(col("src"), col("dst"))
-      .where(gf.common_substring_ge(col("text_a"), col("text_b"), cfg.minSubstr))
-      .select(col("src"), col("dst"))
+    docs.join(touched, Seq("url"), "left_semi")
+  }
+
+  /** (src, dst, text_a, text_b): both endpoint texts attached from ONE
+    * evaluation of `texts` — pairs melt into two (url, side) probes, one
+    * SHUFFLE_HASH join (no sort of wide text rows) attaches the text, and
+    * a groupBy on the pair itself reassembles the row. Pair keys are
+    * near-unique, so the reassembly exchange is skew-free — a hot doc in
+    * thousands of pairs spreads across partitions instead of landing on
+    * the join task that owns its url. */
+  private def pairedTexts(candidates: DataFrame, texts: DataFrame): DataFrame = {
+    val melted = candidates
+      .select(col("src"), col("dst"), explode(array(lit(true), lit(false))).as("is_src"))
+      .withColumn("url", when(col("is_src"), col("src")).otherwise(col("dst")))
+    melted
+      .join(texts.hint("shuffle_hash"), Seq("url"))
+      .groupBy(col("src"), col("dst"))
+      .agg(
+        max(when(col("is_src"), col("text"))).as("text_a"),
+        max(when(!col("is_src"), col("text"))).as("text_b"))
   }
 }

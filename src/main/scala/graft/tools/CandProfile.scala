@@ -19,6 +19,7 @@ object CandProfile {
     val spark = GraftSession.build(cpus, "graft-candprofile")
     spark.sparkContext.setLogLevel("ERROR")
     val metrics = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long, Long, Long)]()
+    val spills = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
     val names = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -30,6 +31,9 @@ object CandProfile {
               m.shuffleWriteMetrics.bytesWritten, m.shuffleReadMetrics.totalBytesRead,
               m.executorDeserializeTime),
             (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4, a._5 + b._5))
+          spills.merge(t.stageId,
+            (m.memoryBytesSpilled, m.diskBytesSpilled, m.peakExecutionMemory),
+            (a, b) => (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3)))
           taskMax.merge(t.stageId, m.executorRunTime, (a, b) => math.max(a, b))
         }
       }
@@ -63,33 +67,37 @@ object CandProfile {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       s.count(); s
     }
-    metrics.clear(); names.clear(); taskMax.clear()
+    metrics.clear(); spills.clear(); names.clear(); taskMax.clear()
     var t0 = System.nanoTime()
     val cands = Lsh.candidatePairs(spark, sigs, cfg.lshConfig)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nc = cands.count()
     val candSec = (System.nanoTime() - t0) / 1e9
     println(f"== cpus=$cpus candidates: $candSec%.1f s rows=$nc")
-    dump(metrics, names, taskMax)
+    dump(metrics, spills, names, taskMax)
 
-    metrics.clear(); names.clear(); taskMax.clear()
+    metrics.clear(); spills.clear(); names.clear(); taskMax.clear()
     t0 = System.nanoTime()
     val nv = Lsh.verifiedEdges(cands, sigs, cfg.lshConfig, cfg.jaccardTau).count()
     val verSec = (System.nanoTime() - t0) / 1e9
     println(f"== cpus=$cpus verified: $verSec%.1f s rows=$nv")
-    dump(metrics, names, taskMax)
+    dump(metrics, spills, names, taskMax)
     spark.stop()
   }
 
   private def dump(
       metrics: java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long, Long, Long)],
+      spills: java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)],
       names: java.util.concurrent.ConcurrentHashMap[Int, String],
       taskMax: java.util.concurrent.ConcurrentHashMap[Int, Long]): Unit = {
     import scala.jdk.CollectionConverters._
     metrics.asScala.toSeq.sortBy(_._1).foreach { case (sid, (run, gc, sw, sr, de)) =>
+      val (memSp, diskSp, peak) = spills.getOrDefault(sid, (0L, 0L, 0L))
       println(f"  stage $sid%4d run=${run / 1000.0}%8.1fs gc=${gc / 1000.0}%7.1fs " +
         f"(${100.0 * gc / math.max(run, 1)}%4.1f%%) shW=${sw / 1e6}%8.1fMB " +
         f"shR=${sr / 1e6}%8.1fMB deser=${de / 1000.0}%6.1fs " +
+        f"spillM=${memSp / 1e6}%7.1fMB spillD=${diskSp / 1e6}%7.1fMB " +
+        f"peakTask=${peak / 1e6}%7.1fMB " +
         f"maxTask=${taskMax.getOrDefault(sid, 0L) / 1000.0}%6.1fs  ${names.getOrDefault(sid, "?")}")
     }
   }

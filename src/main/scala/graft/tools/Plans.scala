@@ -54,6 +54,19 @@ object Plans {
     println("=== PLAN 10: Gopher + C4 quality filters (single projection, no exchange) ===")
     QualityFilters.gopherQuality(docs).explain("formatted")
     QualityFilters.c4Clean(docs).explain("formatted")
+
+    println("=== PLAN 11: near_edges end-to-end (is the candidate subtree reused?) ===")
+    val cands11 = Lsh.candidatePairs(spark, sigs, Lsh.Config())
+    val plan11 = Lsh.verifiedEdges(cands11, sigs, Lsh.Config(), 0.8)
+    plan11.explain("formatted")
+    val s11 = plan11.queryExecution.executedPlan.toString
+    println(s"bounded_topk occurrences in physical plan: ${"bounded_topk".r.findAllIn(s11).size}")
+    println(s"ReusedExchange nodes: ${"ReusedExchange".r.findAllIn(s11).size}")
+    plan11.count() // materialize so AQE finalizes stage reuse
+    val s11b = plan11.queryExecution.executedPlan.toString
+    println(s"AFTER RUN bounded_topk occurrences: ${"bounded_topk".r.findAllIn(s11b).size}")
+    println(s"AFTER RUN ReusedExchange/QueryStage: ${"Reused".r.findAllIn(s11b).size}")
+    println(s"AFTER RUN ShuffleQueryStage: ${"ShuffleQueryStage".r.findAllIn(s11b).size}")
     spark.stop()
   }
 }
