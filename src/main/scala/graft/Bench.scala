@@ -29,7 +29,11 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q_exact_dup_groups", "q_dup_states", "q_token_count",
     "q_lang_stats", "q_events_by_type", "q_minhash_sigs", "q_near_dup_pairs",
-    "q_ann_topk", "q_dedup_decisions")
+    "q_ann_topk", "q_dedup_decisions",
+    // round-4 operators: keep-one-copy span dedup, LM quality bucketing,
+    // trigram language id, the full Gopher repetition suite
+    "q_span_dedup_keep", "q_perplexity_bucket", "q_langid_trigram",
+    "q_gopher_repetition")
 
   private def session(cpus: Int): SparkSession = {
     val s = GraftSession.build(cpus, "graft-bench")

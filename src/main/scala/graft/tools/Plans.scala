@@ -62,7 +62,9 @@ object Plans {
     val s11 = plan11.queryExecution.executedPlan.toString
     println(s"bounded_topk occurrences in physical plan: ${"bounded_topk".r.findAllIn(s11).size}")
     println(s"ReusedExchange nodes: ${"ReusedExchange".r.findAllIn(s11).size}")
-    plan11.count() // materialize so AQE finalizes stage reuse
+    // collect() runs THIS DataFrame's QueryExecution (count() would build a
+    // fresh one and leave plan11's adaptive plan unfinalized)
+    println(s"rows: ${plan11.collect().length}")
     val s11b = plan11.queryExecution.executedPlan.toString
     println(s"AFTER RUN bounded_topk occurrences: ${"bounded_topk".r.findAllIn(s11b).size}")
     println(s"AFTER RUN ReusedExchange/QueryStage: ${"Reused".r.findAllIn(s11b).size}")
