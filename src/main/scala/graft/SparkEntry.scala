@@ -529,6 +529,24 @@ object SparkEntry {
         .select(col("url"), col("ts_s"), length(col("text")).as("len"))
     }),
 
+    // ---- corpus mixing + sequence packing (training-run assembly) ----
+    // Deterministic stratified sampling by language (the data-mixing step)
+    // and GPT-style concat-then-chunk sequence packing; both pure
+    // row-functions the DuckDB oracle reproduces exactly.
+    "q_corpus_mix" -> ((s, dir) =>
+      Mixing.stratifiedSample(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "zh" -> 0.75),
+        seed = 42L)),
+
+    "q_seq_pack" -> ((s, dir) =>
+      Mixing.packSequences(
+        docs(s, dir).select(col("doc_id"), col("text")),
+        "doc_id",
+        TextAnalysis.tokenCountWs(col("text")),
+        budget = 256, nShards = 8)),
+
     // ---- span-level dedup (Lee et al. 2022), driver-verifiable ----
     // Winnowed candidates → per-pair shared-gram span kernel → per-doc
     // interval union, vs DuckDB recomputing duplicated spans from the
@@ -1542,6 +1560,31 @@ object SparkEntry {
         |c AS (SELECT md5(text) AS sha FROM documents WHERE doc_id % 2 = 0)
         |SELECT r.url, r.sha FROM reps r
         |LEFT JOIN c ON r.sha = c.sha WHERE c.sha IS NULL""".stripMargin,
+    // mirrors q_corpus_mix: per-stratum Bernoulli draw via the first 8 hex
+    // chars of md5(doc_id:seed) compared against floor(f * 2^32) in hex —
+    // lexicographic hex order equals numeric order at fixed width, so both
+    // engines make identical keep decisions
+    "q_corpus_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (lang = 'de')
+        |   OR (lang = 'en' AND substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '80000000')
+        |   OR (lang = 'fr' AND substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '40000000')
+        |   OR (lang = 'zh' AND substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < 'c0000000')""".stripMargin,
+    // mirrors q_seq_pack: per-shard running token total before each doc,
+    // sequence = floor(before / budget), offset = before % budget
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tb
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(floor(tb / 256.0) AS BIGINT) AS seq_id,
+        |  CAST(tb % 256 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
     "q_ingest_stats" ->
       """WITH b AS (
         |  SELECT text FROM documents WHERE doc_id % 3 = 0

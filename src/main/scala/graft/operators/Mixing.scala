@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition operators: deterministic stratified sampling
+  * ("data mixing") and training-sequence packing — the two steps between a
+  * deduplicated/filtered corpus and an actual training run. Both are
+  * corpus-scale projections with no driver-side state, and both are
+  * deterministic pure functions of the row, so re-runs (and the DuckDB
+  * oracle) reproduce them bit-for-bit.
+  *
+  * Reference anchor: the reference's keep/delete election and per-folder
+  * scoping (`ViewModels/MainViewModel.cs:1226-1240, 694-781`) decide which
+  * rows survive; mixing decides *how many* of the survivors each stratum
+  * contributes, the step a web-corpus user runs right after dedup.
+  */
+object Mixing {
+
+  /** Uniform [0,1) sampling key for a row: the first 8 hex chars of
+    * md5(id:seed), compared LEXICOGRAPHICALLY against a hex threshold —
+    * hex-string order equals numeric order for fixed-width lowercase hex,
+    * so `sampleKey < hexThreshold(f)` is an unbiased Bernoulli(f) draw
+    * that any engine with md5() reproduces exactly (the DuckDB oracle
+    * does; no engine-specific hash is involved). */
+  def sampleKey(id: Column, seed: Long): Column =
+    substring(md5(concat(id.cast("string"), lit(":" + seed))), 1, 8)
+
+  /** 8-hex-char threshold for keep-fraction `f`: floor(f * 2^32) in hex,
+    * zero-padded so the lexicographic compare stays width-aligned. */
+  def hexThreshold(f: Double): String = {
+    require(f >= 0.0 && f <= 1.0, s"fraction out of range: $f")
+    f"${math.min((f * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** Deterministic stratified sample: keep each row of stratum s with
+    * probability strata(s) (strata absent from the map are dropped —
+    * mixing is an allowlist). One codegen'd projection + filter, no
+    * shuffle, no RNG state: the keep decision is a pure function of
+    * (id, seed), so executors re-running a lost partition make identical
+    * choices — the property that makes sampling safe under retries at
+    * 100 TB (a stateful RNG would not be). */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      strata: Map[String, Double],
+      seed: Long = 42L): DataFrame = {
+    val key = sampleKey(col(idCol), seed)
+    val keep = strata.foldLeft(lit(false)) { case (acc, (s, f)) =>
+      // f >= 1 keeps the whole stratum (a threshold compare would drop the
+      // 2^-32 of rows whose key is exactly "ffffffff")
+      val cond =
+        if (f >= 1.0) col(stratumCol) === s
+        else col(stratumCol) === s && key < lit(hexThreshold(f))
+      acc || cond
+    }
+    df.where(keep)
+  }
+
+  /** Pack documents into fixed-budget training sequences, GPT-style
+    * concat-then-chunk: within a shard, documents concatenate in id order
+    * into one token stream that is cut every `budget` tokens; a document
+    * starts in sequence floor(tokens_before / budget) at offset
+    * tokens_before % budget (documents may straddle a cut — the consumer
+    * reads `n_tokens` forward from there, exactly how GPT-style loaders
+    * slice packed shards).
+    *
+    * Scale: the only wide operation is a per-shard running sum — an
+    * in-partition sort + prefix scan. Shards are the parallelism unit:
+    * at 100 TB use O(cluster cores) × O(100) shards so each window
+    * partition is a few hundred MB; no global order exists or is needed
+    * (packing only requires SOME deterministic order per shard).
+    * `nShards` here uses doc_id % nShards for oracle parity; production
+    * sharding would hash the id first (ids can be skewed), which is the
+    * same operator with `pmod(xxhash64(id), n)` as the shard column. */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      nTokens: Column,
+      budget: Int,
+      nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0)
+    val shard = pmod(col(idCol), lit(nShards)).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), shard.as("shard"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col(idCol),
+        col("shard"),
+        col("n_tokens"),
+        (col("tokens_before") / budget).cast("long").as("seq_id"),
+        pmod(col("tokens_before"), lit(budget.toLong)).as("seq_offset"))
+  }
+}
