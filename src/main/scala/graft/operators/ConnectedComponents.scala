@@ -15,19 +15,25 @@ import org.apache.spark.storage.StorageLevel
   * Algorithm: min-label propagation + pointer jumping over undirected edges.
   *   labels ← (url, own natural key)
   *   repeat: label(u) ← min(label(u), min over neighbors v of label(v));
-  *           label(u) ← min(label(u), label(label(u).url))   // compression
-  * Convergence is O(log diameter) rounds. Dedup cluster topology is mostly
-  * star/clique-shaped (exact stars, LSH clique edges); the compression step
-  * keeps pathological substring-transitivity chains cheap too. Determinism
-  * comes from the label *values* (natural keys), never from partition order.
+  *           label(u) ← min(label(u), label(label(u).url))   // from round 4
+  * Convergence is O(diameter) rounds, O(log diameter) once jumping folds
+  * in. Dedup cluster topology is mostly star/clique-shaped (exact stars,
+  * LSH clique edges), converging in 2–3 rounds. Determinism comes from the
+  * label *values* (natural keys), never from partition order.
   *
-  * Scale notes: each iteration is two shuffles (edges ⋈ labels on src;
-  * re-agg by dst). Lineage is truncated every iteration with
-  * `localCheckpoint` so plans don't grow; the converged check is one tiny
-  * order-free checksum aggregation. For graphs with huge diameters the
-  * large-star/small-star algorithm (or BTS, ICDE 2024 — see PAPERS.md)
-  * halves iteration counts; dedup graphs don't need it and it would double
-  * the shuffle volume per round.
+  * Scale notes: the distributed path is the ONE deliberate RDD loop in the
+  * engine (the canonical iterative-graph exception to DataFrame-first —
+  * the reason GraphX exists). A DataFrame loop pays three Catalyst-planned
+  * shuffles plus a localCheckpoint plus a checksum job per round, ~6 s per
+  * round at 2 AND 8 cores on 550k edges (tools/CcProfile) — all per-round
+  * driver latencies that a cluster cannot parallelize. The RDD loop
+  * hash-partitions the symmetric edge list ONCE; labels stay co-partitioned
+  * so the per-round `edges ⋈ labels` is narrow, leaving one message
+  * shuffle per round, no per-round query planning, and a convergence
+  * accumulator riding the round's own materialization. For graphs with
+  * huge diameters the large-star/small-star algorithm (or BTS, ICDE 2024 —
+  * see PAPERS.md) halves iteration counts; dedup graphs don't need it and
+  * it would double the shuffle volume per round.
   */
 object ConnectedComponents {
 
@@ -65,83 +71,127 @@ object ConnectedComponents {
     // common case at sandbox scale). limit(k+1).count() stops scanning as
     // soon as k+1 edges exist, so the big-graph case pays one truncated
     // scan, not a full count.
+    // env-gated phase timing for scaling forensics (tools/CcProfile)
+    val ccLog = sys.env.get("SPARK_GRAFT_CC_LOG").contains("1")
+    def logT(name: String, t0: Long): Unit =
+      if (ccLog) println(f"CC_PHASE $name%-10s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+
+    val tProbe = System.nanoTime()
     val probeLimit = math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt
     if (edges.limit(probeLimit).count() <= maxDriverEdges)
       return runOnDriver(spark, nodes, edges, driverNk)
+    logT("probe", tProbe)
 
-    // symmetric closure once; reused by every iteration. explode(array(..))
-    // instead of a self-union reads the (possibly expensive, un-cached)
-    // edge frame exactly once when this persist materializes.
-    val und = edges
-      .select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // The iterative core is a co-partitioned RDD loop, not a DataFrame
+    // loop — the one place in this engine where RDDs win. Measured
+    // (tools/CcProfile, 1M docs, 550k edges): each DataFrame round cost
+    // ~6 s at 2 AND at 8 cores — three Catalyst-planned shuffles (edges ⋈
+    // labels, re-agg by dst, pointer-jump self-join), a localCheckpoint
+    // materialization and a checksum job, all dominated by per-round
+    // optimizer/codegen/job latencies that do not scale with cores. Here
+    // the edge list is hash-partitioned ONCE; labels live co-partitioned,
+    // so `und ⋈ labels` is narrow and each round's only shuffle is the
+    // message reduceByKey — with zero per-round query planning. The
+    // convergence check rides the round's own materialization as an
+    // accumulator (no-change ⟺ min-propagation fixpoint, which is exactly
+    // component-minimum labels), replacing the per-round checksum job.
+    import spark.implicits._
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import graft.functions.NaturalKey
+
+    type Lbl = (Array[Byte], String) // (nk, url); min by nk, url tiebreak
+    def cmp(a: Lbl, b: Lbl): Int = {
+      val c = NaturalKey.compareKeys(a._1, b._1) // Spark BinaryType order
+      if (c != 0) c else a._2.compareTo(b._2)
+    }
+    val min2: (Lbl, Lbl) => Lbl = (a, b) => if (cmp(a, b) <= 0) a else b
+
+    val tSetup = System.nanoTime()
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val part = new HashPartitioner(nParts)
+
+    // symmetric closure, partitioned by src once — the stationary join side
+    val und = edges.select(col("src"), col("dst")).as[(String, String)].rdd
+      .flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = und.count() / 2
 
     // Iterate only over edge-touched nodes: everything else is a singleton
-    // whose label is itself. In a dedup graph the touched set is a small
-    // fraction of the corpus (most docs are unique), so this shrinks every
-    // iteration's shuffle by that fraction.
-    val touched = und.select(col("src").as("url")).distinct()
+    // whose label is itself. reduceByKey with und's own partitioner = narrow.
+    val touched = und.mapValues(_ => true).reduceByKey(part, (a, _) => a)
 
-    // label = struct(nk, url): min is by nk with url as deterministic tiebreak
-    var labels = nodes
-      .join(touched, "url")
-      .select(col("url"), struct(col("nk"), col("url")).as("lbl"))
-      .localCheckpoint()
+    var labels: RDD[(String, Lbl)] = nodes
+      .select(col("url"), col("nk")).as[(String, Array[Byte])].rdd
+      .partitionBy(part)
+      .join(touched)
+      .mapPartitions(_.map { case (u, (nk, _)) => (u, (nk, u): Lbl) },
+        preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    logT("setup", tSetup)
 
-    var iter = 0
-    var converged = false
-    var prevSig: java.math.BigDecimal = null
-    while (!converged && iter < maxIter) {
-      // 1. propagate labels one hop over the edge list
-      val msgs = und
-        .join(labels.withColumnRenamed("url", "src"), "src")
-        .select(col("dst").as("url"), col("lbl"))
-      val prop = labels.unionByName(msgs)
-        .groupBy(col("url"))
-        .agg(min(col("lbl")).as("lbl"))
-      // 2. pointer jumping: follow the label's own label (path compression),
-      //    turning O(diameter) convergence into O(log diameter) — long
-      //    chains (substring-dup transitivity) stay cheap at scale
-      val jumped = prop.alias("a")
-        .join(
-          prop.select(col("url").as("curl"), col("lbl").as("plbl")).alias("p"),
-          col("a.lbl.url") === col("curl"), "left")
-        .select(
-          col("a.url").as("url"),
-          when(col("plbl").isNotNull, least(col("plbl"), col("a.lbl")))
-            .otherwise(col("a.lbl")).as("lbl"))
-      // hard lineage truncation every round: plans otherwise snowball
-      // across rounds (each self-join doubles references) and optimizer
-      // time dwarfs the tiny label shuffle
-      val next = jumped.localCheckpoint()
-      // convergence via an order-free checksum of the label assignment —
-      // one tiny aggregation instead of a self-join per iteration
-      val sig = next
-        .agg(sum(xxhash64(col("url"), col("lbl.url")).cast("decimal(30,0)")))
-        .head().getDecimal(0)
-      converged = prevSig != null && prevSig == sig
-      prevSig = sig
-      labels = next
-      iter += 1
+    // Pointer jumping (label(u) ← label(label(u).url)) costs two extra
+    // shuffles per round, and star/clique-shaped dedup topology converges
+    // in ≤3 propagate rounds without it — so early rounds are
+    // propagate-only and jumping folds in from round 4, keeping
+    // pathological substring-transitivity chains O(log diameter) without
+    // taxing the common case.
+    def jump(ls: RDD[(String, Lbl)]): RDD[(String, Lbl)] = {
+      val lookedUp = ls.map { case (u, l) => (l._2, u) }
+        .join(ls, part)
+        .map { case (_, (u, lOfL)) => (u, lOfL) }
+        .reduceByKey(part, min2)
+      ls.join(lookedUp, part)
+        .mapPartitions(_.map { case (u, (a, b)) => (u, min2(a, b)) },
+          preservesPartitioning = true)
     }
-    if (!converged) {
+
+    val sc = spark.sparkContext
+    var iter = 0
+    var changed = Long.MaxValue
+    while (changed > 0 && iter < maxIter) {
+      val tIter = System.nanoTime()
+      // one-hop min-label messages; the round's only required shuffle
+      val msgs = und.join(labels, part)
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+        .reduceByKey(part, min2)
+      val acc = sc.longAccumulator(s"cc_changed_$iter")
+      val prev = labels
+      var next = prev.leftOuterJoin(msgs, part)
+        .mapPartitions(_.map { case (u, (old, m)) =>
+          val nl = m.fold(old)(min2(old, _))
+          if (cmp(nl, old) != 0) acc.add(1L)
+          (u, nl)
+        }, preservesPartitioning = true)
+      // star/clique topology converges in ≤3 propagate rounds (2 changing
+      // + 1 confirm) — jumping before round 4 only taxes the confirm round
+      if (iter >= 3) next = jump(next)
+      next = next.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize; the same action drives the accumulator
+      prev.unpersist(blocking = false)
+      labels = next
+      // jump-step changes don't count: propagate-no-change alone is the
+      // fixpoint condition (see loop comment), jumping only accelerates it
+      changed = acc.value
+      iter += 1
+      logT(s"iter_$iter", tIter)
+    }
+    if (changed > 0) {
       // fail loudly: non-converged labels would silently elect wrong
-      // representatives downstream (ADVICE r1). The checksum converges in
-      // O(log diameter) rounds on any real dedup graph — hitting maxIter
-      // means something is structurally wrong with the edge list.
+      // representatives downstream (ADVICE r1). Propagation converges in
+      // O(diameter) rounds (O(log diameter) once jumping folds in) —
+      // hitting maxIter means something is structurally wrong.
       throw new IllegalStateException(
         s"connected components did not converge after $maxIter iterations " +
-          s"($edgeCount edges); raise maxIter or inspect the edge list")
+          s"(${und.count() / 2} edges); raise maxIter or inspect the edge list")
     }
     und.unpersist(blocking = false)
-    val part = labels.select(col("url"), col("lbl.url").as("cluster_url"))
+    val partDf = labels
+      .map { case (u, l) => (u, l._2) }
+      .toDF("url", "cluster_url")
     // singletons (never touched by an edge) label themselves
     nodes
-      .join(part, Seq("url"), "left")
+      .join(partDf, Seq("url"), "left")
       .select(
         col("url"),
         coalesce(col("cluster_url"), col("url")).as("cluster_url"))
