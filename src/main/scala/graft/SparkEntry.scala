@@ -568,6 +568,51 @@ object SparkEntry {
         .select(col("url"), col("s"), col("e"))
     }),
 
+    // ---- distributed suffix array (Manber-Myers prefix doubling) ----
+    // Full-array parity: the global lexicographic rank of every suffix with
+    // deterministic (url, pos) ties, vs DuckDB's row_number over
+    // ORDER BY substr(text, pos) — binary collation on both engines.
+    "q_suffix_array" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("doc_id") < 40)
+        .select(urlCol.as("url"), col("text"))
+      operators.SuffixArray.suffixArray(s, d)
+        .select(col("url"), col("pos"), col("sa_rank"))
+    }),
+
+    // Same planted clique and the SAME oracle SQL as q_dup_spans, answered
+    // through the suffix-array rank structure instead of winnowing — two
+    // independent algorithms cross-validated against one gram-table truth.
+    "q_sa_dup_spans" -> ((s, dir) => {
+      val passage = " " + ("shared boilerplate passage " * 10)
+      val base = docs(s, dir).where(length(col("text")) >= 250)
+        .select(col("doc_id"), col("text"), col("source"))
+      val planted = base.unionByName(
+        base.where(col("doc_id") % 25 === 11)
+          .withColumn("doc_id", col("doc_id") + lit(4000000L))
+          .withColumn("text", concat(col("text"), lit(passage))))
+      operators.SuffixArray.dupSpans(
+        s, planted.select(urlCol.as("url"), col("text")), minSubstr = 200)
+        .select(col("url"), col("s"), col("e"))
+    }),
+
+    // Same corpus and the SAME oracle SQL as q_span_dedup_keep, answered
+    // through the suffix-array rank structure (corpus-global group-min
+    // orientation instead of per-pair) — cross-validated against one truth.
+    "q_sa_span_keep" -> ((s, dir) => {
+      val passage = " " + ("shared boilerplate passage " * 10)
+      val base = docs(s, dir).where(length(col("text")) >= 250)
+        .select(col("doc_id"), col("text"))
+      val planted = base.unionByName(
+        base.where(col("doc_id") % 25 === 11)
+          .withColumn("doc_id", col("doc_id") + lit(4000000L))
+          .withColumn("text", concat(col("text"), lit(passage))))
+      val d = planted
+        .select(col("doc_id").cast("string").as("url"), col("text"))
+        .withColumn("nk", gf.natural_sort_key(col("url")))
+      operators.SuffixArray.dupSpansKeepOne(s, d, minSubstr = 200)
+        .select(col("url"), col("s"), col("e"))
+    }),
+
     // ---- keep-one-copy span dedup (Lee et al. 2022 standard variant) ----
     // Same planted clique as q_dup_spans, but spans are cut only from the
     // (nk, url)-LATER side of each pair, so every duplicated passage
@@ -924,6 +969,59 @@ object SparkEntry {
       ("q_dedup_stats" -> m("q_dedup_stats_exact"))
   }
 
+  /** The exhaustive 200-gram span truth shared by `q_dup_spans` (winnowing
+    * path) and `q_sa_dup_spans` (suffix-array path): duplicated gram
+    * positions (shared with ANOTHER url) merged by a gaps-and-islands
+    * window. One oracle, two independent Spark algorithms. */
+  private lazy val dupSpansGramOracle: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, text, source FROM documents WHERE length(text) >= 250),
+      |d AS (
+      |  SELECT doc_id, text, source FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 4000000,
+      |    text || ' ' || repeat('shared boilerplate passage ', 10), source
+      |  FROM base WHERE doc_id % 25 = 11),
+      |u AS (SELECT $urlSql AS url, text FROM d),
+      |g AS (SELECT url, unnest(range(1, length(text) - 198)) AS i, text FROM u),
+      |gg AS (SELECT url, i, substr(text, CAST(i AS INT), 200) AS gram FROM g),
+      |dup AS (SELECT DISTINCT x.url, x.i FROM gg x
+      |  JOIN gg y ON x.gram = y.gram AND x.url <> y.url),
+      |m AS (SELECT url, i, max(i + 200) OVER (PARTITION BY url ORDER BY i
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e FROM dup),
+      |isl AS (SELECT url, i, sum(CASE WHEN prev_e IS NULL OR i > prev_e
+      |  THEN 1 ELSE 0 END) OVER (PARTITION BY url ORDER BY i) AS island FROM m)
+      |SELECT url, min(i) AS s, max(i + 200) AS e FROM isl
+      |GROUP BY url, island""".stripMargin
+
+  /** The keep-one-copy span truth shared by `q_span_dedup_keep` (pair-
+    * oriented winnowing path) and `q_sa_span_keep` (group-oriented
+    * suffix-array path): duplicated gram positions restricted to grams
+    * shared with a STRICTLY EARLIER doc (numeric-url natural order ==
+    * doc_id order), merged gaps-and-islands style. */
+  private lazy val spanKeepGramOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE length(text) >= 250),
+      |d AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 4000000,
+      |    text || ' ' || repeat('shared boilerplate passage ', 10)
+      |  FROM base WHERE doc_id % 25 = 11),
+      |u AS (SELECT CAST(doc_id AS VARCHAR) AS url, doc_id, text FROM d),
+      |g AS (SELECT url, doc_id, unnest(range(1, length(text) - 198)) AS i,
+      |  text FROM u),
+      |gg AS (SELECT url, doc_id, i, substr(text, CAST(i AS INT), 200) AS gram
+      |  FROM g),
+      |dup AS (SELECT DISTINCT x.url, x.i FROM gg x
+      |  JOIN gg y ON x.gram = y.gram AND y.doc_id < x.doc_id),
+      |m AS (SELECT url, i, max(i + 200) OVER (PARTITION BY url ORDER BY i
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e FROM dup),
+      |isl AS (SELECT url, i, sum(CASE WHEN prev_e IS NULL OR i > prev_e
+      |  THEN 1 ELSE 0 END) OVER (PARTITION BY url ORDER BY i) AS island FROM m)
+      |SELECT url, min(i) AS s, max(i + 200) AS e FROM isl
+      |GROUP BY url, island""".stripMargin
+
   private def oracleSqlBase: Map[String, String] = Map(
     "q_exact_dup_groups" ->
       s"""$plantedCte
@@ -1252,51 +1350,22 @@ object SparkEntry {
         |  count(*) AS n_lines,
         |  CAST(sum(CASE WHEN strip THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped
         |FROM mk GROUP BY doc_id""".stripMargin,
-    "q_dup_spans" ->
-      s"""WITH base AS (
-        |  SELECT doc_id, text, source FROM documents WHERE length(text) >= 250),
-        |d AS (
-        |  SELECT doc_id, text, source FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 4000000,
-        |    text || ' ' || repeat('shared boilerplate passage ', 10), source
-        |  FROM base WHERE doc_id % 25 = 11),
-        |u AS (SELECT $urlSql AS url, text FROM d),
-        |g AS (SELECT url, unnest(range(1, length(text) - 198)) AS i, text FROM u),
-        |gg AS (SELECT url, i, substr(text, CAST(i AS INT), 200) AS gram FROM g),
-        |dup AS (SELECT DISTINCT x.url, x.i FROM gg x
-        |  JOIN gg y ON x.gram = y.gram AND x.url <> y.url),
-        |m AS (SELECT url, i, max(i + 200) OVER (PARTITION BY url ORDER BY i
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e FROM dup),
-        |isl AS (SELECT url, i, sum(CASE WHEN prev_e IS NULL OR i > prev_e
-        |  THEN 1 ELSE 0 END) OVER (PARTITION BY url ORDER BY i) AS island FROM m)
-        |SELECT url, min(i) AS s, max(i + 200) AS e FROM isl
-        |GROUP BY url, island""".stripMargin,
+    "q_dup_spans" -> dupSpansGramOracle,
+    // identical truth, answered by the suffix-array path on the Spark side
+    "q_sa_dup_spans" -> dupSpansGramOracle,
+    "q_suffix_array" ->
+      s"""WITH u AS (
+        |  SELECT $urlSql AS url, text FROM documents WHERE doc_id < 40),
+        |g AS (SELECT url, text, unnest(range(1, length(text) + 1)) AS pos FROM u)
+        |SELECT url, pos, row_number() OVER (
+        |  ORDER BY substr(text, CAST(pos AS INT)), url, pos) AS sa_rank
+        |FROM g""".stripMargin,
     // mirrors q_span_dedup_keep: duplicated gram positions restricted to
     // grams shared with a STRICTLY EARLIER doc (numeric-url natural order
     // == doc_id order), then the same gaps-and-islands merge as q_dup_spans
-    "q_span_dedup_keep" ->
-      """WITH base AS (
-        |  SELECT doc_id, text FROM documents WHERE length(text) >= 250),
-        |d AS (
-        |  SELECT doc_id, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 4000000,
-        |    text || ' ' || repeat('shared boilerplate passage ', 10)
-        |  FROM base WHERE doc_id % 25 = 11),
-        |u AS (SELECT CAST(doc_id AS VARCHAR) AS url, doc_id, text FROM d),
-        |g AS (SELECT url, doc_id, unnest(range(1, length(text) - 198)) AS i,
-        |  text FROM u),
-        |gg AS (SELECT url, doc_id, i, substr(text, CAST(i AS INT), 200) AS gram
-        |  FROM g),
-        |dup AS (SELECT DISTINCT x.url, x.i FROM gg x
-        |  JOIN gg y ON x.gram = y.gram AND y.doc_id < x.doc_id),
-        |m AS (SELECT url, i, max(i + 200) OVER (PARTITION BY url ORDER BY i
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e FROM dup),
-        |isl AS (SELECT url, i, sum(CASE WHEN prev_e IS NULL OR i > prev_e
-        |  THEN 1 ELSE 0 END) OVER (PARTITION BY url ORDER BY i) AS island FROM m)
-        |SELECT url, min(i) AS s, max(i + 200) AS e FROM isl
-        |GROUP BY url, island""".stripMargin,
+    "q_span_dedup_keep" -> spanKeepGramOracle,
+    // identical truth, answered by the suffix-array path on the Spark side
+    "q_sa_span_keep" -> spanKeepGramOracle,
     "q_substring_pairs_oracle" ->
       s"""WITH base AS (
         |  SELECT doc_id, text, source FROM documents WHERE length(text) >= 250),

@@ -270,6 +270,18 @@ object MinHashImpl {
     h
   }
 
+  /** UTF-16 code units of `text` as ints — the depth-1 ranks of the
+    * suffix-array prefix-doubling pass (SuffixArray.scala). Code units are
+    * order- and equality-preserving for the binary collation SQL's
+    * ORDER BY uses on the engine's (ASCII) corpora, which is all prefix
+    * doubling needs from its initial ranks. */
+  def charCodes(text: String): Array[Int] = {
+    val out = new Array[Int](text.length)
+    var i = 0
+    while (i < text.length) { out(i) = text.charAt(i).toInt; i += 1 }
+    out
+  }
+
   // ---- Winnowing (long-common-substring candidates) ------------------------
 
   /** Winnowed character-level fingerprints: k-char rolling hashes, one

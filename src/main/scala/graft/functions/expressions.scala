@@ -31,6 +31,8 @@ object codegenHelpers {
     UTF8String.fromString(TextExtract.extractText(bytes))
   def winnow(u: UTF8String, k: Int, w: Int): UnsafeArrayData =
     UnsafeArrayData.fromPrimitiveArray(MinHashImpl.winnowFingerprints(u.toString, k, w))
+  def charCodes(u: UTF8String): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(MinHashImpl.charCodes(u.toString))
   def bandBuckets(sig: org.apache.spark.sql.catalyst.util.ArrayData,
                   bands: Int, rowsPerBand: Int, seed: Long): UnsafeArrayData =
     UnsafeArrayData.fromPrimitiveArray(
@@ -177,6 +179,17 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends GraftUn
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** text → UTF-16 code units (array<int>) — the depth-1 ranks of the
+  * suffix-array prefix-doubling pass (operators/SuffixArray.scala). */
+case class CharCodes(child: Expression) extends GraftUnary {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.charCodes(v.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String = s"$H.charCodes($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_codes"
+}
+
 private[graft] trait GraftBinary extends BinaryExpression {
   override def nullIntolerant: Boolean = true
   protected final val H = "graft.functions.codegenHelpers"
@@ -304,6 +317,7 @@ object gf {
     col(SimHashTableKeys(expr(c), nBlocks, keep))
   def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
     col(WinnowFingerprints(expr(c), k, w))
+  def char_codes(c: Column): Column = col(CharCodes(expr(c)))
   def est_jaccard(a: Column, b: Column): Column = col(EstJaccard(expr(a), expr(b)))
   def shingle_jaccard(a: Column, b: Column, k: Int, seed: Long): Column =
     col(ShingleJaccard(expr(a), expr(b), k, seed))
