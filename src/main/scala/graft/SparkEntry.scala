@@ -463,6 +463,25 @@ object SparkEntry {
         .select(col("url"), col("sha"))
     }),
 
+    // same inputs and output through the Bloom-gated path: the corpus-side
+    // filter (built once per epoch at scale) short-circuits definite-new
+    // rows before the authoritative anti-join; bloom negatives are
+    // definitive, so the oracle is q_incremental_dedup's verbatim
+    "q_incremental_dedup_bloom" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpusShas = d.where(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("sha"))
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .select(concat(lit("b"), col("doc_id")).as("url"), col("text"))
+        .unionByName(
+          d.where(col("doc_id") % 9 === 0)
+            .select(concat(lit("x"), col("doc_id")).as("url"), col("text")))
+      val bloom = IncrementalDedup.corpusBloom(
+        corpusShas, expectedItems = 4096, fpp = 0.01)
+      IncrementalDedup.newDocsBloomGated(batch, corpusShas, bloom, algo = "md5")
+        .select(col("url"), col("sha"))
+    }),
+
     "q_ingest_stats" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val corpusShas = d.where(col("doc_id") % 2 === 0)
@@ -1618,6 +1637,21 @@ object SparkEntry {
     // mirrors q_incremental_dedup: batch-internal min-url election per md5,
     // then anti-join against the even-doc corpus digest set
     "q_incremental_dedup" ->
+      """WITH b AS (
+        |  SELECT 'b' || CAST(doc_id AS VARCHAR) AS url, text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'x' || CAST(doc_id AS VARCHAR) AS url, text
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |h AS (SELECT url, md5(text) AS sha FROM b),
+        |reps AS (SELECT sha, min(url) AS url FROM h GROUP BY sha),
+        |c AS (SELECT md5(text) AS sha FROM documents WHERE doc_id % 2 = 0)
+        |SELECT r.url, r.sha FROM reps r
+        |LEFT JOIN c ON r.sha = c.sha WHERE c.sha IS NULL""".stripMargin,
+    // the Bloom gate never changes membership (negatives definitive, false
+    // positives re-verified by the anti-join), so the bloom-gated path
+    // answers to the identical SQL
+    "q_incremental_dedup_bloom" ->
       """WITH b AS (
         |  SELECT 'b' || CAST(doc_id AS VARCHAR) AS url, text
         |  FROM documents WHERE doc_id % 3 = 0

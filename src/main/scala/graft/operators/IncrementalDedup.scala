@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
 
 /** Incremental (batch-vs-corpus) deduplication — the continuous-ingest
   * shape of a training-data pipeline: each new crawl batch must drop (a)
@@ -53,6 +56,16 @@ object IncrementalDedup {
     * deterministic source scan (partitionId ⧺ row index), which both
     * branches of the self-reference read identically. */
   def newDocs(batch: DataFrame, corpusShas: DataFrame, algo: String = "sha256"): DataFrame = {
+    val (hashed, reps) = electReps(batch, algo)
+    reps
+      .join(corpusShas.select(col("sha")), Seq("sha"), "left_anti")
+      .join(hashed.select(col("rid"), col("text")), Seq("rid"))
+      .select(col("url"), col("text"), col("sha"))
+  }
+
+  /** Shared head of both newDocs variants: digest + unique row id, then the
+    * narrow per-sha representative election. */
+  private def electReps(batch: DataFrame, algo: String): (DataFrame, DataFrame) = {
     val hashed = batch
       .withColumn("sha", digestCol(col("text"), algo))
       .withColumn("rid", monotonically_increasing_id())
@@ -60,8 +73,65 @@ object IncrementalDedup {
       .agg(
         min(col("url")).as("url"),
         min_by(col("rid"), struct(col("url"), col("rid"))).as("rid"))
-    reps
+    (hashed, reps)
+  }
+
+  /** Serialized Bloom filter over the corpus digest table, keyed by
+    * xxhash64(sha) — Spark's own sketch via the Catalyst
+    * `BloomFilterAggregate` (the aggregate behind runtime join-filter
+    * injection), so the build is one map-side-combining pass over the
+    * digest column with no driver-side iteration; only the final O(numBits)
+    * buffer returns. Built once per ingest epoch and reused across every
+    * batch of that epoch.
+    *
+    * `expectedItems`/`fpp` size the filter by the standard
+    * m = -n·ln p / (ln 2)² bits. Spark caps a single aggregate's filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold`
+    * family, default 4M items / 8 MB); a 10^12-digest corpus therefore
+    * carries one bloom per digest-table bucket (the table is bucketed by
+    * sha for the storage-partitioned anti-join already — the per-bucket
+    * blooms ride the same layout), each batch probing its bucket's filter.
+    * Returns null on an empty corpus — callers fall back to [[newDocs]]
+    * (everything is new; there is nothing to gate). */
+  def corpusBloom(
+      corpusShas: DataFrame, expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"bad bloom sizing: items=$expectedItems fpp=$fpp")
+    val ln2 = math.log(2)
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong)
+    val agg = new BloomFilterAggregate(
+      bridge.expression(xxhash64(col("sha"))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    corpusShas.select(bridge.column(agg).as("bf"))
+      .first().getAs[Array[Byte]](0)
+  }
+
+  /** [[newDocs]] with a Bloom gate on the corpus side — identical output
+    * (bloom negatives are definitive, so non-members never reach the join;
+    * members and the fpp fraction of false positives are re-verified by the
+    * same left-anti join), different 100 TB cost: the (1 − dup_rate −
+    * fpp) majority of a typical crawl batch is decided by an O(1) in-row
+    * probe against a filter built once per epoch, and only the "maybe"
+    * residue consults the corpus digest table at all. Without the gate
+    * EVERY batch pays a full-batch join against 10^12 digests; with it the
+    * authoritative join input shrinks to the batch's actual overlap. */
+  def newDocsBloomGated(
+      batch: DataFrame,
+      corpusShas: DataFrame,
+      bloom: Array[Byte],
+      algo: String = "sha256"): DataFrame = {
+    require(bloom != null, "null bloom — empty corpus? use newDocs")
+    val (hashed, reps) = electReps(batch, algo)
+    val maybeDup = bridge.column(BloomFilterMightContain(
+      bridge.expression(lit(bloom)),
+      bridge.expression(xxhash64(col("sha")))))
+    val flagged = reps.withColumn("maybe_dup", maybeDup)
+    val definiteNew = flagged.where(!col("maybe_dup"))
+    val verifiedNew = flagged.where(col("maybe_dup"))
       .join(corpusShas.select(col("sha")), Seq("sha"), "left_anti")
+    definiteNew.unionByName(verifiedNew)
+      .drop("maybe_dup")
       .join(hashed.select(col("rid"), col("text")), Seq("rid"))
       .select(col("url"), col("text"), col("sha"))
   }

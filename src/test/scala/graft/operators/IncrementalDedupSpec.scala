@@ -71,6 +71,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(out.length == 3) // B, C (one rep), D
   }
 
+  test("bloom-gated path returns exactly newDocs' rows") {
+    val (batch, corpus) = frames()
+    val bloom = IncrementalDedup.corpusBloom(corpus, expectedItems = 16)
+    val gated = IncrementalDedup.newDocsBloomGated(batch, corpus, bloom).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[String]("text"))).toSet
+    val plain = IncrementalDedup.newDocs(batch, corpus).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[String]("text"))).toSet
+    assert(gated == plain && gated == Set("u2" -> "text C", "u4" -> "text D"))
+  }
+
+  test("bloom has no false negatives: every corpus sha probes true") {
+    import spark.implicits._
+    val corpus = (1 to 500).map(i => s"corpus text $i").toDF("text")
+      .select(sha2(col("text"), 256).as("sha"))
+    val bloom = IncrementalDedup.corpusBloom(corpus, expectedItems = 500)
+    // re-submit the entire corpus as a batch: the gate must flag every row
+    // maybe-dup, the anti-join confirms, and nothing comes out
+    val batch = (1 to 500).map(i => (s"u$i", s"corpus text $i")).toDF("url", "text")
+    val out = IncrementalDedup.newDocsBloomGated(batch, corpus, bloom)
+    assert(out.count() == 0, "a bloom false negative leaked a corpus dup")
+  }
+
+  test("corpusBloom rejects bad sizing and null blooms are refused") {
+    val (_, corpus) = frames()
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.corpusBloom(corpus, expectedItems = 0)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.newDocsBloomGated(corpus, corpus, null)
+    }
+  }
+
   test("texts never enter the election aggregate (narrow agg, re-join)") {
     val (batch, corpus) = frames()
     val plan = IncrementalDedup.newDocs(batch, corpus)
