@@ -566,6 +566,14 @@ object SparkEntry {
         TextAnalysis.tokenCountWs(col("text")),
         budget = 256, nShards = 8)),
 
+    // per-source cap: ≤ 10 docs per source in doc_id order — the
+    // "no domain dominates" composition rule; plans a WindowGroupLimit
+    // (map-side per-stratum limit before the exchange)
+    "q_source_cap" -> ((s, dir) =>
+      Mixing.capPerStratum(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        "source", k = 10, col("doc_id"))),
+
     // ---- span-level dedup (Lee et al. 2022), driver-verifiable ----
     // Winnowed candidates → per-pair shared-gram span kernel → per-doc
     // interval union, vs DuckDB recomputing duplicated spans from the
@@ -1688,6 +1696,12 @@ object SparkEntry {
         |  CAST(floor(tb / 256.0) AS BIGINT) AS seq_id,
         |  CAST(tb % 256 AS BIGINT) AS seq_offset
         |FROM c""".stripMargin,
+    // mirrors q_source_cap: row_number per source in doc_id order, keep ≤ 10
+    "q_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
     "q_ingest_stats" ->
       """WITH b AS (
         |  SELECT text FROM documents WHERE doc_id % 3 = 0

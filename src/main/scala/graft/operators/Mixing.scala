@@ -59,6 +59,27 @@ object Mixing {
     df.where(keep)
   }
 
+  /** Keep at most `k` rows per stratum (host/domain/source) in a total
+    * deterministic order — the "no single domain dominates the corpus"
+    * composition rule every web pipeline applies between dedup and mixing.
+    *
+    * Scale shape: a `row_number() <= k` filter over a partitioned window is
+    * the form Spark's WindowGroupLimit rewrite recognizes — each map task
+    * keeps only its local top-k per stratum BEFORE the exchange, so the
+    * shuffle carries at most k rows per (stratum, input partition) instead
+    * of the whole corpus, and no global sort exists (the same pre-exchange
+    * group-limit the ANN top-k path rides). `order` must be a total order
+    * (include a unique id as the last key) or retries could keep a
+    * different k-subset. */
+  def capPerStratum(df: DataFrame, stratumCol: String, k: Int, order: Column*): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    require(order.nonEmpty, "capPerStratum needs a deterministic order")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Pack documents into fixed-budget training sequences, GPT-style
     * concat-then-chunk: within a shard, documents concatenate in id order
     * into one token stream that is cut every `budget` tokens; a document

@@ -68,4 +68,31 @@ class MixingSpec extends AnyFunSuite {
     // offsets never reach the budget
     assert(rows.forall(_._5 < 512))
   }
+
+  test("capPerStratum keeps the k order-smallest rows per stratum") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => (i.toLong, s"src${i % 4}")).toDF("id", "src")
+    val out = Mixing.capPerStratum(docs, "src", k = 5, col("id"))
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+    assert(out.length == 20)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val s = src.stripPrefix("src").toInt
+      // the 5 smallest ids of stratum s are s, s+4, ..., s+16
+      assert(rows.map(_._2).sorted.toSeq == (0 until 5).map(j => (s + 4 * j).toLong))
+    }
+    // under-full strata pass through whole
+    val small = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "src")
+    assert(Mixing.capPerStratum(small, "src", k = 5, col("id")).count() == 3)
+    intercept[IllegalArgumentException] { Mixing.capPerStratum(small, "src", 0, col("id")) }
+    intercept[IllegalArgumentException] { Mixing.capPerStratum(small, "src", 1) }
+  }
+
+  test("capPerStratum plans a WindowGroupLimit (map-side limit before the exchange)") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => (i.toLong, s"src${i % 4}")).toDF("id", "src")
+    val plan = Mixing.capPerStratum(docs, "src", k = 5, col("id"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank-filter rewrite to plan WindowGroupLimit:\n$plan")
+  }
 }
