@@ -532,6 +532,18 @@ object SparkEntry {
       Decontaminate.contaminated(d, bench, n = 13)
     }),
 
+    // same inputs and verdicts through the Bloom-gated path: the eval-gram
+    // filter (built once per battery at scale) decides the clean majority
+    // in-row; bloom negatives are definitively clean, maybes re-verify
+    // against the exact gram table, so the oracle is q_decontaminate's
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.where(col("doc_id") % 37 === 5)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val bloom = Decontaminate.benchBloom(bench, n = 13, expectedItems = 65536)
+      Decontaminate.contaminatedBloomGated(d, bench, bloom, n = 13)
+    }),
+
     // ---- re-crawl collapse (keep-latest per url), driver-verifiable ----
     // every doc_id%4=1 url gets a one-day-later re-crawl with changed text;
     // the collapse must keep exactly the newest row per url.
@@ -1616,6 +1628,24 @@ object SparkEntry {
     // mirrors q_decontaminate with gram STRINGS (engine: xxhash64 of the
     // same grams — identical verdicts while grams are collision-free)
     "q_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dg AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(w) - 12, 0)),
+        |    i -> array_to_string(w[i+1:i+13], ' '))) AS gram FROM d),
+        |b AS (SELECT DISTINCT
+        |  unnest(list_transform(range(0, greatest(len(w) - 12, 0)),
+        |    i -> array_to_string(w[i+1:i+13], ' '))) AS gram
+        |  FROM d WHERE doc_id % 37 = 5),
+        |hits AS (SELECT dg.doc_id, count(b.gram) AS n_hits
+        |  FROM dg LEFT JOIN b ON dg.gram = b.gram GROUP BY dg.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+    // the Bloom gate never changes verdicts (negatives definitive, false
+    // positives re-verified against the exact gram table), so the
+    // bloom-gated path answers to the identical SQL
+    "q_decontaminate_bloom" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |dg AS (SELECT doc_id,
         |  unnest(list_transform(range(0, greatest(len(w) - 12, 0)),

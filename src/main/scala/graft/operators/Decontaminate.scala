@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
 
 /** Benchmark decontamination (Brown et al. 2020, "Language Models are
   * Few-Shot Learners", Appendix C; standard in every training pipeline
@@ -68,5 +71,63 @@ object Decontaminate {
       .groupBy(col(id))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col(id), col("n_hits"), (col("n_hits") > 0).as("contaminated"))
+  }
+
+  /** Serialized Bloom filter over the eval battery's distinct gram hashes
+    * (already 64-bit, so they feed `BloomFilterAggregate` directly).
+    * Built ONCE per eval battery and reused across every corpus shard of a
+    * 100 TB run — an 8 MB filter where the exact distinct-gram table of a
+    * large battery is gigabytes. Returns null for an eval set with no
+    * grams (callers fall back to [[contaminated]], which degenerates to
+    * all-clean). */
+  def benchBloom(
+      bench: DataFrame, n: Int = 13,
+      expectedItems: Long = 4000000L, fpp: Double = 0.01): Array[Byte] = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"bad bloom sizing: items=$expectedItems fpp=$fpp")
+    val ln2 = math.log(2)
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong)
+    val agg = new BloomFilterAggregate(
+      bridge.expression(col("g")),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    bench.select(explode(gramHashes(col("text"), n)).as("g"))
+      .select(bridge.column(agg).as("bf"))
+      .first().getAs[Array[Byte]](0)
+  }
+
+  /** [[contaminated]] with a Bloom gate on the corpus gram stream —
+    * identical output (bloom negatives are definitively clean; members and
+    * the fpp fraction of false positives are re-verified against the exact
+    * bench-gram table), different 100 TB cost: the overwhelmingly-clean
+    * gram stream (a clean corpus hits ~fpp of probes) is decided by an
+    * in-row O(1) probe during the scan, and only the maybe residue enters
+    * any join at all — where [[contaminated]] must move or broadcast the
+    * full bench-gram table against EVERY corpus gram. The verification
+    * join's left side shrinks from |corpus grams| to ~(hit + fpp) ·
+    * |corpus grams|, and AQE picks its strategy unhinted. */
+  def contaminatedBloomGated(
+      docs: DataFrame,
+      bench: DataFrame,
+      bloom: Array[Byte],
+      n: Int = 13,
+      id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(bloom != null, "null bloom — gramless eval set? use contaminated")
+    val maybeHit = bridge.column(BloomFilterMightContain(
+      bridge.expression(lit(bloom)), bridge.expression(col("g"))))
+    val maybes = docs
+      .select(col(id), explode(gramHashes(col(text), n)).as("g"))
+      .where(maybeHit)
+    val benchGrams = bench.select(explode(gramHashes(col(text), n)).as("g"))
+      .distinct()
+    val hits = maybes.join(benchGrams, Seq("g"), "left_semi")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(id))
+      .join(hits, Seq(id), "left")
+      .select(
+        col(id),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 }

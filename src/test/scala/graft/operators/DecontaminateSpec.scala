@@ -64,6 +64,34 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(got == expect, "gated and broadcast paths must agree")
   }
 
+  test("bloom-gated decontamination returns exactly contaminated's verdicts") {
+    import spark.implicits._
+    val evalText = words(20, "e")
+    val leaked = words(5, "x") + " " + evalText.split(" ").slice(3, 16).mkString(" ")
+    val docs = Seq(
+      (1L, words(30, "c")), (2L, leaked), (3L, words(5, "s")), (4L, evalText))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, evalText)).toDF("bench_id", "text")
+    val bloom = Decontaminate.benchBloom(bench, expectedItems = 64)
+    val gated = Decontaminate.contaminatedBloomGated(docs, bench, bloom).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val plain = Decontaminate.contaminated(docs, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(gated == plain)
+    assert(gated.contains((2L, 1L, true)) && gated.contains((3L, 0L, false)))
+  }
+
+  test("bench bloom has no false negatives: resubmitted eval text flags fully") {
+    import spark.implicits._
+    val bench = (1 to 50).map(i => (i.toLong, words(40, s"b$i"))).toDF("bench_id", "text")
+    val bloom = Decontaminate.benchBloom(bench, expectedItems = 4096)
+    val docs = (1 to 50).map(i => (i.toLong, words(40, s"b$i"))).toDF("doc_id", "text")
+    val out = Decontaminate.contaminatedBloomGated(docs, bench, bloom)
+    // every doc IS an eval doc: 40 words -> 28 grams, all must hit
+    assert(out.where(col("n_hits") === 28 && col("contaminated")).count() == 50,
+      "a bloom false negative dropped a contaminated gram")
+  }
+
   test("latestPerKey keeps the newest row per key, ties to max tiebreak") {
     import spark.implicits._
     val df = Seq(
