@@ -69,6 +69,35 @@ object Plans {
     println(s"AFTER RUN bounded_topk occurrences: ${"bounded_topk".r.findAllIn(s11b).size}")
     println(s"AFTER RUN ReusedExchange/QueryStage: ${"Reused".r.findAllIn(s11b).size}")
     println(s"AFTER RUN ShuffleQueryStage: ${"ShuffleQueryStage".r.findAllIn(s11b).size}")
+
+    println("=== PLAN 12: Bloom gates (in-row probe; residue-only join) ===")
+    val corpusShas = docs.selectExpr("md5(text) as sha")
+    val bloom = IncrementalDedup.corpusBloom(corpusShas, expectedItems = 1024)
+    val batch = docs.selectExpr("cast(doc_id as string) as url", "text")
+    val gated = IncrementalDedup.newDocsBloomGated(batch, corpusShas, bloom)
+    val s12 = gated.queryExecution.executedPlan.toString
+    println(s"might_contain filters: ${"might_contain".r.findAllIn(s12).size}")
+    println(s"anti joins: ${"LeftAnti".r.findAllIn(s12).size}")
+    val bench = docs.where(col("doc_id") % 37 === 5)
+      .selectExpr("doc_id as bench_id", "text")
+    val bbloom = Decontaminate.benchBloom(bench, expectedItems = 1024)
+    val dGated = Decontaminate.contaminatedBloomGated(docs, bench, bbloom)
+    val s12b = dGated.queryExecution.executedPlan.toString
+    println(s"decontaminate might_contain filters: ${"might_contain".r.findAllIn(s12b).size}")
+    println(s"decontaminate semi joins: ${"LeftSemi".r.findAllIn(s12b).size}")
+    // codegen only visible once AQE finalizes — run, then inspect; the
+    // final-plan treeString marks codegen stages as `*(n)`, and the probe
+    // is fused when the might_contain Filter line carries the marker
+    dGated.collect()
+    val s12c = dGated.queryExecution.executedPlan.toString
+    val probeFused = s12c.linesIterator
+      .exists(l => l.contains("might_contain") && l.contains("*("))
+    println(s"decontaminate probe fused into a codegen stage: $probeFused")
+
+    println("=== PLAN 13: per-source cap (WindowGroupLimit before the exchange) ===")
+    val dsrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    Mixing.capPerStratum(dsrc, "source", k = 10, col("doc_id")).explain("formatted")
     spark.stop()
   }
 }
