@@ -922,6 +922,22 @@ object SparkEntry {
             .as(Seq("band", "bucket")))
     }),
 
+    // the LSH bucket-cap aggregate itself (O13), driver-verifiable: the
+    // bounded map-side top-k must return bit-identically what a window
+    // rank over the same (nkp, id) order returns — 16 synthetic buckets,
+    // cap 5, total counts every member seen including dropped ones
+    "q_bounded_topk" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        (col("doc_id") % 16).as("bkey"),
+        col("n_chars").as("nkp"),
+        col("doc_id").as("id"),
+        (col("doc_id") * 31).as("sim"))
+      d.groupBy(col("bkey"))
+        .agg(gf.bounded_topk(col("nkp"), col("id"), col("sim"), 5).as("tk"))
+        .select(col("bkey"), explode(col("tk.ms")).as("m"), col("tk.total").as("total"))
+        .select(col("bkey"), col("m.id").as("id"), col("m.simhash").as("sim"), col("total"))
+    }),
+
     "q_near_dup_pairs" -> ((s, dir) => {
       val cfg = Lsh.Config()
       val d = Lsh.withSignatures(
@@ -1518,6 +1534,15 @@ object SparkEntry {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |FROM docs a JOIN docs b
         |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id""".stripMargin,
+    // mirrors q_bounded_topk: the bounded aggregate's documented window
+    // equivalence — cap smallest per bucket by (nkp, id), total = full count
+    "q_bounded_topk" ->
+      """WITH d AS (SELECT doc_id % 16 AS bkey, n_chars AS nkp,
+        |    doc_id AS id, doc_id * 31 AS sim FROM documents),
+        |r AS (SELECT bkey, id, sim,
+        |    row_number() OVER (PARTITION BY bkey ORDER BY nkp, id) AS rn,
+        |    count(*) OVER (PARTITION BY bkey) AS total FROM d)
+        |SELECT bkey, id, sim, total FROM r WHERE rn <= 5""".stripMargin,
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
     "q_token_count_bpe" ->
