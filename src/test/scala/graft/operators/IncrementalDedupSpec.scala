@@ -103,6 +103,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusBloom returns null on an empty corpus (documented fallback)") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("sha")
+    assert(IncrementalDedup.corpusBloom(empty, expectedItems = 16) == null)
+  }
+
   test("texts never enter the election aggregate (narrow agg, re-join)") {
     val (batch, corpus) = frames()
     val plan = IncrementalDedup.newDocs(batch, corpus)
