@@ -586,6 +586,18 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), col("source")),
         "source", k = 10, col("doc_id"))),
 
+    // ---- end-to-end curation funnel (FineWeb-shaped composition) ----
+    // langid → quality gate → exact dedup → per-source cap, one plan.
+    // Planting makes every stage non-vacuous: %10==1 → German text
+    // (language drop), %10==2 → two words (quality drop), %10==4 → one
+    // shared boilerplate page (dedup collapse); the cap binds on what
+    // remains. The oracle recomputes the whole chain as nested CTEs.
+    "q_curation_chain" -> ((s, dir) =>
+      Curation.curate(curationPlanted(docs(s, dir)))),
+
+    "q_curation_funnel" -> ((s, dir) =>
+      Curation.funnelStats(curationPlanted(docs(s, dir)))),
+
     // ---- span-level dedup (Lee et al. 2022), driver-verifiable ----
     // Winnowed candidates → per-pair shared-gram span kernel → per-doc
     // interval union, vs DuckDB recomputing duplicated spans from the
@@ -922,6 +934,12 @@ object SparkEntry {
             .as(Seq("band", "bucket")))
     }),
 
+    // the LSH parameter planner: every (bands, rows) factorisation of a
+    // 128-permutation budget with its S-curve midpoint — the table a user
+    // reads to pick Lsh.Config for a target Jaccard threshold; DuckDB
+    // recomputes the closed form over the same divisor pairs
+    "q_lsh_plan" -> ((s, _) => LshPlanner.planTable(s, nPerm = 128)),
+
     // the LSH bucket-cap aggregate itself (O13), driver-verifiable: the
     // bounded map-side top-k must return bit-identically what a window
     // rank over the same (nkp, id) order returns — 16 synthetic buckets,
@@ -1076,6 +1094,80 @@ object SparkEntry {
       |  THEN 1 ELSE 0 END) OVER (PARTITION BY url ORDER BY i) AS island FROM m)
       |SELECT url, min(i) AS s, max(i + 200) AS e FROM isl
       |GROUP BY url, island""".stripMargin
+
+  // ---- curation-funnel fixtures (shared by engine planting + oracle) ----
+  // No quotes/backslashes in the fixtures — they interpolate into SQL
+  // string literals verbatim.
+  private val curationDeFix: String =
+    Seq.fill(3)("der die das und ist nicht ein mit auf für").mkString(" ")
+  private val curationShortFix: String = "the end"
+  private val curationBoilerFix: String =
+    "the cookie policy and the terms of service apply to the site and more"
+
+  /** Deterministic planting for the curation funnel: %10==1 → German
+    * (language stage drops it), %10==2 → two words (quality stage),
+    * %10==4 → one shared boilerplate page (dedup stage collapses the
+    * group to its lowest doc_id). */
+  private def curationPlanted(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"), col("source"),
+      when(col("doc_id") % 10 === 1, lit(curationDeFix))
+        .when(col("doc_id") % 10 === 2, lit(curationShortFix))
+        .when(col("doc_id") % 10 === 4, lit(curationBoilerFix))
+        .otherwise(col("text"))
+        .as("text"))
+
+  /** Shared CTE chain for the two curation oracles — recomputes the
+    * whole funnel: planting → stopword langid (the `q_langid` CASE) →
+    * word metrics (the `q_gopher_quality` list-lambda constructs) →
+    * quality filter → exact dedup (min doc_id per text group, md5 as
+    * the grouping proxy) → per-source cap rank. Ends with CTE `c`
+    * exposing (doc_id, source, pred_lang, n_words, rn2). */
+  private lazy val curationCte: String =
+    s"""WITH planted AS (
+      |  SELECT doc_id, source, CASE
+      |    WHEN doc_id % 10 = 1 THEN '$curationDeFix'
+      |    WHEN doc_id % 10 = 2 THEN '$curationShortFix'
+      |    WHEN doc_id % 10 = 4 THEN '$curationBoilerFix'
+      |    ELSE text END AS text
+      |  FROM documents),
+      |h AS (SELECT doc_id, source, text,
+      |  len(regexp_extract_all(lower(text),
+      |    '\\b(der|die|das|und|ist|nicht|ein|mit|auf|für)\\b')) AS de,
+      |  len(regexp_extract_all(lower(text),
+      |    '\\b(the|and|of|to|in|is|that|it|for|with)\\b')) AS en,
+      |  len(regexp_extract_all(lower(text),
+      |    '\\b(el|los|las|de|que|y|en|un|una|con)\\b')) AS es,
+      |  len(regexp_extract_all(lower(text),
+      |    '\\b(le|la|les|et|est|pas|une|dans|pour|que)\\b')) AS fr,
+      |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+      |  FROM planted),
+      |lng AS (SELECT doc_id, source, text,
+      |  CASE WHEN cjk > 0 THEN 'zh'
+      |       WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+      |       WHEN de = greatest(de, en, es, fr) THEN 'de'
+      |       WHEN en = greatest(de, en, es, fr) THEN 'en'
+      |       WHEN es = greatest(de, en, es, fr) THEN 'es'
+      |       ELSE 'fr' END AS pred_lang
+      |  FROM h),
+      |m AS (SELECT doc_id, source, text, pred_lang,
+      |  list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'),
+      |    x -> x <> '') AS ws
+      |  FROM lng),
+      |q AS (SELECT doc_id, source, text, pred_lang,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+      |    round(CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+      |      AS DOUBLE) / len(ws), 6) END AS mean_word_len
+      |  FROM m),
+      |f AS (SELECT * FROM q WHERE pred_lang = 'en'
+      |  AND n_words >= 10 AND mean_word_len BETWEEN 1 AND 12),
+      |u AS (SELECT * FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
+      |  WHERE rn = 1),
+      |c AS (SELECT doc_id, source, pred_lang, n_words,
+      |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn2
+      |  FROM u)""".stripMargin
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q_exact_dup_groups" ->
@@ -1543,6 +1635,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY bkey ORDER BY nkp, id) AS rn,
         |    count(*) OVER (PARTITION BY bkey) AS total FROM d)
         |SELECT bkey, id, sim, total FROM r WHERE rn <= 5""".stripMargin,
+    // mirrors q_lsh_plan: divisor pairs of the 128-permutation budget and
+    // the closed-form S-curve midpoint (1 - 2^(-1/b))^(1/r); INT casts
+    // match Spark's IntegerType, round(6) absorbs any last-ulp pow drift
+    "q_lsh_plan" ->
+      """WITH d AS (SELECT b FROM generate_series(1, 128) t(b) WHERE 128 % b = 0)
+        |SELECT CAST(b AS INT) AS bands, CAST(128 // b AS INT) AS rows_per_band,
+        |  round(pow(1.0 - pow(0.5, 1.0/b), 1.0/(128//b)), 6) AS s50
+        |FROM d""".stripMargin,
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
     "q_token_count_bpe" ->
@@ -1757,6 +1857,20 @@ object SparkEntry {
         |  SELECT doc_id, source,
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn <= 10""".stripMargin,
+    // mirrors q_curation_chain: the full funnel as nested CTEs
+    "q_curation_chain" ->
+      s"""$curationCte
+        |SELECT doc_id, source, pred_lang, n_words FROM c
+        |WHERE rn2 <= 15""".stripMargin,
+    // mirrors q_curation_funnel: per-stage survivor counts
+    "q_curation_funnel" ->
+      s"""$curationCte
+        |SELECT
+        |  (SELECT count(*) FROM planted) AS n_input,
+        |  (SELECT count(*) FROM lng WHERE pred_lang = 'en') AS n_lang,
+        |  (SELECT count(*) FROM f) AS n_quality,
+        |  (SELECT count(*) FROM u) AS n_unique,
+        |  (SELECT count(*) FROM c WHERE rn2 <= 15) AS n_final""".stripMargin,
     "q_ingest_stats" ->
       """WITH b AS (
         |  SELECT text FROM documents WHERE doc_id % 3 = 0
