@@ -18,20 +18,22 @@ import org.apache.spark.sql.functions._
   *
   * The point of this operator is COMPOSITION: each stage exists (and is
   * independently oracled) elsewhere; this chains them in one declarative
-  * plan so Catalyst fuses the per-row stages into a single scan-side
-  * projection and only two exchanges exist end to end (the dedup
-  * election + semi join, and the cap's group-limit exchange).
+  * plan — ONE corpus scan, the per-row stages fused into it, and exactly
+  * two exchanges end to end (dedup's per-sha group limit and the cap's
+  * per-source group limit), both with PARTIAL map-side limits so
+  * duplicates and over-cap rows drop before they shuffle.
   *
   * Scale notes:
   *   - stages 1–2 are pure codegen'd projections/filters — they fuse
   *     into the scan and drop rows BEFORE anything shuffles, so the
   *     dedup exchange carries only the language+quality survivors;
-  *   - the dedup election aggregates (sha, id) pairs with map-side
-  *     partial aggregation (the boilerplate mega-group skew bomb never
-  *     concentrates); text crosses one exchange inside the semi join;
-  *   - the cap is `row_number() <= k` over (source, id) — Spark's
-  *     WindowGroupLimit rewrite keeps k rows per source per map task
-  *     before the exchange.
+  *   - exact dedup is "cap 1 per sha in id order" ([[Mixing
+  *     .capPerStratum]]): the partial WindowGroupLimit means a
+  *     boilerplate mega-group (the skew bomb) reaches its reducer as
+  *     ≤ 1 row per map task, and the corpus is scanned once — the
+  *     groupBy-election + semi-join alternative re-reads the scan (and
+  *     re-evaluates the langid regexes) once per join branch;
+  *   - the cap is the same rank-filter shape over (source, id).
   *
   * Reference anchor: the chain mirrors the reference's own stage order —
   * source scan → pre-filter → blocking → keep/delete election
@@ -85,9 +87,14 @@ object Curation {
       col("pred_lang") === keepLang &&
         col("n_words") >= minWords &&
         col("mean_word_len").between(1.0, maxMeanWordLen))
+    // exact dedup = "cap 1 per sha block in id order": the rank-filter
+    // form plans a PARTIAL WindowGroupLimit, so each map task drops its
+    // local duplicates before the exchange and a boilerplate mega-group
+    // arrives at its reducer as ≤ 1 row per map task. One corpus scan
+    // total — the groupBy-election + semi-join alternative re-reads the
+    // scan (and re-evaluates the langid regexes) once per branch.
     val hashed = kept.withColumn("__sha", sha2(col(text), 256))
-    val elect = hashed.groupBy(col("__sha")).agg(min(col(id)).as(id))
-    val unique = hashed.join(elect, Seq("__sha", id), "left_semi").drop("__sha")
+    val unique = Mixing.capPerStratum(hashed, "__sha", 1, col(id)).drop("__sha")
     val capped = Mixing.capPerStratum(unique, source, capPerSource, col(id))
     (ann, kept, unique, capped)
   }

@@ -98,6 +98,19 @@ object Plans {
     val dsrc = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("source"))
     Mixing.capPerStratum(dsrc, "source", k = 10, col("doc_id")).explain("formatted")
+
+    println("=== PLAN 14: curation funnel (per-row stages fused into the scan) ===")
+    // wants: ONE parquet scan; langid + word metrics + both filters in the
+    // scan-side stage; then exactly two exchanges, each preceded by a
+    // Partial WindowGroupLimit (dedup = cap-1-per-sha, source cap) so
+    // duplicates and over-cap rows drop map-side before they shuffle.
+    val dcur = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val cur = Curation.curate(dcur)
+    cur.explain("formatted")
+    val s14 = cur.queryExecution.executedPlan.toString
+    println(s"curation exchanges: ${"Exchange".r.findAllIn(s14).size}")
+    println(s"curation group-limit planned: ${s14.contains("WindowGroupLimit")}")
     spark.stop()
   }
 }

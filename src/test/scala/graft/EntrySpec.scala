@@ -28,7 +28,8 @@ class EntrySpec extends AnyFunSuite {
     "q_media_features" -> 500L, "q_state_stats" -> 1L,
     "q_scope_same_source_singletons" -> 1L, "q_scope_different_source_unique" -> 1L,
     "q_length_filter" -> 1L, "q_tri_state" -> 1L, "q_visibility" -> 400L,
-    "q_human_bytes" -> 500L)
+    "q_human_bytes" -> 500L,
+    "q_curation_chain" -> 100L, "q_curation_funnel" -> 1L, "q_lsh_plan" -> 8L)
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs on sf0.001") {

@@ -78,16 +78,16 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Set(1L))
   }
 
-  test("the per-row stages plan no exchange before the dedup election") {
-    // stages 1-2 must fuse into the scan: the only exchanges in the full
-    // plan are the dedup election/semi-join and the cap's group limit.
+  test("one scan, two group-limit exchanges, per-row stages fused") {
     // cap 5 < the relation's maxRows — a cap that provably can't bind
     // (15 ≥ 10 local rows) makes the optimizer skip the group-limit
     // rewrite as useless, which is correct but not what we're pinning.
     val plan = Curation.curate(corpus(), capPerSource = 5)
       .queryExecution.executedPlan.toString
     val nExchanges = "Exchange".r.findAllIn(plan).size
-    assert(nExchanges <= 4, s"expected <= 4 exchanges, got $nExchanges:\n$plan")
-    assert(plan.contains("WindowGroupLimit"), s"cap should plan a WindowGroupLimit:\n$plan")
+    assert(nExchanges <= 2, s"expected <= 2 exchanges, got $nExchanges:\n$plan")
+    val nLimits = "WindowGroupLimit".r.findAllIn(plan).size
+    // dedup + cap, each with a partial (pre-exchange) and final instance
+    assert(nLimits == 4, s"expected 4 WindowGroupLimit nodes, got $nLimits:\n$plan")
   }
 }
