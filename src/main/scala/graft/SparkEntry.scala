@@ -1026,6 +1026,65 @@ object SparkEntry {
     "q_semdedup" -> ((s, dir) =>
       Similarity.semDedup(plantedEmbeddings(s, dir, toDouble = true), k = 8, tau = 0.8)),
 
+    // ---- leak-free domain-grouped split ----
+    // every page of a registered domain lands on ONE side of the
+    // train/valid/test boundary; doc_id%7==3 pages get a `www.` host so
+    // the ≥3-label → registered-domain collapse is exercised
+    // (www.SRC.example must split WITH SRC.example). One md5 projection —
+    // DuckDB replays the draw bit-for-bit.
+    "q_domain_split" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("source"))
+      val u = when(col("doc_id") % 7 === 3,
+        concat(lit("https://www."), col("source"), lit(".example/d"),
+          pmod(col("doc_id"), lit(5)), lit("/doc"), col("doc_id"), lit(".html")))
+        .otherwise(urlCol)
+      Splits.domainSplit(base.withColumn("url", u))
+        .select(col("doc_id"), col("domain"), col("split"))
+    }),
+
+    // ---- C4 blocklist filter ----
+    // planted hits (%11==4) and word-boundary NON-hits ("casinos",
+    // "viagras": %11==7) — boundaries are explicit [^a-z0-9]-or-edge
+    // alternatives, identical under Java regex and RE2
+    "q_blocklist" -> ((s, dir) => {
+      val planted = docs(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 11 === 4,
+          concat(col("text"), lit(" win the casino lottery now")))
+          .when(col("doc_id") % 11 === 7,
+            concat(col("text"), lit(" casinos and viagras are words")))
+          .otherwise(col("text")).as("text"))
+      QualityFilters.blocklistFlag(planted)
+    }),
+
+    // ---- in-engine Naive Bayes quality gate ----
+    // %5==3 docs become spam fixtures; EVEN doc_ids train (so the label-0
+    // class trains on the id≡8 (mod 10) spam and the id≡3 spam is held
+    // out), everything scores. Scoring sums integer micro-llrs, so the
+    // DuckDB oracle retrains and rescores bit-identically.
+    "q_nb_quality" -> ((s, dir) => {
+      val planted = docs(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 3, lit(nbSpamFix))
+          .otherwise(col("text")).as("text"))
+      val labeled = planted.where(col("doc_id") % 2 === 0)
+        .withColumn("label", (col("doc_id") % 5 =!= 3).cast("int"))
+      NaiveBayes.score(planted, NaiveBayes.train(labeled))
+    }),
+
+    // ---- exact set-similarity self-join (prefix filtering) ----
+    // τ=0.8 over whole-doc token sets (doc_id%4==0 slice); %16==0 items
+    // get a two-junk-token copy (J = n/(n+2) ≥ 0.8 at n ≥ 8 distinct
+    // tokens). The oracle is the EXHAUSTIVE pairwise Jaccard — zero-miss
+    // exactness is the contract under test.
+    "q_setsim_pairs" -> ((s, dir) =>
+      SetSimJoin.similarPairs(setsimItems(docs(s, dir)), tau = 0.8)),
+
+    "q_setsim_keep" -> ((s, dir) => {
+      val items = setsimItems(docs(s, dir))
+      SetSimJoin.keepEarliest(items, SetSimJoin.similarPairs(items, tau = 0.8))
+    }),
+
     // ---- multimodal: REAL JDK decode (ImageIO / WAV-PCM); rows-only ----
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, docs(s, dir))
@@ -1169,7 +1228,118 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn2
       |  FROM u)""".stripMargin
 
+  /** Spam fixture for the NB classifier planting (no quotes/backslashes —
+    * interpolates into the oracle SQL string literal verbatim). */
+  private val nbSpamFix: String =
+    Seq.fill(4)("win big casino lottery jackpot bonus click now free spins")
+      .mkString(" ")
+
+  /** Token-set items for the set-similarity queries: the doc_id%4==0
+    * slice, plus a near-identical copy (two junk tokens appended) of every
+    * %16==0 item. Mirrored verbatim in [[setsimCte]]. */
+  private def setsimItems(d: DataFrame): DataFrame = {
+    val base = d.where(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("item_id"),
+        SetSimJoin.tokenSet(col("text")).as("toks"))
+    base.unionByName(
+      base.where(col("item_id") % 16 === 0)
+        .withColumn("item_id", col("item_id") + lit(7000000L))
+        .withColumn("toks",
+          concat(col("toks"), array(lit("zzzextra1"), lit("zzzextra2")))))
+  }
+
+  /** Shared CTE for the set-similarity oracles: exhaustive pairwise
+    * Jaccard over [[setsimItems]] — the engine's prefix filter must lose
+    * NOTHING vs brute force. Plain (non-interpolated) string: single
+    * backslashes reach DuckDB's regex engine as written. */
+  private lazy val setsimCte: String =
+    """WITH b0 AS (SELECT doc_id AS item_id,
+      |  list_distinct(list_filter(string_split_regex(lower(text),
+      |    '[ \t\n\f\r]+'), x -> x <> '')) AS toks
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |b AS (SELECT item_id, toks FROM b0
+      |  UNION ALL
+      |  SELECT item_id + 7000000, list_concat(toks,
+      |    ['zzzextra1', 'zzzextra2'])
+      |  FROM b0 WHERE item_id % 16 = 0),
+      |t AS (SELECT item_id, len(toks) AS n, unnest(toks) AS w FROM b),
+      |o AS (SELECT a.item_id AS id1, c.item_id AS id2, a.n AS na,
+      |  c.n AS nb, count(*) AS ov
+      |  FROM t a JOIN t c ON a.w = c.w AND a.item_id < c.item_id
+      |  GROUP BY 1, 2, 3, 4),
+      |pr AS (SELECT id1, id2,
+      |  round(CAST(ov AS DOUBLE) / (na + nb - ov), 6) AS jac FROM o)""".stripMargin
+
   private def oracleSqlBase: Map[String, String] = Map(
+    // mirrors q_domain_split: host → registered domain → md5 draw; hex
+    // thresholds are floor(f·2^32) (0.8 → cccccccc, 0.9 → e6666666)
+    "q_domain_split" ->
+      s"""WITH u AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3
+        |    THEN 'https://www.' || source || '.example/d' ||
+        |      CAST(doc_id % 5 AS VARCHAR) || '/doc' ||
+        |      CAST(doc_id AS VARCHAR) || '.html'
+        |    ELSE $urlSql END AS url FROM documents),
+        |h AS (SELECT doc_id,
+        |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+        |  FROM u),
+        |p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM h),
+        |d AS (SELECT doc_id, CASE WHEN len(parts) <= 2 THEN host
+        |  ELSE parts[len(parts)-1] || '.' || parts[len(parts)] END AS domain
+        |  FROM p),
+        |k AS (SELECT doc_id, domain,
+        |  substring(md5(domain || ':7'), 1, 8) AS key FROM d)
+        |SELECT doc_id, domain,
+        |  CASE WHEN key < 'cccccccc' THEN 'train'
+        |       WHEN key < 'e6666666' THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM k""".stripMargin,
+
+    // mirrors q_blocklist: identical planting, the SAME RE2-safe pattern
+    // string the engine compiles (exposed by QualityFilters.blocklistPattern)
+    "q_blocklist" ->
+      s"""WITH planted AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 11 = 4 THEN text || ' win the casino lottery now'
+        |    WHEN doc_id % 11 = 7 THEN text || ' casinos and viagras are words'
+        |    ELSE text END AS text FROM documents)
+        |SELECT doc_id, regexp_matches(lower(text),
+        |  '${QualityFilters.blocklistPattern(QualityFilters.defaultBlocklist)}')
+        |  AS flagged
+        |FROM planted""".stripMargin,
+
+    // mirrors q_nb_quality: retrain the (word, class-count) model from the
+    // even-id labeled slice, rescore via the same integer micro-llr sum
+    "q_nb_quality" ->
+      s"""WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 5 = 3
+        |    THEN '$nbSpamFix' ELSE text END AS text FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(
+        |  lower(text), '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS w FROM planted),
+        |tr AS (SELECT w, CASE WHEN doc_id % 5 = 3 THEN 0 ELSE 1 END AS y
+        |  FROM tok WHERE doc_id % 2 = 0),
+        |model AS (SELECT w,
+        |  SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS cp,
+        |  SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS cn FROM tr GROUP BY w),
+        |tot AS (SELECT SUM(cp) AS tp, SUM(cn) AS tn, COUNT(*) AS v FROM model),
+        |mw AS (SELECT w, CAST(round((ln(cp + 1) - ln(tp + v) - ln(cn + 1)
+        |  + ln(tn + v)) * 1000000) AS BIGINT) AS llr FROM model, tot),
+        |u0 AS (SELECT CAST(round((ln(tn + v) - ln(tp + v)) * 1000000)
+        |  AS BIGINT) AS llr0 FROM tot),
+        |sc AS (SELECT t.doc_id, SUM(COALESCE(m.llr, u0.llr0)) AS s
+        |  FROM tok t LEFT JOIN mw m ON t.w = m.w CROSS JOIN u0
+        |  GROUP BY t.doc_id)
+        |SELECT p.doc_id,
+        |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_micro,
+        |  COALESCE(sc.s, 0) > 0 AS pred_pos
+        |FROM planted p LEFT JOIN sc ON p.doc_id = sc.doc_id""".stripMargin,
+
+    "q_setsim_pairs" ->
+      s"""$setsimCte
+        |SELECT id1, id2, jac FROM pr WHERE jac >= 0.8""".stripMargin,
+
+    "q_setsim_keep" ->
+      s"""$setsimCte
+        |SELECT b.item_id, b.item_id NOT IN (
+        |  SELECT id2 FROM pr WHERE jac >= 0.8) AS kept FROM b""".stripMargin,
+
     "q_exact_dup_groups" ->
       s"""$plantedCte
         |SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS rep_id

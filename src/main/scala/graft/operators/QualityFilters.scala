@@ -133,4 +133,36 @@ object QualityFilters {
       (col("__n_lines") - size(kept)).cast("long").as("n_dropped"),
       (!col("__lorem") && size(kept) >= minLines).as("doc_kept"))
   }
+
+  /** The spam-term slice of the C4 badlist (Raffel et al. 2020 drop any
+    * page containing a blocklist term; the published list is the LDNOOBW
+    * set — this fixture carries innocuous spam stand-ins, the list is a
+    * parameter). */
+  val defaultBlocklist: Seq[String] =
+    Seq("casino", "viagra", "lottery", "betting", "clickbait", "adspam")
+
+  /** Whole-word blocklist hit over lowercased text. Word boundaries are
+    * explicit `[^a-z0-9]`-or-edge classes, not `\b`, so the pattern means
+    * the same thing under Java regex (Spark) and RE2 (the DuckDB oracle)
+    * — "casinos" does NOT hit "casino". One alternation scan per row. */
+  def blocklistHit(text: Column, words: Seq[String] = defaultBlocklist): Column = {
+    require(words.nonEmpty && words.forall(_.matches("[a-z0-9]+")),
+      s"blocklist terms must be lowercase alphanumeric words: $words")
+    lower(text).rlike(blocklistPattern(words))
+  }
+
+  /** The shared engine/oracle pattern — exposed so the SQL mirror embeds
+    * the exact same string. */
+  def blocklistPattern(words: Seq[String]): String =
+    "(^|[^a-z0-9])(" + words.mkString("|") + ")([^a-z0-9]|$)"
+
+  /** C4 badlist doc filter: (id, flagged). Flagged docs are the ones C4
+    * drops. A pure projection — fuses into the corpus scan, nothing
+    * shuffles, linear at 100 TB like every other per-row gate here. */
+  def blocklistFlag(
+      df: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      words: Seq[String] = defaultBlocklist): DataFrame =
+    df.select(col(id), blocklistHit(col(text), words).as("flagged"))
 }

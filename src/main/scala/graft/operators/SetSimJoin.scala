@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity self-join via prefix filtering (the AllPairs /
+  * PPJoin family: Bayardo et al. 2007, Xiao et al. 2008) — finds every
+  * pair of items whose token-set Jaccard ≥ τ, with NO probabilistic miss.
+  * This is the deterministic complement to the MinHash/LSH tier
+  * ([[Lsh]]): LSH trades recall for throughput; prefix filtering keeps
+  * recall 1.0 and prunes with algebra instead of chance, which is what a
+  * paragraph-granularity fuzzy dedup needs when the contract is "every
+  * τ-duplicate found".
+  *
+  * The prefix-filter lemma: order every item's tokens by ONE global total
+  * order; if J(A,B) ≥ τ, then A and B share a token inside their first
+  * (|s| − ⌈τ·|s|⌉ + 1) tokens. So candidate generation explodes only that
+  * prefix, joins on the token, and exact verification runs only on
+  * candidates.
+  *
+  * Scale notes:
+  *   - the global order is DOCUMENT-FREQUENCY ASCENDING (ties by token),
+  *     the AllPairs trick: prefixes then hold each item's RAREST tokens,
+  *     so the candidate join's key distribution is the inverse of the
+  *     corpus skew — "the" never enters a prefix at τ-interesting sizes;
+  *   - prefix size is ≤ (1−τ)·|s| + 1 tokens per item (τ=0.8 → 1/5th of
+  *     the explode an all-token join would pay);
+  *   - the length filter least ≥ ⌈τ·greatest⌉ drops cross-size pairs in
+  *     the join condition, before the exchange materialises them;
+  *   - verification joins token arrays back only for surviving
+  *     candidates; everything else moves (id, len, token) rows.
+  *   - production seams: positional filtering and PPJoin's suffix bound
+  *     tighten candidates further; both drop into the join condition.
+  *
+  * Reference anchor: the reference's candidate stage is its block
+  * self-join (`ViewModels/MainViewModel.cs:1085-1130`); prefix tokens
+  * play the block key, with an exactness guarantee the hash block lacks.
+  */
+object SetSimJoin {
+
+  /** Portable tokenisation shared with the oracle: lowercase, explicit
+    * whitespace class, distinct. */
+  def tokenSet(text: Column): Column =
+    array_distinct(filter(split(lower(text), "[ \\t\\n\\f\\r]+"), w => w =!= ""))
+
+  /** All pairs (id1 < id2, jac) with round(Jaccard, 6) ≥ τ over
+    * `items(id, toks)`. Exact — the DuckDB oracle recomputes the same
+    * pair set from an exhaustive token join. */
+  def similarPairs(
+      items: DataFrame,
+      tau: Double,
+      id: String = "item_id",
+      toks: String = "toks"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
+    // ⌈τ·n⌉ in exact integer arithmetic (τ as parts-per-million): a bare
+    // ceil(n * τ) is an IEEE trap — 5 * 0.8 = 4.000000000000000222, whose
+    // ceil is 5, silently shrinking the prefix and BREAKING the exactness
+    // guarantee. Numerators stay < 2^53 so the double division is safe
+    // to floor.
+    val tauNum = math.round(tau * 1000000L)
+    def ceilTau(n: Column): Column =
+      floor((n.cast("long") * tauNum + (1000000L - 1)) / 1000000.0).cast("int")
+    val base = items
+      .select(col(id).as("pid"), array_distinct(col(toks)).as("ts"))
+      .where(size(col("ts")) > 0)
+    val tok = base.select(col("pid"), explode(col("ts")).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // canonical rare-first order: (document frequency, token) ascending
+    val ordered = tok
+      .join(freq, Seq("w"))
+      .groupBy(col("pid"))
+      .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sw"))
+      .select(
+        col("pid"),
+        transform(col("sw"), s => s.getField("w")).as("ots"),
+        size(col("sw")).as("len"))
+    val pref = ordered.select(
+      col("pid"), col("len"),
+      explode(slice(col("ots"), lit(1),
+        greatest(lit(1), col("len") - ceilTau(col("len")) + 1))).as("w"))
+    val a = pref.as("a"); val b = pref.as("b")
+    val cand = a
+      .join(b,
+        col("a.w") === col("b.w") && col("a.pid") < col("b.pid") &&
+          least(col("a.len"), col("b.len")) >=
+            ceilTau(greatest(col("a.len"), col("b.len"))))
+      .select(col("a.pid").as("id1"), col("b.pid").as("id2"))
+      .distinct()
+    cand
+      .join(base.select(col("pid").as("id1"), col("ts").as("ta")), Seq("id1"))
+      .join(base.select(col("pid").as("id2"), col("ts").as("tb")), Seq("id2"))
+      .withColumn("__o", size(array_intersect(col("ta"), col("tb"))))
+      .select(
+        col("id1"), col("id2"),
+        round(col("__o").cast("double") /
+          (size(col("ta")) + size(col("tb")) - col("__o")), 6).as("jac"))
+      .where(col("jac") >= tau)
+  }
+
+  /** Greedy-by-order fuzzy dedup verdicts: item KEPT iff no τ-similar
+    * item with a strictly smaller id exists (the [[SubstringDup]]
+    * keep-one ordering applied to whole items). Pure anti-membership on
+    * the pair set — no connected components, so the rule is directly
+    * SQL-mirrorable and order-deterministic. */
+  def keepEarliest(
+      items: DataFrame,
+      pairs: DataFrame,
+      id: String = "item_id"): DataFrame = {
+    val dropped = pairs.select(col("id2").as(id)).distinct()
+      .withColumn("__dropped", lit(true))
+    items.select(col(id))
+      .join(dropped, Seq(id), "left")
+      .select(col(id), coalesce(col("__dropped"), lit(false)) === false)
+      .toDF(id, "kept")
+  }
+}

@@ -111,6 +111,37 @@ object Plans {
     val s14 = cur.queryExecution.executedPlan.toString
     println(s"curation exchanges: ${"Exchange".r.findAllIn(s14).size}")
     println(s"curation group-limit planned: ${s14.contains("WindowGroupLimit")}")
+
+    println("=== PLAN 15: exact set-sim join (prefix filter; skew-inverse key) ===")
+    // wants: df computed once (ReusedExchange on the token frame), the
+    // candidate join keyed on PREFIX tokens only (rare-first order), the
+    // length filter inside the join condition, and the verify join fed by
+    // the deduped candidate set, not the raw token join.
+    val items15 = docs.select(col("doc_id").as("item_id"),
+      SetSimJoin.tokenSet(col("text")).as("toks"))
+    val p15 = SetSimJoin.similarPairs(items15, tau = 0.8)
+    p15.explain("formatted")
+    p15.collect()
+    val s15 = p15.queryExecution.executedPlan.toString
+    println(s"setsim exchanges: ${"Exchange".r.findAllIn(s15).size}")
+    println(s"setsim reused: ${"Reused".r.findAllIn(s15).size}")
+
+    println("=== PLAN 16: NB scoring (broadcast model; no doc-side shuffle before the per-doc agg) ===")
+    val labeled16 = docs.select((col("doc_id") % 2).cast("int").as("label"), col("text"))
+    val sc16 = NaiveBayes.score(docs.select(col("doc_id"), col("text")),
+      NaiveBayes.train(labeled16))
+    val s16 = sc16.queryExecution.executedPlan.toString
+    println(s"nb broadcast joins: ${"BroadcastHashJoin".r.findAllIn(s16).size + "BroadcastNestedLoop".r.findAllIn(s16).size}")
+
+    println("=== PLAN 17: domain split (pure projection, zero exchange) ===")
+    val sp17 = Splits.domainSplit(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(concat(lit("https://s"), col("doc_id") % 97, lit(".example/p")).as("url")))
+    val s17 = sp17.queryExecution.executedPlan.toString
+    println(s"split exchanges: ${"Exchange".r.findAllIn(s17).size}")
+    println(s"blocklist exchanges: ${
+      "Exchange".r.findAllIn(QualityFilters.blocklistFlag(docs)
+        .queryExecution.executedPlan.toString).size}")
     spark.stop()
   }
 }

@@ -147,4 +147,34 @@ class QualityFiltersSpec extends AnyFunSuite {
       assert(splits <= 2, s"text must split at most twice, saw $splits:\n$plan")
     }
   }
+
+  test("blocklist: whole-word hits only, at edges and inner boundaries") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "casino"), // entire text
+      (2L, "the casino pays"), // space boundaries
+      (3L, "Visit CASINO!"), // case-folded, punctuation boundary
+      (4L, "casinos pay out"), // plural: NOT a whole-word hit
+      (5L, "no-viagra-here"), // hyphen boundaries hit
+      (6L, "encyclopedia lotterylike"), // embedded: no hit
+      (7L, "win the lottery")).toDF("doc_id", "text")
+    val out = QualityFilters.blocklistFlag(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> false, 7L -> true))
+  }
+
+  test("blocklist: custom list validated, non-word terms rejected") {
+    import spark.implicits._
+    val docs = Seq((1L, "foo bar")).toDF("doc_id", "text")
+    val hit = QualityFilters.blocklistFlag(docs, words = Seq("bar"))
+      .collect()(0).getBoolean(1)
+    assert(hit)
+    intercept[IllegalArgumentException] {
+      QualityFilters.blocklistFlag(docs, words = Seq("has space"))
+    }
+    intercept[IllegalArgumentException] {
+      QualityFilters.blocklistFlag(docs, words = Seq.empty)
+    }
+  }
 }

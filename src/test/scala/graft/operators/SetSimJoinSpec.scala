@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SetSimJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Brute-force truth: every pair (i<j) with round(J,6) ≥ tau. */
+  private def brute(sets: Map[Long, Set[String]], tau: Double): Set[(Long, Long, Double)] =
+    (for {
+      (i, a) <- sets.toSeq; (j, b) <- sets.toSeq if i < j
+      o = (a & b).size
+      j6 = round6(o.toDouble / (a.size + b.size - o))
+      if j6 >= tau
+    } yield (i, j, j6)).toSet
+
+  private def run(sets: Map[Long, Set[String]], tau: Double): Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    val items = sets.toSeq.map { case (id, s) => (id, s.toSeq) }
+      .toDF("item_id", "toks")
+    SetSimJoin.similarPairs(items, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("exactness: prefix filter loses nothing vs brute force (two thresholds)") {
+    // deterministic skewed vocab: token t_k appears in items with id % (k+2) == 0,
+    // so low-k tokens are corpus-wide stopwords and high-k tokens are rare
+    val sets = (0L until 120L).map { id =>
+      id -> ((0 until 40).collect {
+        case k if id % (k + 2) == 0 => s"t$k"
+      }.toSet + s"self$id")
+    }.toMap
+    assert(run(sets, 0.8) == brute(sets, 0.8))
+    val at6 = run(sets, 0.6)
+    assert(at6 == brute(sets, 0.6))
+    assert(at6.nonEmpty, "fixture produced no pairs — test is vacuous")
+  }
+
+  test("tau boundary at the IEEE ceil trap: |A|=4, |B|=5, J=0.8 exactly") {
+    // ceil(5 * 0.8) must be 4, but 5*0.8 = 4.0000000000000002 in doubles —
+    // a float ceil would compute 5, and the length filter
+    // least >= ceil(tau * greatest) would drop this exact-boundary pair
+    val sets = Map(
+      1L -> Set("a", "b", "c", "d"),
+      2L -> Set("a", "b", "c", "d", "e"))
+    assert(run(sets, 0.8) == Set((1L, 2L, 0.8)))
+  }
+
+  test("keepEarliest: kept iff no tau-similar strictly-earlier item (chains drop both)") {
+    import spark.implicits._
+    // J(1,2)=5/6, J(2,3)=6/7 (both >= 0.8), J(1,3)=5/7 (< 0.8)
+    val sets = Map(
+      1L -> Set("a", "b", "c", "d", "e"),
+      2L -> Set("a", "b", "c", "d", "e", "f"),
+      3L -> Set("a", "b", "c", "d", "e", "f", "g"),
+      9L -> Set("x", "y", "z"))
+    val items = sets.toSeq.map { case (id, s) => (id, s.toSeq) }
+      .toDF("item_id", "toks")
+    val kept = SetSimJoin
+      .keepEarliest(items, SetSimJoin.similarPairs(items, 0.8))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(kept == Map(1L -> true, 2L -> false, 3L -> false, 9L -> true))
+  }
+
+  test("empty and degenerate inputs") {
+    import spark.implicits._
+    val items = Seq(
+      (1L, Seq.empty[String]), // empty token set: excluded, never a pair
+      (2L, Seq("only")),
+      (3L, Seq("only"))).toDF("item_id", "toks")
+    val pairs = SetSimJoin.similarPairs(items, 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((2L, 3L, 1.0)))
+    intercept[IllegalArgumentException] { SetSimJoin.similarPairs(items, 0.0) }
+  }
+}
