@@ -1072,6 +1072,35 @@ object SparkEntry {
       NaiveBayes.score(planted, NaiveBayes.train(labeled))
     }),
 
+    // ---- DSIR importance weighting (Xie et al. 2023) ----
+    // target slice = %9==2 (planted with target-domain vocab); %9==5 docs
+    // carry the SAME vocab but sit outside the slice — the held-out
+    // lookalikes the weight must surface. raw model = the scored corpus.
+    // Integer micro-weights: the oracle retrains both bucket models and
+    // rescores bit-identically.
+    "q_dsir" -> ((s, dir) => {
+      val planted = docs(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 9 === 2 || col("doc_id") % 9 === 5,
+          concat(lit(dsirTargetFix), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val target = planted.where(col("doc_id") % 9 === 2)
+      Dsir.score(planted, Dsir.weights(target, planted))
+    }),
+
+    // ---- keep-best-copy election ----
+    // same planted dup groups as q_exact_dup_groups, but the survivor is
+    // the max-quality member (q = (doc_id*31)%101, differing across
+    // copies), not the natural-order min — the FineWeb keep policy.
+    "q_keep_best" -> ((s, dir) => {
+      val d = docsPlanted(s, dir).select(
+        col("doc_id"),
+        ((col("doc_id") * 31) % 101).as("q"),
+        md5(col("text")).as("sha"))
+      ExactDedup.bestPerKey(d, "sha", "q", "doc_id")
+        .select(col("doc_id"), col("sha"), col("q"))
+    }),
+
     // ---- exact set-similarity self-join (prefix filtering) ----
     // τ=0.8 over whole-doc token sets (doc_id%4==0 slice); %16==0 items
     // get a two-junk-token copy (J = n/(n+2) ≥ 0.8 at n ≥ 8 distinct
@@ -1228,6 +1257,11 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn2
       |  FROM u)""".stripMargin
 
+  /** Target-domain fixture for the DSIR planting (no quotes/backslashes —
+    * interpolates into the oracle SQL string literal verbatim). */
+  private val dsirTargetFix: String =
+    "quantum flux lattice entangled photon detector readout calibration notes"
+
   /** Spam fixture for the NB classifier planting (no quotes/backslashes —
     * interpolates into the oracle SQL string literal verbatim). */
   private val nbSpamFix: String =
@@ -1330,6 +1364,47 @@ object SparkEntry {
         |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_micro,
         |  COALESCE(sc.s, 0) > 0 AS pred_pos
         |FROM planted p LEFT JOIN sc ON p.doc_id = sc.doc_id""".stripMargin,
+
+    // mirrors q_dsir: retrain both hashed-bigram bucket models (target
+    // slice vs raw corpus, TOTAL 4096-bucket space) and rescore via the
+    // same integer micro-weight sum
+    "q_dsir" ->
+      s"""WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 2 OR doc_id % 9 = 5
+        |    THEN '$dsirTargetFix' || ' ' || text ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |  '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ws FROM planted),
+        |big AS (SELECT doc_id, substr(md5(g), 1, 3) AS bucket FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS g FROM tok)),
+        |tcnt AS (SELECT bucket, count(*) AS ct FROM big
+        |  WHERE doc_id % 9 = 2 GROUP BY 1),
+        |rcnt AS (SELECT bucket, count(*) AS cr FROM big GROUP BY 1),
+        |allb AS (SELECT printf('%03x', i) AS bucket FROM range(0, 4096) t(i)),
+        |m AS (SELECT a.bucket, COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+        |  FROM allb a LEFT JOIN tcnt USING (bucket)
+        |  LEFT JOIN rcnt USING (bucket)),
+        |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM m),
+        |w AS (SELECT bucket, CAST(round((ln(ct + 1) - ln(tt + 4096)
+        |  - ln(cr + 1) + ln(tr + 4096)) * 1000000) AS BIGINT) AS wm
+        |  FROM m, tot),
+        |sc AS (SELECT b.doc_id, count(*) AS n, SUM(w.wm) AS s
+        |  FROM big b JOIN w USING (bucket) GROUP BY 1)
+        |SELECT p.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS weight_micro,
+        |  COALESCE(sc.s, 0) > 0 AS pred_target
+        |FROM planted p LEFT JOIN sc ON p.doc_id = sc.doc_id""".stripMargin,
+
+    // mirrors q_keep_best: max-q-then-min-id survivor per sha group
+    "q_keep_best" ->
+      s"""$plantedCte,
+        |h AS (SELECT doc_id, (doc_id * 31) % 101 AS q, md5(text) AS sha
+        |  FROM docs)
+        |SELECT doc_id, sha, q FROM (
+        |  SELECT doc_id, sha, q,
+        |    row_number() OVER (PARTITION BY sha ORDER BY q DESC, doc_id) AS rn
+        |  FROM h) WHERE rn = 1""".stripMargin,
 
     "q_setsim_pairs" ->
       s"""$setsimCte

@@ -47,6 +47,31 @@ object ExactDedup {
     df.join(elect, Seq(key, ts, tieBreak), "left_semi")
   }
 
+  /** Keep-best-copy election: keep the row with the MAXIMUM `score` per
+    * `key`, ties broken toward the MINIMUM `tieBreak` — the FineWeb-style
+    * keep policy ("keep the highest-quality copy, not the first-seen one")
+    * for exact/near-dup groups where members differ in quality signal
+    * (cleaner boilerplate strip, longer body, better source). Same narrow
+    * two-phase shape as [[latestPerKey]]: a map-side-combining
+    * `min(struct(-score, tieBreak))` election (negating the score turns
+    * max-score-then-min-tie into one lexicographic min), then a LEFT SEMI
+    * join keeps the winner's full row — wide payloads never enter the
+    * aggregate's buffers.
+    *
+    * Precondition: `tieBreak` unique per (key, score), same as
+    * [[latestPerKey]]; `score` must be numeric (it is negated). */
+  def bestPerKey(
+      df: DataFrame,
+      key: String,
+      score: String,
+      tieBreak: String): DataFrame = {
+    val elect = df
+      .groupBy(col(key))
+      .agg(min(struct((-col(score)).as("ns"), col(tieBreak).as("tb"))).as("m"))
+      .select(col(key), (-col("m.ns")).as(score), col("m.tb").as(tieBreak))
+    df.join(elect, Seq(key, score, tieBreak), "left_semi")
+  }
+
   /** (rep, url) star edges within every block of size ≥ 2, plus the per-url
     * block size. Input needs columns: url, nk, and the block columns
     * (default just sha; Same*-scope runs block on (sha, scope) so identical

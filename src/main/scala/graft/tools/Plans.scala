@@ -142,6 +142,19 @@ object Plans {
     println(s"blocklist exchanges: ${
       "Exchange".r.findAllIn(QualityFilters.blocklistFlag(docs)
         .queryExecution.executedPlan.toString).size}")
+
+    println("=== PLAN 18: DSIR scoring (bounded broadcast model; docs never shuffle wide) ===")
+    val target18 = docs.where(col("doc_id") % 9 === 2)
+    val sc18 = Dsir.score(docs.select(col("doc_id"), col("text")),
+      Dsir.weights(target18, docs))
+    sc18.collect()
+    val s18 = sc18.queryExecution.executedPlan.toString
+    println(s"dsir broadcasts: ${"BroadcastExchange".r.findAllIn(s18).size}")
+    // the only shuffles allowed: the two <=4096-row bucket-count aggs and
+    // the narrow per-doc (id, count, sum) partial agg + score re-attach
+    println(s"dsir exchanges: ${"Exchange".r.findAllIn(s18).size}")
+    println(s"dsir text col in any exchange: ${
+      s18.linesIterator.exists(l => l.contains("Exchange") && l.contains("text"))}")
     spark.stop()
   }
 }

@@ -104,4 +104,17 @@ class DecontaminateSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("url") -> r.getAs[String]("payload")).toMap
     assert(out == Map("u1" -> "new", "u2" -> "only", "u3" -> "tie-hi"))
   }
+
+  test("bestPerKey keeps the max-score row per key, ties to MIN tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 3L, 1L, "low"),
+      ("g1", 9L, 2L, "best"),
+      ("g1", 9L, 7L, "best-later"), // same score, larger tiebreak loses
+      ("g2", -4L, 3L, "only-negative"), // negation round-trips negatives
+      ("g3", 0L, 4L, "zero")).toDF("sha", "q", "id", "payload")
+    val out = ExactDedup.bestPerKey(df, "sha", "q", "id").collect()
+      .map(r => r.getAs[String]("sha") -> r.getAs[String]("payload")).toMap
+    assert(out == Map("g1" -> "best", "g2" -> "only-negative", "g3" -> "zero"))
+  }
 }
