@@ -1072,6 +1072,40 @@ object SparkEntry {
       NaiveBayes.score(planted, NaiveBayes.train(labeled))
     }),
 
+    // ---- host-scoped boilerplate strip (CCNet deployment granularity) ----
+    // every doc gets a per-host footer (host-frequent → strips) and every
+    // %10==0 doc a corpus-wide quote that is RARE within each host — it
+    // must survive, the semantic the global stripper cannot express.
+    "q_host_boilerplate" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val chunked = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+        .withColumn("lines0", transform(
+          sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
+          i => array_join(slice(ws, i * lit(8) + 1, lit(8)), " ")))
+      val planted = chunked
+        .withColumn("lines", concat(col("lines0"),
+          array(concat(lit("all rights reserved by "), col("source")))))
+        .withColumn("lines",
+          when(col("doc_id") % 10 === 0,
+            concat(col("lines"), array(lit("a famous quote cited everywhere"))))
+            .otherwise(col("lines")))
+        .select(col("source").as("host"),
+          col("doc_id").cast("string").as("url"),
+          array_join(col("lines"), "\n").as("text"))
+      operators.LineDedup.stripFrequentLinesPerScope(planted, "host", maxDf = 10)
+        .select(col("url"), col("kept_text"), col("n_lines"), col("n_stripped"))
+    }),
+
+    // ---- epoch-weighted mixing (upsampling) ----
+    // weights > 1 repeat strata (en ×2.5, zh ×3), the standard LLM mix
+    // spec stratifiedSample cannot express; es absent → dropped.
+    "q_epoch_mix" -> ((s, dir) =>
+      Mixing.epochSample(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.25, "zh" -> 3.0),
+        seed = 11L)),
+
     // ---- DSIR importance weighting (Xie et al. 2023) ----
     // target slice = %9==2 (planted with target-domain vocab); %9==5 docs
     // carry the SAME vocab but sit outside the slice — the held-out
@@ -1364,6 +1398,54 @@ object SparkEntry {
         |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_micro,
         |  COALESCE(sc.s, 0) > 0 AS pred_pos
         |FROM planted p LEFT JOIN sc ON p.doc_id = sc.doc_id""".stripMargin,
+
+    // mirrors q_host_boilerplate: same chunk/plant CTEs as q_line_dedup,
+    // then df per (source, line TEXT) — host-scoped strip + reassembly
+    "q_host_boilerplate" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |ch AS (SELECT doc_id, source,
+        |  list_transform(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+        |    i -> array_to_string(w[i*8+1:i*8+8], ' ')) AS ls
+        |  FROM d),
+        |pl AS (SELECT doc_id, source,
+        |  list_append(ls, 'all rights reserved by ' || source) AS ls1
+        |  FROM ch),
+        |pl2 AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 10 = 0
+        |    THEN list_append(ls1, 'a famous quote cited everywhere')
+        |    ELSE ls1 END AS ls
+        |  FROM pl),
+        |l AS (SELECT doc_id, source,
+        |  unnest(list_transform(range(1, len(ls) + 1),
+        |    i -> {'pos': i, 'line': ls[CAST(i AS INT)]})) AS e
+        |  FROM pl2),
+        |ln AS (SELECT doc_id, source, e.pos AS pos, e.line AS line FROM l),
+        |df AS (SELECT source, line, count(DISTINCT doc_id) AS df
+        |  FROM ln GROUP BY source, line),
+        |mk AS (SELECT ln.doc_id, ln.pos, ln.line, df.df >= 10 AS strip
+        |  FROM ln JOIN df ON ln.source = df.source AND ln.line = df.line)
+        |SELECT CAST(doc_id AS VARCHAR) AS url,
+        |  coalesce(string_agg(CASE WHEN NOT strip THEN line END, chr(10)
+        |    ORDER BY pos), '') AS kept_text,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN strip THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped
+        |FROM mk GROUP BY doc_id""".stripMargin,
+
+    // mirrors q_epoch_mix: copies = floor(w) + md5-threshold extra, one
+    // epoch row per copy (0.5 → 80000000, 0.25 → 40000000)
+    "q_epoch_mix" ->
+      s"""WITH k AS (SELECT doc_id, lang,
+        |  substring(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8) AS key
+        |  FROM documents),
+        |n AS (SELECT doc_id, lang, CASE
+        |  WHEN lang = 'en' THEN 2 + CASE WHEN key < '80000000' THEN 1 ELSE 0 END
+        |  WHEN lang = 'de' THEN 1
+        |  WHEN lang = 'fr' THEN CASE WHEN key < '40000000' THEN 1 ELSE 0 END
+        |  WHEN lang = 'zh' THEN 3
+        |  ELSE 0 END AS c FROM k)
+        |SELECT doc_id, lang, CAST(unnest(range(0, c)) AS INT) AS epoch
+        |FROM n WHERE c > 0""".stripMargin,
 
     // mirrors q_dsir: retrain both hashed-bigram bucket models (target
     // slice vs raw corpus, TOTAL 4096-bucket space) and rescore via the

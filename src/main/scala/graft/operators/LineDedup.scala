@@ -75,4 +75,54 @@ object LineDedup {
         count(lit(1)).as("n_lines"),
         sum(when(col("strip"), 1L).otherwise(0L)).as("n_stripped"))
   }
+
+  /** Host-scoped variant: document frequency is counted WITHIN each
+    * `scope` value (host/site), and a line strips only from the scope
+    * where it is frequent — the granularity CCNet actually deploys
+    * (boilerplate is site chrome: one site's cookie banner says nothing
+    * about another's prose). The semantic the global operator cannot
+    * express: a line ubiquitous corpus-wide but rare within every single
+    * host (a widely-cited quote) SURVIVES here and would be stripped
+    * there. Same three-shuffle linear shape with `scope` folded into the
+    * df-aggregation and strip-join keys — per-scope keys also break up
+    * the one hot key a corpus-global banner would otherwise hash to.
+    *
+    * @param docs (scope, url, text); output (url, kept_text, n_lines,
+    *        n_stripped), one row per input doc. */
+  def stripFrequentLinesPerScope(
+      docs: DataFrame,
+      scope: String,
+      maxDf: Long,
+      sep: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col(scope), col("url"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+    val freq = lines
+      .groupBy(col(scope).as("__fs"),
+        xxhash64(col("line")).as("lh"), length(col("line")).as("ll"))
+      .agg(countDistinct(xxhash64(col("url"))).as("df"))
+      .where(col("df") >= maxDf)
+      .select(col("__fs"), col("lh"), col("ll"))
+    val marked = lines
+      .join(
+        freq.hint("shuffle_hash"),
+        col(scope) === col("__fs") &&
+          xxhash64(col("line")) === col("lh") &&
+          length(col("line")) === col("ll"),
+        "left")
+      .select(col("url"), col("pos"), col("line"), col("lh").isNotNull.as("strip"))
+    marked
+      .groupBy(col("url"))
+      .agg(
+        array_join(
+          transform(
+            filter(
+              sort_array(collect_list(struct(col("pos"), col("line"), col("strip")))),
+              x => !x.getField("strip")),
+            x => x.getField("line")),
+          sep).as("kept_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("strip"), 1L).otherwise(0L)).as("n_stripped"))
+  }
 }

@@ -59,6 +59,44 @@ object Mixing {
     df.where(keep)
   }
 
+  /** Epoch-weighted sampling — [[stratifiedSample]]'s UPSAMPLING
+    * counterpart: a stratum weight may exceed 1, the standard LLM mix
+    * spec ("wikipedia ×3.0, web ×0.8"). Every row of stratum s is
+    * emitted floor(w(s)) times plus one more with probability frac(w(s)),
+    * decided by the same md5 threshold draw as [[sampleKey]]; copies carry
+    * a 0-based `epoch` column so packing can interleave them. Strata
+    * absent from the map are dropped (allowlist, like
+    * [[stratifiedSample]]).
+    *
+    * Scale shape: one codegen'd projection + a row generator — no
+    * shuffle, no RNG state; the copy count is a pure function of
+    * (id, seed), so lost-partition retries re-emit identical copies.
+    * Output size is Σ w(s)·|s| by construction; the explode is the only
+    * amplification and it is the intended one. */
+  def epochSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      seed: Long = 42L): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 100.0),
+      s"weights out of [0,100]: $weights")
+    val key = sampleKey(col(idCol), seed)
+    val copies = weights.foldLeft(lit(0)) { case (acc, (s, w)) =>
+      val base = math.floor(w).toInt
+      val frac = w - base
+      val n =
+        if (frac <= 0.0) lit(base)
+        else when(key < lit(hexThreshold(frac)), lit(base + 1)).otherwise(lit(base))
+      when(col(stratumCol) === s, n).otherwise(acc)
+    }
+    // the filter must precede the sequence: sequence(0, -1) would DESCEND
+    df.withColumn("__n", copies)
+      .where(col("__n") > 0)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(0), col("__n") - 1)).as("epoch"): _*)
+  }
+
   /** Keep at most `k` rows per stratum (host/domain/source) in a total
     * deterministic order — the "no single domain dominates the corpus"
     * composition rule every web pipeline applies between dedup and mixing.

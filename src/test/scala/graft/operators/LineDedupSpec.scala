@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class LineDedupSpec extends AnyFunSuite {
@@ -60,5 +61,40 @@ class LineDedupSpec extends AnyFunSuite {
     out.foreach { r =>
       assert(r.getString(1) == "" && r.getLong(2) == 1L && r.getLong(3) == 1L)
     }
+  }
+
+  test("per-scope strip: host-frequent banner strips in its host only; corpus-frequent host-rare line survives") {
+    import spark.implicits._
+    // hosts a and b, 5 docs each; banner frequent on a only (df 5 ≥ 5
+    // strips there); quote in 4 docs of each host (per-host df 4 < 5
+    // survives, though its corpus df is 8)
+    val docs = (for {
+      h <- Seq("a", "b"); i <- 0 until 5
+    } yield {
+      val banner = if (h == "a") "banner of site a\n" else ""
+      val quote = if (i < 4) "quote q\n" else ""
+      (h, s"$h$i", s"$banner${quote}unique $h $i")
+    }).toDF("host", "url", "text")
+    val out = LineDedup.stripFrequentLinesPerScope(docs, "host", maxDf = 5, sep = "\n")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a0") == (("quote q\nunique a 0", 3L, 1L)))
+    assert(out("a4") == (("unique a 4", 2L, 1L)))
+    assert(out("b0") == (("quote q\nunique b 0", 2L, 0L)))
+  }
+
+  test("per-scope strip keeps host-rare lines that a GLOBAL strip would remove") {
+    import spark.implicits._
+    // quote in 3 docs of each of 4 hosts: corpus df 12 >= 10 (global
+    // strips), per-host df 3 < 10 (scoped keeps)
+    val docs = (for {
+      h <- Seq("a", "b", "c", "d"); i <- 0 until 3
+    } yield (h, s"$h$i", s"shared quote line\nunique $h $i")).toDF("host", "url", "text")
+    val scoped = LineDedup.stripFrequentLinesPerScope(docs, "host", maxDf = 10)
+      .where(col("n_stripped") > 0).count()
+    val global = LineDedup.stripFrequentLines(docs.select(col("url"), col("text")), maxDf = 10)
+      .where(col("n_stripped") > 0).count()
+    assert(scoped == 0L, "host-rare line must survive the scoped strip")
+    assert(global == 12L, "the same line is corpus-frequent for the global strip")
   }
 }

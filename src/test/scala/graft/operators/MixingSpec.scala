@@ -95,4 +95,34 @@ class MixingSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"expected the rank-filter rewrite to plan WindowGroupLimit:\n$plan")
   }
+
+  test("epoch sampling: floor copies always, fractional extra at the draw rate, allowlist") {
+    import spark.implicits._
+    val docs = (0 until 3000).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "es"))
+      .toDF("doc_id", "lang")
+    val out = Mixing.epochSample(docs, "lang", "doc_id",
+      Map("en" -> 2.5, "zh" -> 1.0), seed = 7L).cache()
+    try {
+      // es absent → dropped entirely
+      assert(out.where(col("lang") === "es").count() == 0)
+      // zh: exactly one copy each, epoch 0
+      assert(out.where(col("lang") === "zh").count() == 1000)
+      assert(out.where(col("lang") === "zh" && col("epoch") =!= 0).count() == 0)
+      // en: 2 or 3 copies per doc; total ≈ 2500 (Bernoulli(0.5) on 1000
+      // docs, 5σ ≈ 79); epochs are 0..n-1 (contiguous from 0)
+      val perDoc = out.where(col("lang") === "en")
+        .groupBy("doc_id").count().collect().map(_.getLong(1))
+      assert(perDoc.forall(n => n == 2 || n == 3))
+      val total = perDoc.sum
+      assert(math.abs(total - 2500L) < 82, s"en copies $total of expected ~2500")
+      val epochs = out.where(col("lang") === "en" && col("doc_id") === 0L)
+        .select("epoch").collect().map(_.getInt(0)).sorted
+      assert(epochs.sameElements(0 until epochs.length))
+      // pure function of (id, seed): rerun identical
+      val again = Mixing.epochSample(docs, "lang", "doc_id",
+        Map("en" -> 2.5, "zh" -> 1.0), seed = 7L)
+      assert(again.exceptAll(out).count() == 0 && out.exceptAll(again).count() == 0)
+    } finally out.unpersist()
+  }
 }
