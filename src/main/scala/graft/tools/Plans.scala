@@ -155,6 +155,34 @@ object Plans {
     println(s"dsir exchanges: ${"Exchange".r.findAllIn(s18).size}")
     println(s"dsir text col in any exchange: ${
       s18.linesIterator.exists(l => l.contains("Exchange") && l.contains("text"))}")
+
+    println("=== PLAN 19: host-scoped boilerplate strip (df agg ships hashes; hash join, not SMJ) ===")
+    // wants: the per-(scope,line) document-frequency aggregate carries only
+    // (scope, lh, ll) — the line TEXT must not appear in ITS exchange (the
+    // reassembly groupBy necessarily ships line text, same as the global
+    // operator); the strip join honors the shuffle_hash hint (no sort); the
+    // surviving-line frame is frequent-lines-sized, not corpus-sized.
+    val docs19 = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source").as("host"),
+      col("doc_id").cast("string").as("url"), col("text"))
+    val p19 = LineDedup.stripFrequentLinesPerScope(docs19, "host", maxDf = 10)
+    p19.collect()
+    val s19 = p19.queryExecution.executedPlan.toString
+    println(s"hostStrip exchanges: ${"Exchange".r.findAllIn(s19).size}")
+    println(s"hostStrip shuffled-hash join: ${s19.contains("ShuffledHashJoin")}")
+    println(s"hostStrip sort-merge join: ${s19.contains("SortMergeJoin")}")
+    val dfAggExchangeShipsText = s19.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("hashpartitioning"))
+      .exists(l => l.contains("__fs") && l.contains("line"))
+    println(s"hostStrip df-agg exchange ships line text: $dfAggExchangeShipsText")
+
+    println("=== PLAN 20: epoch-weighted mix (projection + generator, zero exchange) ===")
+    val p20 = Mixing.epochSample(
+      docs.select(col("doc_id"), (col("doc_id") % 3).cast("string").as("lang")),
+      "lang", "doc_id", Map("0" -> 2.5, "1" -> 1.0), seed = 7L)
+    val s20 = p20.queryExecution.executedPlan.toString
+    println(s"epochMix exchanges: ${"Exchange".r.findAllIn(s20).size}")
+    println(s"epochMix generators: ${"Generate".r.findAllIn(s20).size}")
     spark.stop()
   }
 }
