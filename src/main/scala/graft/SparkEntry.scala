@@ -1106,6 +1106,31 @@ object SparkEntry {
         Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.25, "zh" -> 3.0),
         seed = 11L)),
 
+    // ---- token-budget mixture solver ----
+    // n_chars as the per-doc token mass; zh targeted far above its
+    // availability so the maxEpochs cap fires at sf0.001
+    "q_mix_solve" -> ((s, dir) =>
+      Mixing.solveEpochWeights(
+        docs(s, dir).select(col("lang"), col("n_chars")),
+        "lang", col("n_chars"),
+        Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
+        budgetTokens = 1000000L, maxEpochs = 4.0)),
+
+    // ---- within-document repeated-line strip ----
+    // plant: re-append each doc's FIRST 8-word line at the end — every
+    // doc has at least one intra-doc repeat, cut by first-occurrence rule
+    "q_within_doc_dedup" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val planted = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("lines0", transform(
+          sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
+          i => array_join(slice(ws, i * lit(8) + 1, lit(8)), " ")))
+        .select(col("doc_id").cast("string").as("url"),
+          array_join(concat(col("lines0"), slice(col("lines0"), 1, 1)), "\n")
+            .as("text"))
+      operators.LineDedup.stripRepeatedLinesWithinDoc(planted)
+    }),
+
     // ---- DSIR importance weighting (Xie et al. 2023) ----
     // target slice = %9==2 (planted with target-domain vocab); %9==5 docs
     // carry the SAME vocab but sit outside the slice — the held-out
@@ -1446,6 +1471,46 @@ object SparkEntry {
         |  ELSE 0 END AS c FROM k)
         |SELECT doc_id, lang, CAST(unnest(range(0, c)) AS INT) AS epoch
         |FROM n WHERE c > 0""".stripMargin,
+
+    // mirrors q_mix_solve: same sum + IEEE double weight arithmetic
+    "q_mix_solve" ->
+      s"""WITH a AS (SELECT lang AS stratum,
+        |  CAST(sum(n_chars) AS BIGINT) AS available_tokens
+        |  FROM documents WHERE lang IN ('en','de','fr','zh') GROUP BY lang),
+        |w AS (SELECT stratum, available_tokens,
+        |  CAST(CASE stratum WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+        |    WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.2 END AS DOUBLE)
+        |    * CAST(1000000 AS DOUBLE) AS target_tokens
+        |  FROM a)
+        |SELECT stratum, available_tokens, target_tokens,
+        |  least(target_tokens / available_tokens, 4.0) AS weight,
+        |  target_tokens / available_tokens > 4.0 AS capped,
+        |  least(target_tokens / available_tokens, 4.0) * available_tokens
+        |    AS realized_tokens
+        |FROM w""".stripMargin,
+
+    // mirrors q_within_doc_dedup: same chunk + first-line re-append plant;
+    // keep a line iff list_position finds it first at its own position
+    "q_within_doc_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |ch AS (SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+        |    i -> array_to_string(w[i*8+1:i*8+8], ' ')) AS ls0
+        |  FROM d),
+        |pl AS (SELECT doc_id, list_append(ls0, ls0[1]) AS ls FROM ch),
+        |l AS (SELECT doc_id, ls,
+        |  unnest(list_transform(range(1, len(ls) + 1),
+        |    i -> {'pos': i, 'line': ls[CAST(i AS INT)]})) AS e
+        |  FROM pl)
+        |SELECT CAST(doc_id AS VARCHAR) AS url,
+        |  coalesce(string_agg(
+        |    CASE WHEN list_position(ls, e.line) = e.pos THEN e.line END,
+        |    chr(10) ORDER BY e.pos), '') AS kept_text,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN list_position(ls, e.line) = e.pos
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_stripped
+        |FROM l GROUP BY doc_id""".stripMargin,
 
     // mirrors q_dsir: retrain both hashed-bigram bucket models (target
     // slice vs raw corpus, TOTAL 4096-bucket space) and rescore via the

@@ -76,6 +76,39 @@ object LineDedup {
         sum(when(col("strip"), 1L).otherwise(0L)).as("n_stripped"))
   }
 
+  /** Within-document repeated-line strip: keep only the FIRST occurrence
+    * of each distinct line inside a single document — the intra-doc half
+    * of repetition removal (the Gopher repetition signals MEASURE
+    * duplicate-line mass per doc; this operator CUTS it, the "remove
+    * repeated content" cleaning step, at the same `sep` granularities as
+    * [[stripFrequentLines]]). Corpus-frequency stripping is unaffected:
+    * the two compose, this one first.
+    *
+    * Scale shape: zero shuffle — the whole operator is one codegen'd
+    * projection (split → keep positions where array_position finds the
+    * first occurrence → reassemble). array_position is O(n) per line,
+    * O(n²) per doc in line count; web documents are hundreds of lines, so
+    * the quadratic term is bounded per row and trades strictly better
+    * than any shuffle-bearing alternative at corpus scale.
+    *
+    * @param docs (url, text); output (url, kept_text, n_lines,
+    *        n_stripped), one row per input doc. */
+  def stripRepeatedLinesWithinDoc(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    val lines = split(col("text"), java.util.regex.Pattern.quote(sep))
+    val keptArr = filter(
+      transform(sequence(lit(1), size(col("__ls"))),
+        i => struct(i.as("i"), element_at(col("__ls"), i).as("line"))),
+      s => array_position(col("__ls"), s.getField("line")) === s.getField("i"))
+    docs
+      .withColumn("__ls", lines)
+      .withColumn("__kept", transform(keptArr, s => s.getField("line")))
+      .select(
+        col("url"),
+        array_join(col("__kept"), sep).as("kept_text"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        (size(col("__ls")) - size(col("__kept"))).cast("long").as("n_stripped"))
+  }
+
   /** Host-scoped variant: document frequency is counted WITHIN each
     * `scope` value (host/site), and a line strips only from the scope
     * where it is frequent — the granularity CCNet actually deploys

@@ -97,6 +97,73 @@ object Mixing {
         explode(sequence(lit(0), col("__n") - 1)).as("epoch"): _*)
   }
 
+  /** Token-budget mixture solver — computes the per-stratum epoch weights
+    * that [[epochSample]] realises. A training run is specified as "p(s)
+    * of the token budget from stratum s" (the composition table every
+    * LLM data card publishes); the weight that delivers it is
+    * w(s) = p(s)·budget / tokens(s), capped at `maxEpochs` because
+    * repeating data beyond ~4 epochs stops helping (Muennighoff et al.
+    * 2023, "Scaling Data-Constrained Language Models"). A capped stratum
+    * is flagged rather than silently rebalanced — the caller decides
+    * whether to renormalize the remaining strata or accept the shortfall.
+    *
+    * Output: one row per allowlisted stratum —
+    * (stratum, available_tokens, target_tokens, weight, capped,
+    * realized_tokens = weight·available). Scale shape: one narrow
+    * groupBy(stratum) sum — partial aggregation collapses each task to
+    * ≤ |strata| rows before the exchange, and |strata| is O(languages ×
+    * sources), never corpus-sized. */
+  def solveEpochWeights(
+      df: DataFrame,
+      stratumCol: String,
+      nTokens: Column,
+      targets: Map[String, Double],
+      budgetTokens: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    require(maxEpochs > 0.0, s"maxEpochs must be positive: $maxEpochs")
+    require(targets.values.forall(_ >= 0.0) &&
+      math.abs(targets.values.sum - 1.0) < 1e-9,
+      s"targets must be non-negative proportions summing to 1: $targets")
+    df.where(col(stratumCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(nTokens.cast("long")).as("available_tokens"))
+      .withColumn("target_tokens",
+        fracOf(targets)(col("stratum")) * lit(budgetTokens.toDouble))
+      .withColumn("weight",
+        least(col("target_tokens") / col("available_tokens"), lit(maxEpochs)))
+      .withColumn("capped",
+        col("target_tokens") / col("available_tokens") > lit(maxEpochs))
+      .withColumn("realized_tokens", col("weight") * col("available_tokens"))
+  }
+
+  // solveEpochWeights' frac expression keyed by an output column
+  private def fracOf(targets: Map[String, Double])(stratum: Column): Column =
+    targets.foldLeft(lit(0.0)) { case (acc, (s, p)) =>
+      when(stratum === s, lit(p)).otherwise(acc)
+    }
+
+  /** End-to-end budgeted mix: solve the weights, then upsample/downsample
+    * with [[epochSample]]. The solver output is one row per stratum —
+    * bounded by the mix spec, not the corpus — so collecting it to build
+    * the weight map is the same O(|strata|) driver step as broadcasting
+    * any model table, not a data collect. */
+  def epochSampleByBudget(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      nTokens: Column,
+      targets: Map[String, Double],
+      budgetTokens: Long,
+      maxEpochs: Double = 4.0,
+      seed: Long = 42L): DataFrame = {
+    val weights = solveEpochWeights(
+      df, stratumCol, nTokens, targets, budgetTokens, maxEpochs)
+      .select(col("stratum"), col("weight"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    epochSample(df, stratumCol, idCol, weights, seed)
+  }
+
   /** Keep at most `k` rows per stratum (host/domain/source) in a total
     * deterministic order — the "no single domain dominates the corpus"
     * composition rule every web pipeline applies between dedup and mixing.

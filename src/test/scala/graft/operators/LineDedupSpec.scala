@@ -63,6 +63,34 @@ class LineDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("within-doc strip keeps first occurrences in order; distinct docs untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x\ny\nx\nz\ny\nx"), // repeats of x and y
+      ("b", "p\nq"),             // nothing repeated
+      ("c", "s\ns\ns\ns")        // one line repeated throughout
+    ).toDF("url", "text")
+    val out = LineDedup.stripRepeatedLinesWithinDoc(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == (("x\ny\nz", 6L, 3L)))
+    assert(out("b") == (("p\nq", 2L, 0L)))
+    assert(out("c") == (("s", 4L, 3L)))
+  }
+
+  test("within-doc strip composes with the corpus-frequency strip and plans no shuffle") {
+    import spark.implicits._
+    val docs = Seq(("u1", "dup\ndup\nbanner"), ("u2", "banner\nown"),
+      ("u3", "banner\nmore")).toDF("url", "text")
+    val intra = LineDedup.stripRepeatedLinesWithinDoc(docs)
+    val plan = intra.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"within-doc strip must not shuffle:\n$plan")
+    val out = LineDedup.stripFrequentLines(
+      intra.select(col("url"), col("kept_text").as("text")), maxDf = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("u1") == "dup" && out("u2") == "own" && out("u3") == "more")
+  }
+
   test("per-scope strip: host-frequent banner strips in its host only; corpus-frequent host-rare line survives") {
     import spark.implicits._
     // hosts a and b, 5 docs each; banner frequent on a only (df 5 ≥ 5

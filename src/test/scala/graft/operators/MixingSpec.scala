@@ -96,6 +96,44 @@ class MixingSpec extends AnyFunSuite {
       s"expected the rank-filter rewrite to plan WindowGroupLimit:\n$plan")
   }
 
+  test("budget solver: weight = target/available, cap flags, allowlist drops absent strata") {
+    import spark.implicits._
+    // en: 10 docs × 100 tokens = 1000; zh: 2 × 50 = 100; es present but
+    // not targeted → excluded from the solve entirely
+    val docs = ((0 until 10).map(i => (i.toLong, "en", 100L)) ++
+      Seq((100L, "zh", 50L), (101L, "zh", 50L), (200L, "es", 999L)))
+      .toDF("doc_id", "lang", "toks")
+    val w = Mixing.solveEpochWeights(docs, "lang", col("toks"),
+      Map("en" -> 0.8, "zh" -> 0.2), budgetTokens = 2000L, maxEpochs = 3.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(w.keySet == Set("en", "zh"))
+    // en: target 1600 over 1000 available → weight 1.6, uncapped
+    val en = w("en")
+    assert(en.getLong(1) == 1000L && en.getDouble(2) == 1600.0)
+    assert(math.abs(en.getDouble(3) - 1.6) < 1e-12 && !en.getBoolean(4))
+    assert(math.abs(en.getDouble(5) - 1600.0) < 1e-9)
+    // zh: target 400 over 100 available → raw 4.0 > maxEpochs 3 → capped
+    val zh = w("zh")
+    assert(zh.getDouble(3) == 3.0 && zh.getBoolean(4))
+    assert(math.abs(zh.getDouble(5) - 300.0) < 1e-9)
+  }
+
+  test("budgeted epoch sample realizes the target token mass in expectation") {
+    import spark.implicits._
+    val docs = (0 until 2000).map(i =>
+      (i.toLong, if (i % 4 == 0) "wiki" else "web", 100L))
+      .toDF("doc_id", "lang", "toks")
+    // available: wiki 50k, web 150k; targets 0.5/0.5 of 200k → wiki needs
+    // 2.0 epochs, web 2/3 of one epoch
+    val out = Mixing.epochSampleByBudget(docs, "lang", "doc_id", col("toks"),
+      Map("wiki" -> 0.5, "web" -> 0.5), budgetTokens = 200000L, seed = 3L)
+    val mass = out.groupBy("lang").agg(sum("toks").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mass("wiki") == 100000L, "integral weight 2.0 is exact")
+    // fractional 2/3 draw over 1500 docs: 5σ ≈ 6k tokens
+    assert(math.abs(mass("web") - 100000L) < 6100, s"web mass ${mass("web")}")
+  }
+
   test("epoch sampling: floor copies always, fractional extra at the draw rate, allowlist") {
     import spark.implicits._
     val docs = (0 until 3000).map(i =>
