@@ -35,7 +35,10 @@ object Bench {
     // round-4 operators: keep-one-copy span dedup, LM quality bucketing,
     // trigram language id, the full Gopher repetition suite
     "q_span_dedup_keep", "q_perplexity_bucket", "q_langid_trigram",
-    "q_gopher_repetition")
+    "q_gopher_repetition",
+    // late round-4: host-scoped boilerplate strip, epoch-weighted mix,
+    // NFC normalization ahead of hashing
+    "q_host_boilerplate", "q_epoch_mix", "q_unicode_dedup")
 
   private def session(cpus: Int): SparkSession = {
     val s = GraftSession.build(cpus, "graft-bench")

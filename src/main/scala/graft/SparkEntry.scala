@@ -619,6 +619,28 @@ object SparkEntry {
         .select(col("url"), col("s"), col("e"))
     }),
 
+    // ---- duplicate-mass document filter (RefinedWeb composition rule) ----
+    // same planted clique as q_dup_spans; a copy shares its whole base
+    // prefix with the original, so clique members read dup_frac near 1
+    // (dropped) while untouched docs read exactly 0 (kept)
+    "q_dup_mass" -> ((s, dir) => {
+      val passage = " " + ("shared boilerplate passage " * 10)
+      val base = docs(s, dir).where(length(col("text")) >= 250)
+        .select(col("doc_id"), col("text"), col("source"))
+      val planted = base.unionByName(
+        base.where(col("doc_id") % 25 === 11)
+          .withColumn("doc_id", col("doc_id") + lit(4000000L))
+          .withColumn("text", concat(col("text"), lit(passage))))
+      val d = planted
+        .select(urlCol.as("url"), col("text"))
+        .withColumn("nk", gf.natural_sort_key(col("url")))
+      val spans = operators.SubstringDup
+        .dupSpans(s, d, operators.SubstringDup.Config())
+        .select(col("url"), col("s"), col("e"))
+      operators.SubstringDup.dupMassFilter(
+        d.select(col("url"), col("text")), spans, theta = 0.5)
+    }),
+
     // ---- distributed suffix array (Manber-Myers prefix doubling) ----
     // Full-array parity: the global lexicographic rank of every suffix with
     // deterministic (url, pos) ties, vs DuckDB's row_number over
@@ -1131,6 +1153,21 @@ object SparkEntry {
       operators.LineDedup.stripRepeatedLinesWithinDoc(planted)
     }),
 
+    // ---- unicode NFC normalization (pre-hash canonicalization) ----
+    // even doc_ids get a DECOMPOSED suffix (e + U+0301, i + U+0308) that
+    // NFC composes (changed=true); odd get the composed twin (changed=
+    // false). norm_sha shows the two halves dedup together post-NFC.
+    "q_unicode_dedup" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" café naïve"))
+            .otherwise(lit(" café naïve"))).as("text"))
+      planted.select(col("doc_id"),
+        functions.gf.unicode_norm(col("text"), "NFC").as("norm_text"),
+        (functions.gf.unicode_norm(col("text"), "NFC") =!= col("text")).as("changed"),
+        sha2(functions.gf.unicode_norm(col("text"), "NFC"), 256).as("norm_sha"))
+    }),
+
     // ---- DSIR importance weighting (Xie et al. 2023) ----
     // target slice = %9==2 (planted with target-domain vocab); %9==5 docs
     // carry the SAME vocab but sit outside the slice — the held-out
@@ -1213,6 +1250,40 @@ object SparkEntry {
       |  THEN 1 ELSE 0 END) OVER (PARTITION BY url ORDER BY i) AS island FROM m)
       |SELECT url, min(i) AS s, max(i + 200) AS e FROM isl
       |GROUP BY url, island""".stripMargin
+
+  /** Duplicate-mass truth: the q_dup_spans gram-table CTEs extended with a
+    * per-doc coverage fraction over ALL planted docs (span-free docs read
+    * 0 / 0.0 / false via the left join). */
+  private lazy val dupMassGramOracle: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, text, source FROM documents WHERE length(text) >= 250),
+      |d AS (
+      |  SELECT doc_id, text, source FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 4000000,
+      |    text || ' ' || repeat('shared boilerplate passage ', 10), source
+      |  FROM base WHERE doc_id % 25 = 11),
+      |u AS (SELECT $urlSql AS url, text FROM d),
+      |g AS (SELECT url, unnest(range(1, length(text) - 198)) AS i, text FROM u),
+      |gg AS (SELECT url, i, substr(text, CAST(i AS INT), 200) AS gram FROM g),
+      |dup AS (SELECT DISTINCT x.url, x.i FROM gg x
+      |  JOIN gg y ON x.gram = y.gram AND x.url <> y.url),
+      |m AS (SELECT url, i, max(i + 200) OVER (PARTITION BY url ORDER BY i
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e FROM dup),
+      |isl AS (SELECT url, i, sum(CASE WHEN prev_e IS NULL OR i > prev_e
+      |  THEN 1 ELSE 0 END) OVER (PARTITION BY url ORDER BY i) AS island FROM m),
+      |spans AS (SELECT url, min(i) AS s, max(i + 200) AS e FROM isl
+      |  GROUP BY url, island),
+      |mass AS (SELECT url, CAST(sum(e - s) AS BIGINT) AS dup_chars
+      |  FROM spans GROUP BY url)
+      |SELECT u.url, CAST(length(u.text) AS BIGINT) AS n_chars,
+      |  coalesce(mass.dup_chars, 0) AS dup_chars,
+      |  CASE WHEN length(u.text) = 0 THEN 0.0
+      |    ELSE CAST(coalesce(mass.dup_chars, 0) AS DOUBLE) / length(u.text)
+      |  END AS dup_frac,
+      |  CAST(coalesce(mass.dup_chars, 0) AS DOUBLE) / length(u.text) >= 0.5
+      |    AS dropped
+      |FROM u LEFT JOIN mass ON u.url = mass.url""".stripMargin
 
   /** The keep-one-copy span truth shared by `q_span_dedup_keep` (pair-
     * oriented winnowing path) and `q_sa_span_keep` (group-oriented
@@ -1471,6 +1542,20 @@ object SparkEntry {
         |  ELSE 0 END AS c FROM k)
         |SELECT doc_id, lang, CAST(unnest(range(0, c)) AS INT) AS epoch
         |FROM n WHERE c > 0""".stripMargin,
+
+    // mirrors q_unicode_dedup: suffixes rebuilt via chr() codepoints
+    // (769 = U+0301 combining acute, 776 = U+0308 combining diaeresis,
+    // 233/239 = composed é/ï), then DuckDB's own NFC kernel
+    "q_unicode_dedup" ->
+      s"""WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+        |    ELSE ' caf' || chr(233) || ' na' || chr(239) || 've' END AS text
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS norm_text,
+        |  nfc_normalize(text) <> text AS changed,
+        |  sha256(nfc_normalize(text)) AS norm_sha
+        |FROM p""".stripMargin,
 
     // mirrors q_mix_solve: same sum + IEEE double weight arithmetic
     "q_mix_solve" ->
@@ -1890,6 +1975,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN strip THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped
         |FROM mk GROUP BY doc_id""".stripMargin,
     "q_dup_spans" -> dupSpansGramOracle,
+    "q_dup_mass" -> dupMassGramOracle,
     // identical truth, answered by the suffix-array path on the Spark side
     "q_sa_dup_spans" -> dupSpansGramOracle,
     "q_suffix_array" ->

@@ -61,6 +61,14 @@ object codegenHelpers {
       MinHashImpl.sharedGramSpans(a.toString, b.toString, l))
   def vecSimHash(v: org.apache.spark.sql.catalyst.util.ArrayData, bits: Int, seed: Long): Long =
     MinHashImpl.vecSimHash(v.toFloatArray(), bits, seed)
+  def unicodeNorm(u: UTF8String, form: String): UTF8String = {
+    val s = u.toString
+    val f = java.text.Normalizer.Form.valueOf(form)
+    // already-normalized text (the overwhelming majority of a web corpus)
+    // short-circuits without allocating a normalized copy
+    if (java.text.Normalizer.isNormalized(s, f)) u
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
 }
 
 private[graft] trait GraftUnary extends UnaryExpression {
@@ -298,6 +306,23 @@ case class VecSimHash(child: Expression, bits: Int, seed: Long) extends GraftUna
   override def prettyName: String = "vec_simhash"
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD via `java.text.Normalizer`) —
+  * the pre-hash canonicalization step every dedup pipeline needs: composed
+  * U+00E9 and decomposed e+U+0301 render identically but hash differently,
+  * so un-normalized corpora under-deduplicate. Already-normalized input
+  * (the vast majority of web text) short-circuits via `isNormalized`
+  * without allocation, keeping the hot path cheap inside whole-stage
+  * codegen. `form` is a plan-time constant from the validated set. */
+case class UnicodeNorm(child: Expression, form: String) extends GraftUnary {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"unknown form: $form")
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.unicodeNorm(v.asInstanceOf[UTF8String], form)
+  override protected def staticCall(c: String): String = s"""$H.unicodeNorm($c, "$form")"""
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "unicode_norm"
+}
+
 /** Column-API surface for the custom expressions. */
 object gf {
   private def expr(c: Column): Expression = org.apache.spark.sql.graft.bridge.expression(c)
@@ -332,4 +357,6 @@ object gf {
     col(VecSimHash(expr(c), bits, seed))
   def bounded_topk(nkp: Column, id: Column, sim: Column, cap: Int): Column =
     col(BoundedTopK(expr(nkp), expr(id), expr(sim), cap).toAggregateExpression())
+  def unicode_norm(c: Column, form: String = "NFC"): Column =
+    col(UnicodeNorm(expr(c), form))
 }

@@ -76,6 +76,45 @@ object IncrementalDedup {
     (hashed, reps)
   }
 
+  /** Persist the corpus digest table BUCKETED by sha — the storage layout
+    * that makes every subsequent batch-vs-corpus join corpus-shuffle-free.
+    * A bucketed scan reports `HashPartitioning(sha, nBuckets)` to the
+    * planner, so the anti-join in [[newDocsBucketed]] exchanges only the
+    * batch side (repartitioned to the table's bucket count); the 10^12-row
+    * digest table is read in place, every epoch, forever. `sortBy(sha)`
+    * additionally lets single-file buckets skip their merge-side sort.
+    *
+    * At 100 TB this is the difference between "each crawl batch shuffles
+    * the whole corpus digest table" and "each batch shuffles itself":
+    * the corpus side's cost per batch drops from O(corpus) network to
+    * O(corpus) local scan — and the Bloom gate ([[newDocsBloomGated]])
+    * composes on top to cut even the scan to the overlap residue. */
+  def saveShaTable(
+      corpusShas: DataFrame, table: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    corpusShas.select(col("sha"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "sha").sortBy("sha")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** [[newDocs]] against a sha-bucketed corpus table (written by
+    * [[saveShaTable]]): identical output, but the `merge` hint pins the
+    * sort-merge strategy so the bucketed layout is actually exercised —
+    * the corpus side plans NO Exchange (its scan already satisfies the
+    * join's distribution), while a broadcast of a 10^12-row digest table
+    * would be impossible and an unhinted SMJ would shuffle it. */
+  def newDocsBucketed(
+      batch: DataFrame,
+      bucketedCorpusShas: DataFrame,
+      algo: String = "sha256"): DataFrame = {
+    val (hashed, reps) = electReps(batch, algo)
+    reps
+      .join(bucketedCorpusShas.select(col("sha")).hint("merge"), Seq("sha"), "left_anti")
+      .join(hashed.select(col("rid"), col("text")), Seq("rid"))
+      .select(col("url"), col("text"), col("sha"))
+  }
+
   /** Serialized Bloom filter over the corpus digest table, keyed by
     * xxhash64(sha) — Spark's own sketch via the Catalyst
     * `BloomFilterAggregate` (the aggregate behind runtime join-filter

@@ -253,6 +253,34 @@ object SubstringDup {
           lit(0L)).as("removed_chars"))
   }
 
+  /** Duplicate-mass document filter — the RefinedWeb-style composition
+    * rule layered ON TOP of span dedup: instead of cutting duplicated
+    * passages, DROP whole documents whose duplicated-character fraction
+    * reaches `theta` (a mostly-duplicated page is template chrome or a
+    * mirror; cutting would leave an incoherent stub). `spans` is
+    * [[dupSpans]]/[[dupSpansKeepOne]] output (already interval-merged, so
+    * summing lengths never double-counts).
+    *
+    * Scale shape: an ints-only (url → Σ(e−s)) aggregate over the span
+    * table (tiny — only dup-touched docs appear) left-joined to a narrow
+    * (url, length) projection of the corpus; document text never moves.
+    *
+    * @return (url, n_chars, dup_chars, dup_frac, dropped), one row per
+    *         doc; span-free docs read 0 / 0.0 / false. */
+  def dupMassFilter(docs: DataFrame, spans: DataFrame, theta: Double): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta out of (0,1]: $theta")
+    val mass = spans.groupBy(col("url"))
+      .agg(sum(col("e") - col("s")).as("dup_chars"))
+    docs
+      .select(col("url"), length(col("text")).cast("long").as("n_chars"))
+      .join(mass, Seq("url"), "left")
+      .withColumn("dup_chars", coalesce(col("dup_chars"), lit(0L)))
+      .withColumn("dup_frac",
+        when(col("n_chars") === 0L, lit(0.0))
+          .otherwise(col("dup_chars").cast("double") / col("n_chars")))
+      .withColumn("dropped", col("dup_frac") >= lit(theta))
+  }
+
   /** Exact verification: keep pairs with a real common substring ≥ L chars
     * (rolling-hash candidate positions confirmed by direct character
     * comparison — zero false positives). Only texts of candidate-touched

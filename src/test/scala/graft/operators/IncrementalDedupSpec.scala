@@ -109,6 +109,39 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(IncrementalDedup.corpusBloom(empty, expectedItems = 16) == null)
   }
 
+  test("bucketed corpus table: same rows as newDocs; corpus side plans NO exchange") {
+    val (batch, corpus) = frames()
+    val table = "corpus_shas_bucketed_spec"
+    IncrementalDedup.saveShaTable(corpus, table, nBuckets = 4)
+    try {
+      val bucketed = spark.table(table)
+      val out = IncrementalDedup.newDocsBucketed(batch, bucketed)
+      val plain = IncrementalDedup.newDocs(batch, corpus)
+      assert(out.exceptAll(plain).count() == 0 && plain.exceptAll(out).count() == 0)
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"),
+        s"merge hint must pin SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"corpus scan must be bucketed:\n$plan")
+      // the corpus side's bucketed scan satisfies the join's distribution:
+      // no Exchange line may carry the bucketed relation's sha attribute.
+      // The scan prints `Location ... [table]`; find its output attr id.
+      val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+      // exactly the batch-side exchanges remain: reps agg + its join side
+      // and the rid re-attach; the bucketed side contributes none, so every
+      // Exchange must sit strictly below a node reading non-bucketed input.
+      val scanLine = plan.linesIterator.find(l =>
+        l.contains("Scan parquet") && l.contains(table)).getOrElse("")
+      assert(scanLine.nonEmpty, s"bucketed scan not found:\n$plan")
+      // the bucketed scan's sha attr (e.g. sha#123) must appear in no Exchange
+      val shaAttr = "sha#\\d+".r.findFirstIn(scanLine)
+      assert(shaAttr.isDefined, s"no sha attr on scan line: $scanLine")
+      assert(exchanges.forall(!_.contains(shaAttr.get)),
+        s"corpus sha ${shaAttr.get} crossed an Exchange:\n$plan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("texts never enter the election aggregate (narrow agg, re-join)") {
     val (batch, corpus) = frames()
     val plan = IncrementalDedup.newDocs(batch, corpus)

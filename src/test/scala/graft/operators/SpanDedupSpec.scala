@@ -182,4 +182,34 @@ class SpanDedupSpec extends AnyFunSuite {
     } assert(!MinHashImpl.commonSubstringAtLeast(ta, tb, cfg.minSubstr),
       s"cleaned docs $ua and $ub still share a ${cfg.minSubstr}-char substring")
   }
+
+  test("dupMassFilter: mirror pair drops at theta, partial-dup and clean docs keep") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val passage = ("subscribe to our newsletter for daily updates " * 6).trim
+    val mirror = prose(31, 60)
+    val docsSeq = Seq(
+      "u1" -> mirror,                          // full mirror of u2 → frac 1
+      "u2" -> mirror,                          // full mirror of u1 → frac 1
+      "u3" -> (passage + " " + prose(33, 200)), // partial dup (passage w/ u4)
+      "u4" -> (prose(34, 200) + " " + passage),
+      "u5" -> prose(35, 150))                  // clean
+    val df = docsSeq.toDF("url", "text")
+      .withColumn("nk", graft.functions.gf.natural_sort_key(col("url")))
+    val cfg = SubstringDup.Config(minSubstr = 200, anchorK = 50)
+    val spans = SubstringDup.dupSpans(spark, df, cfg)
+    val out = SubstringDup.dupMassFilter(df.select(col("url"), col("text")), spans, 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.size == 5)
+    assert(out("u1")._3 == 1.0 && out("u1")._4, s"full mirror must drop: ${out("u1")}")
+    assert(out("u2")._3 == 1.0 && out("u2")._4)
+    assert(out("u3")._3 > 0.0 && out("u3")._3 < 0.5 && !out("u3")._4,
+      s"partial dup must keep: ${out("u3")}")
+    assert(out("u5") == ((docsSeq.toMap.apply("u5").length.toLong, 0L, 0.0, false)))
+    // accounting: dup_chars never exceeds n_chars
+    out.values.foreach { case (n, d, f, _) =>
+      assert(d <= n && math.abs(f - d.toDouble / n) < 1e-12)
+    }
+  }
 }
