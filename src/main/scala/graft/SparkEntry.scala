@@ -1128,6 +1128,11 @@ object SparkEntry {
         Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.25, "zh" -> 3.0),
         seed = 11L)),
 
+    // ---- corpus datacard (composition report) ----
+    "q_datacard" -> ((s, dir) =>
+      Datacard.composition(
+        docs(s, dir).select(col("lang"), col("source"), col("text")))),
+
     // ---- token-budget mixture solver ----
     // n_chars as the per-doc token mass; zh targeted far above its
     // availability so the maxEpochs cap fires at sf0.001
@@ -1556,6 +1561,21 @@ object SparkEntry {
         |  nfc_normalize(text) <> text AS changed,
         |  sha256(nfc_normalize(text)) AS norm_sha
         |FROM p""".stripMargin,
+
+    // mirrors q_datacard: same cell aggregates + share window; sums cast
+    // BIGINT (DuckDB sum(int) is HUGEINT)
+    "q_datacard" ->
+      s"""WITH c AS (SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  avg(length(text)) AS mean_chars,
+        |  count(DISTINCT sha256(text)) AS n_distinct
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n_docs, n_tokens, n_chars, mean_chars,
+        |  n_distinct,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_docs AS dup_rate,
+        |  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share
+        |FROM c""".stripMargin,
 
     // mirrors q_mix_solve: same sum + IEEE double weight arithmetic
     "q_mix_solve" ->
