@@ -127,6 +127,8 @@ object LineDedup {
       scope: String,
       maxDf: Long,
       sep: String = "\n"): DataFrame = {
+    require(scope != "url" && scope != "text" && scope != "__fs",
+      s"scope column collides with a reserved name: $scope")
     val lines = docs
       .select(col(scope), col("url"),
         posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))

@@ -81,6 +81,8 @@ object Mixing {
       seed: Long = 42L): DataFrame = {
     require(weights.values.forall(w => w >= 0.0 && w <= 100.0),
       s"weights out of [0,100]: $weights")
+    require(!df.columns.contains("epoch") && !df.columns.contains("__n"),
+      "input already carries an `epoch` or `__n` column")
     val key = sampleKey(col(idCol), seed)
     val copies = weights.foldLeft(lit(0)) { case (acc, (s, w)) =>
       val base = math.floor(w).toInt
@@ -107,9 +109,11 @@ object Mixing {
     * is flagged rather than silently rebalanced — the caller decides
     * whether to renormalize the remaining strata or accept the shortfall.
     *
-    * Output: one row per allowlisted stratum —
+    * Output: one row per allowlisted stratum PRESENT in the corpus —
     * (stratum, available_tokens, target_tokens, weight, capped,
-    * realized_tokens = weight·available). Scale shape: one narrow
+    * realized_tokens = weight·available); a targeted stratum with no
+    * rows emits nothing (its budget share is unrealizable — callers
+    * diff the output strata against the target keys to detect it). Scale shape: one narrow
     * groupBy(stratum) sum — partial aggregation collapses each task to
     * ≤ |strata| rows before the exchange, and |strata| is O(languages ×
     * sources), never corpus-sized. */
