@@ -1143,6 +1143,16 @@ object SparkEntry {
         Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
         budgetTokens = 1000000L, maxEpochs = 4.0)),
 
+    // ---- budgeted mix end-to-end (solver → epoch sample) ----
+    // the q_mix_solve weights drive the actual upsample; DuckDB re-derives
+    // the weights AND replays the md5 epoch draw bit-for-bit
+    "q_budget_mix" -> ((s, dir) =>
+      Mixing.epochSampleByBudget(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "doc_id", col("n_chars"),
+        Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
+        budgetTokens = 1000000L, maxEpochs = 4.0, seed = 13L)),
+
     // ---- within-document repeated-line strip ----
     // plant: re-append each doc's FIRST 8-word line at the end — every
     // doc has at least one intra-doc repeat, cut by first-occurrence rule
@@ -1593,6 +1603,29 @@ object SparkEntry {
         |  least(target_tokens / available_tokens, 4.0) * available_tokens
         |    AS realized_tokens
         |FROM w""".stripMargin,
+
+    // mirrors q_budget_mix: weights re-derived as in q_mix_solve, then the
+    // same floor(w) + md5-threshold draw as q_epoch_mix, with the hex
+    // threshold computed from the weight (lpad(to_hex(floor(frac·2^32))))
+    "q_budget_mix" ->
+      s"""WITH a AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail
+        |  FROM documents WHERE lang IN ('en','de','fr','zh') GROUP BY lang),
+        |w AS (SELECT lang, least(
+        |  CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+        |    WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.2 END AS DOUBLE)
+        |    * CAST(1000000 AS DOUBLE) / avail, 4.0) AS wt FROM a),
+        |k AS (SELECT d.doc_id, d.lang, d.n_chars, w.wt,
+        |  substring(md5(CAST(d.doc_id AS VARCHAR) || ':13'), 1, 8) AS key
+        |  FROM documents d JOIN w ON d.lang = w.lang),
+        |n AS (SELECT doc_id, lang, n_chars,
+        |  CAST(floor(wt) AS INT) + CASE WHEN wt - floor(wt) > 0 AND key <
+        |    lpad(to_hex(CAST(least(floor((wt - floor(wt)) * 4294967296.0),
+        |      4294967295.0) AS BIGINT)), 8, '0')
+        |    THEN 1 ELSE 0 END AS c
+        |  FROM k)
+        |SELECT doc_id, lang, n_chars, CAST(unnest(range(0, c)) AS INT)
+        |  AS epoch
+        |FROM n WHERE c > 0""".stripMargin,
 
     // mirrors q_within_doc_dedup: same chunk + first-line re-append plant;
     // keep a line iff list_position finds it first at its own position
