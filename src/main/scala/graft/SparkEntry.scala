@@ -1143,6 +1143,16 @@ object SparkEntry {
         Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
         budgetTokens = 1000000L, maxEpochs = 4.0)),
 
+    // ---- score-weighted (soft-quality) sampling ----
+    // keep probability = min(1, n_chars/1000): long docs certain, short
+    // docs proportionally — the md5 draw replayed bit-for-bit in SQL
+    "q_quality_sample" -> ((s, dir) =>
+      Mixing.sampleByProb(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id",
+        least(lit(1.0), col("n_chars") / lit(1000.0)),
+        seed = 17L)),
+
     // ---- budgeted mix end-to-end (solver → epoch sample) ----
     // the q_mix_solve weights drive the actual upsample; DuckDB re-derives
     // the weights AND replays the md5 epoch draw bit-for-bit
@@ -1604,6 +1614,17 @@ object SparkEntry {
         |    AS realized_tokens
         |FROM w""".stripMargin,
 
+    // mirrors q_quality_sample: per-row probability → per-row hex
+    // threshold (the q_budget_mix construction) → md5 keep decision
+    "q_quality_sample" ->
+      s"""WITH p AS (SELECT doc_id, n_chars,
+        |  least(1.0, n_chars / 1000.0) AS pr,
+        |  substring(md5(CAST(doc_id AS VARCHAR) || ':17'), 1, 8) AS key
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM p
+        |WHERE pr >= 1.0 OR key < lpad(lower(to_hex(CAST(least(
+        |  floor(pr * 4294967296.0), 4294967295.0) AS BIGINT))), 8, '0')""".stripMargin,
+
     // mirrors q_budget_mix: weights re-derived as in q_mix_solve, then the
     // same floor(w) + md5-threshold draw as q_epoch_mix, with the hex
     // threshold computed from the weight (lpad(to_hex(floor(frac·2^32))))
@@ -1619,8 +1640,8 @@ object SparkEntry {
         |  FROM documents d JOIN w ON d.lang = w.lang),
         |n AS (SELECT doc_id, lang, n_chars,
         |  CAST(floor(wt) AS INT) + CASE WHEN wt - floor(wt) > 0 AND key <
-        |    lpad(to_hex(CAST(least(floor((wt - floor(wt)) * 4294967296.0),
-        |      4294967295.0) AS BIGINT)), 8, '0')
+        |    lpad(lower(to_hex(CAST(least(floor((wt - floor(wt)) * 4294967296.0),
+        |      4294967295.0) AS BIGINT))), 8, '0')
         |    THEN 1 ELSE 0 END AS c
         |  FROM k)
         |SELECT doc_id, lang, n_chars, CAST(unnest(range(0, c)) AS INT)

@@ -99,6 +99,29 @@ object Mixing {
         explode(sequence(lit(0), col("__n") - 1)).as("epoch"): _*)
   }
 
+  /** Score-weighted sampling: keep each row with its OWN probability
+    * `probCol` ∈ [0,1] — the quality-weighted keep rule ("retain
+    * high-quality docs with certainty, the tail occasionally") that soft
+    * filters use instead of a hard threshold. Same md5 draw as
+    * [[sampleKey]], but the hex threshold is computed per row from
+    * `probCol`, so the decision is still a pure function of
+    * (id, seed, prob): retry-safe, shuffle-free, and replayable by any
+    * engine with md5 (the DuckDB oracle recomputes it bit-for-bit).
+    * `prob ≥ 1` keeps unconditionally (the threshold compare alone would
+    * drop the 2^-32 of rows whose key is exactly "ffffffff"). */
+  def sampleByProb(
+      df: DataFrame,
+      idCol: String,
+      probCol: Column,
+      seed: Long = 42L): DataFrame = {
+    val key = sampleKey(col(idCol), seed)
+    val thr = lpad(
+      lower(hex(least(floor(probCol * lit(4294967296.0)), lit(4294967295.0))
+        .cast("long"))),
+      8, "0")
+    df.where(probCol >= lit(1.0) || key < thr)
+  }
+
   /** Token-budget mixture solver — computes the per-stratum epoch weights
     * that [[epochSample]] realises. A training run is specified as "p(s)
     * of the token budget from stratum s" (the composition table every

@@ -96,6 +96,27 @@ class MixingSpec extends AnyFunSuite {
       s"expected the rank-filter rewrite to plan WindowGroupLimit:\n$plan")
   }
 
+  test("score-weighted sampling: p=0 drops, p>=1 keeps all, mid-p hits the rate, deterministic") {
+    import spark.implicits._
+    val docs = (0 until 4000).map(i => (i.toLong,
+      if (i < 1000) 0.0 else if (i < 2000) 1.0 else if (i < 3000) 1.5 else 0.25))
+      .toDF("doc_id", "p")
+    val out = Mixing.sampleByProb(docs, "doc_id", col("p"), seed = 5L).cache()
+    try {
+      assert(out.where(col("p") === 0.0).count() == 0)
+      assert(out.where(col("p") === 1.0).count() == 1000, "p=1 keeps every row")
+      assert(out.where(col("p") === 1.5).count() == 1000, "p>1 clamps to keep-all")
+      // Bernoulli(0.25) over 1000: 5σ ≈ 68
+      val quarter = out.where(col("p") === 0.25).count()
+      assert(math.abs(quarter - 250L) < 70, s"p=0.25 kept $quarter of ~250")
+      val again = Mixing.sampleByProb(docs, "doc_id", col("p"), seed = 5L)
+      assert(again.exceptAll(out).count() == 0 && out.exceptAll(again).count() == 0)
+      // no shuffle: pure filter
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"sampleByProb must not shuffle:\n$plan")
+    } finally out.unpersist()
+  }
+
   test("budget solver: weight = target/available, cap flags, allowlist drops absent strata") {
     import spark.implicits._
     // en: 10 docs × 100 tokens = 1000; zh: 2 × 50 = 100; es present but
