@@ -276,6 +276,45 @@ object SparkEntry {
         .select(col("url"), col("cluster"))
     }),
 
+    // ---- paragraph-granularity near-dup (same machinery, sub-doc unit) ----
+    // docs < 40 chunk into 24-word paragraphs (≥ 8 words kept); %7==2 docs
+    // get their first paragraph re-planted with one appended word
+    // (J = 21/22 ≈ 0.95). The WHOLE doc-level LSH→verify→CC pipeline runs
+    // unchanged over paragraph rows — near-dup granularity is a projection
+    // choice, not new machinery — vs the same exhaustive-Jaccard +
+    // recursive-CTE truth at paragraph grain.
+    "q_paragraph_near_dup" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val paras = docs(s, dir).where(col("doc_id") < 40)
+        .select(col("doc_id"), col("text"))
+        .withColumn("paras", transform(
+          sequence(lit(0), ceil(size(ws) / lit(24.0)).cast("int") - 1),
+          i => array_join(slice(ws, i * lit(24) + 1, lit(24)), " ")))
+        .select(col("doc_id"), posexplode(col("paras")).as(Seq("pidx", "ptext")))
+        .where(size(split(col("ptext"), " ")) >= 8)
+      val planted = paras.unionByName(
+        paras.where(col("doc_id") % 7 === 2 && col("pidx") === 0)
+          .withColumn("doc_id", col("doc_id") + lit(7000000L))
+          .withColumn("ptext", concat(col("ptext"), lit(" tailword"))))
+      val d = planted.select(
+        concat(col("doc_id").cast("string"), lit("_"),
+          col("pidx").cast("string")).as("url"),
+        col("ptext").as("text"))
+        .withColumn("nk", gf.natural_sort_key(col("url")))
+      val cfg = operators.Lsh.Config()
+      val sigs = operators.Lsh.withSignatures(d, cfg)
+      val cands = operators.Lsh.candidatePairs(s, sigs, cfg)
+      val edges = operators.Lsh.verifiedEdges(cands, d, cfg, tau = 0.8)
+      val labels = operators.ConnectedComponents.run(
+        s, d.select(col("url"), col("nk")), edges.select(col("src"), col("dst")))
+      labels
+        .withColumn(
+          "cluster",
+          min(col("url")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_url"))))
+        .select(col("url"), col("cluster"))
+    }),
+
     // ---- web-corpus normalization operators (all driver-oracled; every
     // regex stays in the Java-regex ∩ RE2 portable subset) ----
     // Normalized exact dedup: case/punct/spacing-insensitive blocking key;
@@ -1781,6 +1820,45 @@ object SparkEntry {
         |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8),
         |sym AS (
         |  SELECT a AS un, b AS vn FROM p
+        |  UNION SELECT b, a FROM p
+        |  UNION SELECT url, url FROM u),
+        |reach(un, r) AS (
+        |  SELECT un, vn FROM sym
+        |  UNION
+        |  SELECT reach.un, sym.vn FROM reach JOIN sym ON reach.r = sym.un)
+        |SELECT un AS url, min(r) AS cluster FROM reach GROUP BY un""".stripMargin,
+    // mirrors q_paragraph_near_dup: same chunk/filter/plant, then the
+    // q_near_dup_clusters truth (4-word-shingle Jaccard ≥ 0.8 + recursive
+    // CTE CC) at paragraph grain
+    "q_paragraph_near_dup" ->
+      s"""WITH RECURSIVE dd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id < 40),
+        |ch AS (SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(w) / 24.0) AS BIGINT)),
+        |    i -> array_to_string(w[i*24+1:i*24+24], ' ')) AS ps
+        |  FROM dd),
+        |pe AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ps) + 1),
+        |    i -> {'pidx': i - 1, 'pt': ps[CAST(i AS INT)]})) AS e
+        |  FROM ch),
+        |pp AS (SELECT doc_id, e.pidx AS pidx, e.pt AS pt FROM pe
+        |  WHERE len(string_split(e.pt, ' ')) >= 8),
+        |pl AS (SELECT doc_id, pidx, pt FROM pp
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, pidx, pt || ' tailword' FROM pp
+        |  WHERE doc_id % 7 = 2 AND pidx = 0),
+        |u AS (SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(pidx AS VARCHAR)
+        |    AS url, string_split(pt, ' ') AS w
+        |  FROM pl),
+        |sh AS (SELECT url, list_distinct(list_transform(range(1, len(w) - 3),
+        |    i -> array_to_string(w[i:i+4], ' '))) AS s
+        |  FROM u),
+        |p AS (SELECT x.url AS a, y.url AS b
+        |  FROM sh x JOIN sh y ON x.url < y.url
+        |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8),
+        |sym AS (SELECT a AS un, b AS vn FROM p
         |  UNION SELECT b, a FROM p
         |  UNION SELECT url, url FROM u),
         |reach(un, r) AS (
