@@ -108,15 +108,19 @@ object Mixing {
     * (id, seed, prob): retry-safe, shuffle-free, and replayable by any
     * engine with md5 (the DuckDB oracle recomputes it bit-for-bit).
     * `prob ≥ 1` keeps unconditionally (the threshold compare alone would
-    * drop the 2^-32 of rows whose key is exactly "ffffffff"). */
+    * drop the 2^-32 of rows whose key is exactly "ffffffff"); `prob ≤ 0`
+    * (including a garbage negative score) drops unconditionally — the
+    * clamp matters because hex() of a negative long is 16 chars, which
+    * would break the width-aligned compare and silently KEEP the row. */
   def sampleByProb(
       df: DataFrame,
       idCol: String,
       probCol: Column,
       seed: Long = 42L): DataFrame = {
     val key = sampleKey(col(idCol), seed)
+    val clamped = greatest(probCol, lit(0.0))
     val thr = lpad(
-      lower(hex(least(floor(probCol * lit(4294967296.0)), lit(4294967295.0))
+      lower(hex(least(floor(clamped * lit(4294967296.0)), lit(4294967295.0))
         .cast("long"))),
       8, "0")
     df.where(probCol >= lit(1.0) || key < thr)

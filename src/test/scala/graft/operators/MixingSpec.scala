@@ -111,6 +111,10 @@ class MixingSpec extends AnyFunSuite {
       assert(math.abs(quarter - 250L) < 70, s"p=0.25 kept $quarter of ~250")
       val again = Mixing.sampleByProb(docs, "doc_id", col("p"), seed = 5L)
       assert(again.exceptAll(out).count() == 0 && out.exceptAll(again).count() == 0)
+      // a garbage negative score must DROP, not slip past the hex compare
+      val neg = Mixing.sampleByProb(
+        docs.withColumn("p", col("p") - lit(2.0)), "doc_id", col("p"), seed = 5L)
+      assert(neg.count() == 0, "negative probabilities must keep nothing")
       // no shuffle: pure filter
       val plan = out.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"sampleByProb must not shuffle:\n$plan")
