@@ -637,6 +637,14 @@ object SparkEntry {
     "q_curation_funnel" -> ((s, dir) =>
       Curation.funnelStats(curationPlanted(docs(s, dir)))),
 
+    // ---- normalized curation chain (NFC + within-doc strip fused) ----
+    // %10==5 docs gain a duplicated line + a COMPOSED café line; their
+    // +9M twins carry an extra dup line + the DECOMPOSED café form. Raw
+    // shas all differ; after the fused normalize stage the twin pairs
+    // hash identically and dedup collapses them.
+    "q_curation_norm" -> ((s, dir) =>
+      Curation.curateNormalized(curationNormPlanted(docs(s, dir)))),
+
     // ---- span-level dedup (Lee et al. 2022), driver-verifiable ----
     // Winnowed candidates → per-pair shared-gram span kernel → per-doc
     // interval union, vs DuckDB recomputing duplicated spans from the
@@ -1399,6 +1407,23 @@ object SparkEntry {
         .otherwise(col("text"))
         .as("text"))
 
+  /** The normalized-chain planting: the [[curationPlanted]] fixtures,
+    * plus %10==5 docs rebuilt as (text ⏎ text ⏎ composed-café line) and
+    * their +9M twins as (text ⏎ text ⏎ text ⏎ DECOMPOSED-café line) —
+    * raw digests all distinct, normalized digests pairwise equal. */
+  private def curationNormPlanted(d: DataFrame): DataFrame = {
+    val base = curationPlanted(d)
+    val fived = base.withColumn("text",
+      when(col("doc_id") % 10 === 5,
+        concat(col("text"), lit("\n"), col("text"), lit("\ncaf\u00e9 note")))
+        .otherwise(col("text")))
+    fived.unionByName(
+      base.where(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 9000000L).as("doc_id"), col("source"),
+          concat(col("text"), lit("\n"), col("text"), lit("\n"), col("text"),
+            lit("\ncafe\u0301 note")).as("text")))
+  }
+
   /** Shared CTE chain for the two curation oracles — recomputes the
     * whole funnel: planting → stopword langid (the `q_langid` CASE) →
     * word metrics (the `q_gopher_quality` list-lambda constructs) →
@@ -1424,6 +1449,75 @@ object SparkEntry {
       |    '\\b(le|la|les|et|est|pas|une|dans|pour|que)\\b')) AS fr,
       |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
       |  FROM planted),
+      |lng AS (SELECT doc_id, source, text,
+      |  CASE WHEN cjk > 0 THEN 'zh'
+      |       WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+      |       WHEN de = greatest(de, en, es, fr) THEN 'de'
+      |       WHEN en = greatest(de, en, es, fr) THEN 'en'
+      |       WHEN es = greatest(de, en, es, fr) THEN 'es'
+      |       ELSE 'fr' END AS pred_lang
+      |  FROM h),
+      |m AS (SELECT doc_id, source, text, pred_lang,
+      |  list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'),
+      |    x -> x <> '') AS ws
+      |  FROM lng),
+      |q AS (SELECT doc_id, source, text, pred_lang,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+      |    round(CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+      |      AS DOUBLE) / len(ws), 6) END AS mean_word_len
+      |  FROM m),
+      |f AS (SELECT * FROM q WHERE pred_lang = 'en'
+      |  AND n_words >= 10 AND mean_word_len BETWEEN 1 AND 12),
+      |u AS (SELECT * FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
+      |  WHERE rn = 1),
+      |c AS (SELECT doc_id, source, pred_lang, n_words,
+      |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn2
+      |  FROM u)""".stripMargin
+
+  /** The normalized-curation truth: [[curationCte]]'s chain with the
+    * [[curationNormPlanted]] planting and a normalize head — DuckDB's own
+    * `nfc_normalize` plus the first-occurrence line filter — so dedup
+    * groups by CANONICAL text exactly as the engine's fused stage does. */
+  private lazy val curationNormCte: String =
+    s"""WITH planted AS (
+      |  SELECT doc_id, source, CASE
+      |    WHEN doc_id % 10 = 1 THEN '$curationDeFix'
+      |    WHEN doc_id % 10 = 2 THEN '$curationShortFix'
+      |    WHEN doc_id % 10 = 4 THEN '$curationBoilerFix'
+      |    ELSE text END AS text
+      |  FROM documents),
+      |planted2 AS (
+      |  SELECT doc_id, source, CASE WHEN doc_id % 10 = 5
+      |    THEN text || chr(10) || text || chr(10) ||
+      |      'caf' || chr(233) || ' note'
+      |    ELSE text END AS text
+      |  FROM planted
+      |  UNION ALL
+      |  SELECT doc_id + 9000000, source,
+      |    text || chr(10) || text || chr(10) || text || chr(10) ||
+      |      'cafe' || chr(769) || ' note'
+      |  FROM planted WHERE doc_id % 10 = 5),
+      |nl AS (SELECT doc_id, source,
+      |  string_split(nfc_normalize(text), chr(10)) AS ls FROM planted2),
+      |nrm AS (SELECT doc_id, source,
+      |  array_to_string(list_transform(
+      |    list_filter(range(1, len(ls) + 1),
+      |      i -> list_position(ls, ls[CAST(i AS INT)]) = i),
+      |    i -> ls[CAST(i AS INT)]), chr(10)) AS text
+      |  FROM nl),
+      |h AS (SELECT doc_id, source, text,
+      |  len(regexp_extract_all(lower(text),
+      |    '\\b(der|die|das|und|ist|nicht|ein|mit|auf|für)\\b')) AS de,
+      |  len(regexp_extract_all(lower(text),
+      |    '\\b(the|and|of|to|in|is|that|it|for|with)\\b')) AS en,
+      |  len(regexp_extract_all(lower(text),
+      |    '\\b(el|los|las|de|que|y|en|un|una|con)\\b')) AS es,
+      |  len(regexp_extract_all(lower(text),
+      |    '\\b(le|la|les|et|est|pas|une|dans|pour|que)\\b')) AS fr,
+      |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+      |  FROM nrm),
       |lng AS (SELECT doc_id, source, text,
       |  CASE WHEN cjk > 0 THEN 'zh'
       |       WHEN greatest(de, en, es, fr) = 0 THEN 'und'
@@ -2490,6 +2584,11 @@ object SparkEntry {
     // mirrors q_curation_chain: the full funnel as nested CTEs
     "q_curation_chain" ->
       s"""$curationCte
+        |SELECT doc_id, source, pred_lang, n_words FROM c
+        |WHERE rn2 <= 15""".stripMargin,
+    // mirrors q_curation_norm: the normalized-planting chain
+    "q_curation_norm" ->
+      s"""$curationNormCte
         |SELECT doc_id, source, pred_lang, n_words FROM c
         |WHERE rn2 <= 15""".stripMargin,
     // mirrors q_curation_funnel: per-stage survivor counts

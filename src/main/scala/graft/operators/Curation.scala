@@ -115,6 +115,35 @@ object Curation {
     capped.select(col(id), col(source), col("pred_lang"), col("n_words"))
   }
 
+  /** [[curate]] with a NORMALIZE stage fused in front: unicode NFC
+    * ([[graft.functions.gf.unicode_norm]]) then the within-doc
+    * first-occurrence line strip ([[LineDedup.firstOccurrenceText]]),
+    * applied BEFORE language id, quality and — critically — the exact
+    * dedup, which therefore hashes canonical text: composed/decomposed
+    * twins and copies differing only in intra-doc repeated lines collapse
+    * into one group where the raw chain would keep both.
+    *
+    * Both added stages are pure per-row expressions, so they fuse into
+    * the same single scan and the chain keeps its two-exchange shape —
+    * the whole point of expressing normalization as expressions rather
+    * than DataFrame passes. */
+  def curateNormalized(
+      docs: DataFrame,
+      keepLang: String = "en",
+      minWords: Int = 10,
+      maxMeanWordLen: Double = 12.0,
+      capPerSource: Int = 15,
+      id: String = "doc_id",
+      source: String = "source",
+      text: String = "text",
+      sep: String = "\n"): DataFrame = {
+    val normalized = docs.withColumn(text,
+      LineDedup.firstOccurrenceText(
+        graft.functions.gf.unicode_norm(col(text), "NFC"), sep))
+    curate(normalized, keepLang, minWords, maxMeanWordLen, capPerSource,
+      id, source, text)
+  }
+
   /** One-row funnel report: how many rows entered, survived the
     * language filter, survived quality, remained after exact dedup, and
     * remained after the source cap. Built as three single-row

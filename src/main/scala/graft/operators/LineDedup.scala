@@ -93,21 +93,34 @@ object LineDedup {
     *
     * @param docs (url, text); output (url, kept_text, n_lines,
     *        n_stripped), one row per input doc. */
-  def stripRepeatedLinesWithinDoc(docs: DataFrame, sep: String = "\n"): DataFrame = {
-    val lines = split(col("text"), java.util.regex.Pattern.quote(sep))
-    val keptArr = filter(
-      transform(sequence(lit(1), size(col("__ls"))),
-        i => struct(i.as("i"), element_at(col("__ls"), i).as("line"))),
-      s => array_position(col("__ls"), s.getField("line")) === s.getField("i"))
+  def stripRepeatedLinesWithinDoc(docs: DataFrame, sep: String = "\n"): DataFrame =
     docs
-      .withColumn("__ls", lines)
-      .withColumn("__kept", transform(keptArr, s => s.getField("line")))
+      .withColumn("__ls", split(col("text"), java.util.regex.Pattern.quote(sep)))
+      .withColumn("__kept", firstOccurrenceLines(col("__ls")))
       .select(
         col("url"),
         array_join(col("__kept"), sep).as("kept_text"),
         size(col("__ls")).cast("long").as("n_lines"),
         (size(col("__ls")) - size(col("__kept"))).cast("long").as("n_stripped"))
-  }
+
+  /** Expression form of the within-doc strip, for fusing into larger
+    * per-row chains ([[graft.operators.Curation]]'s normalize stage):
+    * text in, first-occurrence-only text out, no DataFrame plumbing. */
+  def firstOccurrenceText(text: org.apache.spark.sql.Column, sep: String = "\n")
+      : org.apache.spark.sql.Column =
+    array_join(
+      firstOccurrenceLines(split(text, java.util.regex.Pattern.quote(sep))),
+      sep)
+
+  // lines array → subsequence of first occurrences, original order
+  private def firstOccurrenceLines(ls: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    transform(
+      filter(
+        transform(sequence(lit(1), size(ls)),
+          i => struct(i.as("i"), element_at(ls, i).as("line"))),
+        s => array_position(ls, s.getField("line")) === s.getField("i")),
+      s => s.getField("line"))
 
   /** Host-scoped variant: document frequency is counted WITHIN each
     * `scope` value (host/site), and a line strips only from the scope

@@ -90,4 +90,36 @@ class CurationSpec extends AnyFunSuite {
     // dedup + cap, each with a partial (pre-exchange) and final instance
     assert(nLimits == 4, s"expected 4 WindowGroupLimit nodes, got $nLimits:\n$plan")
   }
+
+  test("normalized chain collapses NFC twins and repeated-line copies; raw chain keeps both") {
+    import spark.implicits._
+    // doc 20 and its twin 21 render identically: 21 differs only by a
+    // decomposed café form and an extra duplicated line
+    val base = en("twenty")
+    val docs = Seq(
+      (20L, "s0", base + "\n" + base + "\ncafé note"),
+      (21L, "s0", base + "\n" + base + "\n" + base + "\ncafé note"),
+      (22L, "s1", en("other"))).toDF("doc_id", "source", "text")
+    val norm = Curation.curateNormalized(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(norm == Set(20L, 22L), s"twin must collapse under the normalized chain: $norm")
+    val raw = Curation.curate(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(raw == Set(20L, 21L, 22L), "raw digests differ, so the raw chain keeps both")
+  }
+
+  test("normalized chain keeps the two-exchange fused shape") {
+    // a parquet round-trip: a local relation would constant-fold the
+    // per-row stages at plan time, hiding what we're pinning
+    val dir = java.nio.file.Files.createTempDirectory("curation-norm").toString
+    corpus().write.mode("overwrite").parquet(dir)
+    val plan = Curation
+      .curateNormalized(spark.read.parquet(dir), capPerSource = 5)
+      .queryExecution.executedPlan.toString
+    val nExchanges = "Exchange".r.findAllIn(plan).size
+    assert(nExchanges <= 2, s"normalize stage must fuse, got $nExchanges exchanges:\n$plan")
+    assert(plan.contains("unicode_norm"), s"normalize stage missing from plan:\n$plan")
+    val nScans = "Scan parquet".r.findAllIn(plan).size
+    assert(nScans == 1, s"expected ONE corpus scan, got $nScans:\n$plan")
+  }
 }
