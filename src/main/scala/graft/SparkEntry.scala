@@ -1225,6 +1225,21 @@ object SparkEntry {
       operators.LineDedup.stripRepeatedLinesWithinDoc(planted)
     }),
 
+    // ---- containment join (quote / subsumed-page detection) ----
+    // %20==0 docs plant a "quote" item from their first 10 words: fully
+    // contained in the source (cont = 1.0) while Jaccard vs the full page
+    // is tiny — the directional semantics the symmetric join cannot see
+    "q_containment" -> ((s, dir) => {
+      val base = docs(s, dir).where(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("item_id"),
+          SetSimJoin.tokenSet(col("text")).as("toks"))
+      val quotes = docs(s, dir).where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 8000000L).as("item_id"),
+          SetSimJoin.tokenSet(
+            array_join(slice(split(col("text"), " "), 1, 10), " ")).as("toks"))
+      SetSimJoin.containmentPairs(base.unionByName(quotes), tau = 0.8)
+    }),
+
     // ---- unicode NFC normalization (pre-hash canonicalization) ----
     // even doc_ids get a DECOMPOSED suffix (e + U+0301, i + U+0308) that
     // NFC composes (changed=true); odd get the composed twin (changed=
@@ -1700,6 +1715,27 @@ object SparkEntry {
         |  ELSE 0 END AS c FROM k)
         |SELECT doc_id, lang, CAST(unnest(range(0, c)) AS INT) AS epoch
         |FROM n WHERE c > 0""".stripMargin,
+
+    // mirrors q_containment: exhaustive directional containment over the
+    // same base + first-10-word quote items
+    "q_containment" ->
+      s"""WITH b0 AS (SELECT doc_id AS item_id,
+        |  list_distinct(list_filter(string_split_regex(lower(text),
+        |    '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS toks
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |q0 AS (SELECT doc_id + 8000000 AS item_id,
+        |  list_distinct(list_filter(string_split_regex(lower(
+        |    array_to_string((string_split(text, ' '))[1:10], ' ')),
+        |    '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS toks
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |b AS (SELECT * FROM b0 UNION ALL SELECT * FROM q0),
+        |t AS (SELECT item_id, len(toks) AS n, unnest(toks) AS w FROM b),
+        |o AS (SELECT a.item_id AS id_sub, c.item_id AS id_sup, a.n AS na,
+        |  count(*) AS ov
+        |  FROM t a JOIN t c ON a.w = c.w AND a.item_id <> c.item_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT id_sub, id_sup, round(CAST(ov AS DOUBLE) / na, 6) AS cont
+        |FROM o WHERE round(CAST(ov AS DOUBLE) / na, 6) >= 0.8""".stripMargin,
 
     // mirrors q_unicode_dedup: suffixes rebuilt via chr() codepoints
     // (769 = U+0301 combining acute, 776 = U+0308 combining diaeresis,

@@ -43,6 +43,32 @@ object SetSimJoin {
   def tokenSet(text: Column): Column =
     array_distinct(filter(split(lower(text), "[ \\t\\n\\f\\r]+"), w => w =!= ""))
 
+  // ⌈τ·n⌉ in exact integer arithmetic (τ as parts-per-million): a bare
+  // ceil(n * τ) is an IEEE trap — 5 * 0.8 = 4.000000000000000222, whose
+  // ceil is 5, silently shrinking the prefix and BREAKING the exactness
+  // guarantee. Numerators stay < 2^53 so the double division is safe
+  // to floor.
+  private def ceilTauFn(tau: Double): Column => Column = {
+    val tauNum = math.round(tau * 1000000L)
+    n => floor((n.cast("long") * tauNum + (1000000L - 1)) / 1000000.0).cast("int")
+  }
+
+  /** (pid, ots, len) with each item's distinct tokens in the canonical
+    * rare-first order: (document frequency, token) ascending — the
+    * AllPairs trick that keeps corpus stopwords out of every prefix. */
+  private def rareFirst(base: DataFrame): DataFrame = {
+    val tok = base.select(col("pid"), explode(col("ts")).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tok
+      .join(freq, Seq("w"))
+      .groupBy(col("pid"))
+      .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sw"))
+      .select(
+        col("pid"),
+        transform(col("sw"), s => s.getField("w")).as("ots"),
+        size(col("sw")).as("len"))
+  }
+
   /** All pairs (id1 < id2, jac) with round(Jaccard, 6) ≥ τ over
     * `items(id, toks)`. Exact — the DuckDB oracle recomputes the same
     * pair set from an exhaustive token join. */
@@ -52,28 +78,11 @@ object SetSimJoin {
       id: String = "item_id",
       toks: String = "toks"): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
-    // ⌈τ·n⌉ in exact integer arithmetic (τ as parts-per-million): a bare
-    // ceil(n * τ) is an IEEE trap — 5 * 0.8 = 4.000000000000000222, whose
-    // ceil is 5, silently shrinking the prefix and BREAKING the exactness
-    // guarantee. Numerators stay < 2^53 so the double division is safe
-    // to floor.
-    val tauNum = math.round(tau * 1000000L)
-    def ceilTau(n: Column): Column =
-      floor((n.cast("long") * tauNum + (1000000L - 1)) / 1000000.0).cast("int")
+    val ceilTau = ceilTauFn(tau)
     val base = items
       .select(col(id).as("pid"), array_distinct(col(toks)).as("ts"))
       .where(size(col("ts")) > 0)
-    val tok = base.select(col("pid"), explode(col("ts")).as("w"))
-    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    // canonical rare-first order: (document frequency, token) ascending
-    val ordered = tok
-      .join(freq, Seq("w"))
-      .groupBy(col("pid"))
-      .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sw"))
-      .select(
-        col("pid"),
-        transform(col("sw"), s => s.getField("w")).as("ots"),
-        size(col("sw")).as("len"))
+    val ordered = rareFirst(base)
     val pref = ordered.select(
       col("pid"), col("len"),
       explode(slice(col("ots"), lit(1),
@@ -95,6 +104,53 @@ object SetSimJoin {
         round(col("__o").cast("double") /
           (size(col("ta")) + size(col("tb")) - col("__o")), 6).as("jac"))
       .where(col("jac") >= tau)
+  }
+
+  /** Directional CONTAINMENT join: all ordered pairs (id_sub, id_sup,
+    * cont) with round(|sub ∩ sup| / |sub|, 6) ≥ τ — "sub is mostly inside
+    * sup", the quote / partial-copy / subsumed-page detector that Jaccard
+    * misses by construction (a 10-token quote inside a 500-token page has
+    * J ≈ 0.02 but containment 1.0). Exact, no probabilistic miss.
+    *
+    * Prefix lemma, containment form: if C(A,B) ≥ τ then fewer than
+    * |A| − ⌈τ·|A|⌉ + 1 of A's tokens miss B, so A's first
+    * (|A| − ⌈τ·|A|⌉ + 1) tokens (ANY fixed order) must hit B. The join is
+    * therefore asymmetric: the contained side explodes only its prefix
+    * (rare-first, so stopwords stay out), the containing side indexes ALL
+    * its tokens; `sup.len ≥ ⌈τ·sub.len⌉` (from |A∩B| ≤ |B|) prunes in the
+    * join condition. The full-side explode is the price of directional
+    * exactness — linear in corpus tokens, same as the df count already
+    * taken, never quadratic. */
+  def containmentPairs(
+      items: DataFrame,
+      tau: Double,
+      id: String = "item_id",
+      toks: String = "toks"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
+    val ceilTau = ceilTauFn(tau)
+    val base = items
+      .select(col(id).as("pid"), array_distinct(col(toks)).as("ts"))
+      .where(size(col("ts")) > 0)
+    val ordered = rareFirst(base)
+    val aPref = ordered.select(
+      col("pid"), col("len"),
+      explode(slice(col("ots"), lit(1),
+        greatest(lit(1), col("len") - ceilTau(col("len")) + 1))).as("w"))
+    val bAll = ordered.select(col("pid"), col("len"), explode(col("ots")).as("w"))
+    val cand = aPref.as("a")
+      .join(bAll.as("b"),
+        col("a.w") === col("b.w") && col("a.pid") =!= col("b.pid") &&
+          col("b.len") >= ceilTau(col("a.len")))
+      .select(col("a.pid").as("id_sub"), col("b.pid").as("id_sup"))
+      .distinct()
+    cand
+      .join(base.select(col("pid").as("id_sub"), col("ts").as("ta")), Seq("id_sub"))
+      .join(base.select(col("pid").as("id_sup"), col("ts").as("tb")), Seq("id_sup"))
+      .select(
+        col("id_sub"), col("id_sup"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(col("ta")), 6).as("cont"))
+      .where(col("cont") >= tau)
   }
 
   /** Greedy-by-order fuzzy dedup verdicts: item KEPT iff no τ-similar

@@ -67,6 +67,33 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(kept == Map(1L -> true, 2L -> false, 3L -> false, 9L -> true))
   }
 
+  private def bruteCont(sets: Map[Long, Set[String]], tau: Double): Set[(Long, Long, Double)] =
+    (for {
+      (i, a) <- sets.toSeq; (j, b) <- sets.toSeq if i != j
+      c6 = round6((a & b).size.toDouble / a.size)
+      if c6 >= tau
+    } yield (i, j, c6)).toSet
+
+  test("containment: exact vs brute force; quote inside page found at cont=1, J tiny") {
+    import spark.implicits._
+    val sets = (0L until 80L).map { id =>
+      id -> ((0 until 30).collect {
+        case k if id % (k + 2) == 0 => s"t$k"
+      }.toSet + s"self$id")
+    }.toMap
+    // plant: item 900 is a strict 3-token subset of item 0's set
+    val withQuote = sets + (900L -> sets(0L).take(3))
+    val items = withQuote.toSeq.map { case (i, s) => (i, s.toSeq) }.toDF("item_id", "toks")
+    val got = SetSimJoin.containmentPairs(items, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == bruteCont(withQuote, 0.8))
+    assert(got.contains((900L, 0L, 1.0)), "the planted quote must be found")
+    // Jaccard at the same tau misses the quote (asymmetric by design)
+    val jac = SetSimJoin.similarPairs(items, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 900L)) && !jac.contains((900L, 0L)))
+  }
+
   test("empty and degenerate inputs") {
     import spark.implicits._
     val items = Seq(
