@@ -252,28 +252,24 @@ object SparkEntry {
     // every ≥τ pair. The emitted label is the component's plain string-min
     // url — the engine's natural-order election is not SQL-expressible,
     // and identical sets ⇒ identical min labels.
-    "q_near_dup_clusters" -> ((s, dir) => {
-      val base = docs(s, dir).where(length(col("text")) >= 200)
-        .select(col("doc_id"), col("text"), col("source"))
-      val planted = base.unionByName(
-        base.where(col("doc_id") % 25 === 7)
-          .withColumn("doc_id", col("doc_id") + lit(3000000L))
-          .withColumn("text", concat(col("text"), lit(" appended"))))
-      val d = planted
-        .select(urlCol.as("url"), col("text"))
-        .withColumn("nk", gf.natural_sort_key(col("url")))
-      val cfg = operators.Lsh.Config()
-      val sigs = operators.Lsh.withSignatures(d, cfg)
-      val cands = operators.Lsh.candidatePairs(s, sigs, cfg)
-      val edges = operators.Lsh.verifiedEdges(cands, d, cfg, tau = 0.8)
-      val labels = operators.ConnectedComponents.run(
-        s, d.select(col("url"), col("nk")), edges.select(col("src"), col("dst")))
-      labels
-        .withColumn(
-          "cluster",
-          min(col("url")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_url"))))
-        .select(col("url"), col("cluster"))
+    "q_near_dup_clusters" -> ((s, dir) => nearDupClusterLabels(s, dir)._1),
+
+    // ---- keep-best copy per NEAR-dup cluster (FineWeb keep policy) ----
+    // The bestPerKey election applied to LSH→verify→CC clusters instead
+    // of exact-digest groups: per cluster keep the copy with the MOST
+    // whitespace tokens (ties toward the min url). Oracle = the
+    // q_near_dup_clusters recursive-CTE cluster truth + a rank window.
+    "q_cluster_keep_best" -> ((s, dir) => {
+      val (labels, d) = nearDupClusterLabels(s, dir)
+      val scored = labels.join(
+        d.select(col("url"),
+          size(split(col("text"), " ")).as("score")), Seq("url"))
+      val kept = operators.ExactDedup
+        .bestPerKey(scored, key = "cluster", score = "score", tieBreak = "url")
+      scored.select(col("url"))
+        .join(kept.select(col("url")).withColumn("__k", lit(true)),
+          Seq("url"), "left")
+        .select(col("url"), coalesce(col("__k"), lit(false)).as("kept"))
     }),
 
     // ---- paragraph-granularity near-dup (same machinery, sub-doc unit) ----
@@ -1297,6 +1293,20 @@ object SparkEntry {
       SetSimJoin.keepEarliest(items, SetSimJoin.similarPairs(items, tau = 0.8))
     }),
 
+    // ---- cross-table (batch-vs-corpus) exact fuzzy-ingest tier ----
+    // corpus = %4==0 token sets; probe batch = near-copies (%16==0 + two
+    // corpus-unseen junk tokens, id+7000000) ∪ the %4==1 slice. Oracle:
+    // exhaustive CROSS Jaccard — the R-S prefix filter must lose nothing.
+    "q_setsim_across" -> ((s, dir) => {
+      val (p, c) = setsimAcrossTables(docs(s, dir))
+      SetSimJoin.similarPairsAcross(p, c, tau = 0.8)
+    }),
+
+    "q_novel_docs" -> ((s, dir) => {
+      val (p, c) = setsimAcrossTables(docs(s, dir))
+      SetSimJoin.keepNovel(p, SetSimJoin.similarPairsAcross(p, c, tau = 0.8))
+    }),
+
     // ---- multimodal: REAL JDK decode (ImageIO / WAV-PCM); rows-only ----
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, docs(s, dir))
@@ -1584,6 +1594,112 @@ object SparkEntry {
         .withColumn("toks",
           concat(col("toks"), array(lit("zzzextra1"), lit("zzzextra2")))))
   }
+
+  /** The q_near_dup_clusters configuration, shared with the keep-best
+    * election query: length≥200 docs plus planted one-word-appended copies
+    * (%25==7, id+3000000) through the full LSH → verify → CC path.
+    * Returns (labels(url, cluster) with the plain string-min cluster
+    * label, planted frame d(url, text, nk)). */
+  private def nearDupClusterLabels(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = docs(s, dir).where(length(col("text")) >= 200)
+      .select(col("doc_id"), col("text"), col("source"))
+    val planted = base.unionByName(
+      base.where(col("doc_id") % 25 === 7)
+        .withColumn("doc_id", col("doc_id") + lit(3000000L))
+        .withColumn("text", concat(col("text"), lit(" appended"))))
+    val d = planted
+      .select(urlCol.as("url"), col("text"))
+      .withColumn("nk", gf.natural_sort_key(col("url")))
+    val cfg = operators.Lsh.Config()
+    val sigs = operators.Lsh.withSignatures(d, cfg)
+    val cands = operators.Lsh.candidatePairs(s, sigs, cfg)
+    val edges = operators.Lsh.verifiedEdges(cands, d, cfg, tau = 0.8)
+    val labels = operators.ConnectedComponents.run(
+      s, d.select(col("url"), col("nk")), edges.select(col("src"), col("dst")))
+      .withColumn(
+        "cluster",
+        min(col("url")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_url"))))
+      .select(col("url"), col("cluster"))
+    (labels, d)
+  }
+
+  /** (probe, corpus) tables for the cross-table set-similarity queries:
+    * corpus = the doc_id%4==0 slice; probe = near-copies of every %16==0
+    * corpus item (two corpus-unseen junk tokens appended, id offset
+    * +7000000) plus the doc_id%4==1 slice as the mostly-novel mass.
+    * Mirrored verbatim in [[setsimAcrossCte]]. */
+  private def setsimAcrossTables(d: DataFrame): (DataFrame, DataFrame) = {
+    val corpus = d.where(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("item_id"),
+        SetSimJoin.tokenSet(col("text")).as("toks"))
+    val probe = d.where(col("doc_id") % 4 === 1)
+      .select(col("doc_id").as("item_id"),
+        SetSimJoin.tokenSet(col("text")).as("toks"))
+      .unionByName(
+        corpus.where(col("item_id") % 16 === 0)
+          .withColumn("item_id", col("item_id") + lit(7000000L))
+          .withColumn("toks",
+            concat(col("toks"), array(lit("zzzextra1"), lit("zzzextra2")))))
+    (probe, corpus)
+  }
+
+  /** Shared CTE for the cross-table set-similarity oracles: exhaustive
+    * probe×corpus Jaccard over [[setsimAcrossTables]]. Plain string —
+    * single backslashes reach DuckDB's regex engine as written. */
+  private lazy val setsimAcrossCte: String =
+    """WITH corp AS (SELECT doc_id AS item_id,
+      |  list_distinct(list_filter(string_split_regex(lower(text),
+      |    '[ \t\n\f\r]+'), x -> x <> '')) AS toks
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |probe AS (SELECT doc_id AS item_id,
+      |  list_distinct(list_filter(string_split_regex(lower(text),
+      |    '[ \t\n\f\r]+'), x -> x <> '')) AS toks
+      |  FROM documents WHERE doc_id % 4 = 1
+      |  UNION ALL
+      |  SELECT item_id + 7000000, list_concat(toks,
+      |    ['zzzextra1', 'zzzextra2'])
+      |  FROM corp WHERE item_id % 16 = 0),
+      |tp AS (SELECT item_id, len(toks) AS n, unnest(toks) AS w FROM probe),
+      |tc AS (SELECT item_id, len(toks) AS n, unnest(toks) AS w FROM corp),
+      |o AS (SELECT p.item_id AS probe_id, c.item_id AS corpus_id,
+      |  p.n AS na, c.n AS nb, count(*) AS ov
+      |  FROM tp p JOIN tc c ON p.w = c.w GROUP BY 1, 2, 3, 4),
+      |pr AS (SELECT probe_id, corpus_id,
+      |  round(CAST(ov AS DOUBLE) / (na + nb - ov), 6) AS jac FROM o)""".stripMargin
+
+  /** Shared recursive-CTE truth for the near-dup cluster oracles
+    * (q_near_dup_clusters, q_cluster_keep_best): exhaustive 4-word-shingle
+    * Jaccard ≥ 0.8 over the planted corpus, components closed with a
+    * recursive CTE. Ends at the `reach` CTE — callers append their final
+    * select (and further CTEs after a comma). */
+  private lazy val nearDupClusterCte: String =
+    s"""WITH RECURSIVE base AS (
+      |  SELECT doc_id, text, source FROM documents WHERE length(text) >= 200),
+      |d AS (
+      |  SELECT doc_id, text, source FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text || ' appended', source
+      |  FROM base WHERE doc_id % 25 = 7),
+      |u AS (SELECT $urlSql AS url, string_split(text, ' ') AS w FROM d),
+      |sh AS (
+      |  SELECT url, list_distinct(list_transform(range(1, len(w) - 3),
+      |    i -> array_to_string(w[i:i+4], ' '))) AS s
+      |  FROM u),
+      |p AS (
+      |  SELECT x.url AS a, y.url AS b
+      |  FROM sh x JOIN sh y ON x.url < y.url
+      |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8),
+      |sym AS (
+      |  SELECT a AS un, b AS vn FROM p
+      |  UNION SELECT b, a FROM p
+      |  UNION SELECT url, url FROM u),
+      |reach(un, r) AS (
+      |  SELECT un, vn FROM sym
+      |  UNION
+      |  SELECT reach.un, sym.vn FROM reach JOIN sym ON reach.r = sym.un)""".stripMargin
 
   /** Shared CTE for the set-similarity oracles: exhaustive pairwise
     * Jaccard over [[setsimItems]] — the engine's prefix filter must lose
@@ -1890,6 +2006,15 @@ object SparkEntry {
         |SELECT b.item_id, b.item_id NOT IN (
         |  SELECT id2 FROM pr WHERE jac >= 0.8) AS kept FROM b""".stripMargin,
 
+    "q_setsim_across" ->
+      s"""$setsimAcrossCte
+        |SELECT probe_id, corpus_id, jac FROM pr WHERE jac >= 0.8""".stripMargin,
+
+    "q_novel_docs" ->
+      s"""$setsimAcrossCte
+        |SELECT probe.item_id, probe.item_id NOT IN (
+        |  SELECT probe_id FROM pr WHERE jac >= 0.8) AS kept FROM probe""".stripMargin,
+
     "q_exact_dup_groups" ->
       s"""$plantedCte
         |SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS rep_id
@@ -1931,32 +2056,18 @@ object SparkEntry {
         |       ELSE 'delete' END AS state
         |FROM pages p LEFT JOIN live l ON p.doc_id = l.doc_id""".stripMargin,
     "q_near_dup_clusters" ->
-      s"""WITH RECURSIVE base AS (
-        |  SELECT doc_id, text, source FROM documents WHERE length(text) >= 200),
-        |d AS (
-        |  SELECT doc_id, text, source FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 3000000, text || ' appended', source
-        |  FROM base WHERE doc_id % 25 = 7),
-        |u AS (SELECT $urlSql AS url, string_split(text, ' ') AS w FROM d),
-        |sh AS (
-        |  SELECT url, list_distinct(list_transform(range(1, len(w) - 3),
-        |    i -> array_to_string(w[i:i+4], ' '))) AS s
-        |  FROM u),
-        |p AS (
-        |  SELECT x.url AS a, y.url AS b
-        |  FROM sh x JOIN sh y ON x.url < y.url
-        |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-        |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8),
-        |sym AS (
-        |  SELECT a AS un, b AS vn FROM p
-        |  UNION SELECT b, a FROM p
-        |  UNION SELECT url, url FROM u),
-        |reach(un, r) AS (
-        |  SELECT un, vn FROM sym
-        |  UNION
-        |  SELECT reach.un, sym.vn FROM reach JOIN sym ON reach.r = sym.un)
+      s"""$nearDupClusterCte
         |SELECT un AS url, min(r) AS cluster FROM reach GROUP BY un""".stripMargin,
+    // mirrors q_cluster_keep_best: the same cluster truth + a keep-best
+    // rank window (max whitespace-token count, ties toward the min url)
+    "q_cluster_keep_best" ->
+      s"""$nearDupClusterCte,
+        |lab AS (SELECT un AS url, min(r) AS cluster FROM reach GROUP BY un)
+        |SELECT url, rn = 1 AS kept FROM (
+        |  SELECT l.url,
+        |    row_number() OVER (PARTITION BY l.cluster
+        |      ORDER BY len(u.w) DESC, l.url) AS rn
+        |  FROM lab l JOIN u ON l.url = u.url)""".stripMargin,
     // mirrors q_paragraph_near_dup: same chunk/filter/plant, then the
     // q_near_dup_clusters truth (4-word-shingle Jaccard ≥ 0.8 + recursive
     // CTE CC) at paragraph grain

@@ -153,6 +153,95 @@ object SetSimJoin {
       .where(col("cont") >= tau)
   }
 
+  /** Cross-table (R-S) exact set-similarity join: every pair
+    * (probe item, corpus item) with token-set Jaccard ≥ τ — the FUZZY
+    * analog of [[IncrementalDedup.newDocs]]'s exact-digest anti-join, for
+    * the ingest question "is this new crawl batch a near-duplicate of
+    * anything already in the corpus?" with recall 1.0 (LSH answers it
+    * probabilistically; this answers it exactly).
+    *
+    * The prefix lemma survives the R-S form unchanged provided BOTH sides
+    * rank their tokens under ONE shared total order: the smallest shared
+    * token of any τ-similar pair must sit inside both prefixes. The order
+    * here is (corpus document frequency, token) ascending — a pure
+    * function of the CORPUS alone, so at production scale the per-epoch
+    * artifacts are persistable exactly like [[IncrementalDedup.saveShaTable]]:
+    *   - the corpus df table and the corpus prefix index (pid, len, w),
+    *     bucketed by `w`, are built ONCE per corpus epoch and read in
+    *     place by every batch — only the (small) batch side tokenises,
+    *     ranks and explodes per ingest;
+    *   - probe tokens unseen in the corpus take df 0 (rarest — they head
+    *     the probe prefix); any fixed convention keeps the order total,
+    *     and unseen tokens can never be shared, so exactness holds;
+    *   - the candidate join keys on the rarest tokens (corpus skew
+    *     inverted, as in [[similarPairs]]), the in-condition length filter
+    *     prunes cross-size pairs before the exchange, and a small batch's
+    *     prefix side broadcasts under AQE;
+    *   - verification re-joins token arrays only for surviving candidates.
+    *
+    * Returns (probe_id, corpus_id, jac) with round(jac, 6) ≥ τ. */
+  def similarPairsAcross(
+      probe: DataFrame,
+      corpus: DataFrame,
+      tau: Double,
+      id: String = "item_id",
+      toks: String = "toks"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
+    val ceilTau = ceilTauFn(tau)
+    def baseOf(df: DataFrame) = df
+      .select(col(id).as("pid"), array_distinct(col(toks)).as("ts"))
+      .where(size(col("ts")) > 0)
+    val pBase = baseOf(probe)
+    val cBase = baseOf(corpus)
+    // the shared total order: corpus df ascending, token tie-break
+    val freq = cBase.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    def prefixed(b: DataFrame) = b
+      .select(col("pid"), explode(col("ts")).as("w"))
+      .join(freq, Seq("w"), "left")
+      .select(col("pid"), col("w"), coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy(col("pid"))
+      .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sw"))
+      .select(
+        col("pid"), size(col("sw")).as("len"),
+        explode(slice(transform(col("sw"), s => s.getField("w")), lit(1),
+          greatest(lit(1), size(col("sw")) - ceilTau(size(col("sw"))) + 1)))
+          .as("w"))
+    val cand = prefixed(pBase).as("a")
+      .join(prefixed(cBase).as("b"),
+        col("a.w") === col("b.w") &&
+          least(col("a.len"), col("b.len")) >=
+            ceilTau(greatest(col("a.len"), col("b.len"))))
+      .select(col("a.pid").as("probe_id"), col("b.pid").as("corpus_id"))
+      .distinct()
+    cand
+      .join(pBase.select(col("pid").as("probe_id"), col("ts").as("ta")),
+        Seq("probe_id"))
+      .join(cBase.select(col("pid").as("corpus_id"), col("ts").as("tb")),
+        Seq("corpus_id"))
+      .withColumn("__o", size(array_intersect(col("ta"), col("tb"))))
+      .select(
+        col("probe_id"), col("corpus_id"),
+        round(col("__o").cast("double") /
+          (size(col("ta")) + size(col("tb")) - col("__o")), 6).as("jac"))
+      .where(col("jac") >= tau)
+  }
+
+  /** Novelty verdicts over an [[similarPairsAcross]] pair set: probe item
+    * KEPT iff NO τ-similar corpus item exists — the fuzzy ingest gate
+    * (exact-digest novelty is [[IncrementalDedup.newDocs]]). Anti-
+    * membership only, so directly SQL-mirrorable. */
+  def keepNovel(
+      probe: DataFrame,
+      pairs: DataFrame,
+      id: String = "item_id"): DataFrame = {
+    val hit = pairs.select(col("probe_id").as(id)).distinct()
+      .withColumn("__hit", lit(true))
+    probe.select(col(id))
+      .join(hit, Seq(id), "left")
+      .select(col(id), (coalesce(col("__hit"), lit(false)) === false).as("kept"))
+  }
+
   /** Greedy-by-order fuzzy dedup verdicts: item KEPT iff no τ-similar
     * item with a strictly smaller id exists (the [[SubstringDup]]
     * keep-one ordering applied to whole items). Pure anti-membership on

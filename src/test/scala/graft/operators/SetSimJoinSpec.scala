@@ -94,6 +94,62 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(!jac.contains((0L, 900L)) && !jac.contains((900L, 0L)))
   }
 
+  /** Brute-force cross-table truth: every (probe, corpus) pair with
+    * round(J,6) ≥ tau. */
+  private def bruteAcross(
+      p: Map[Long, Set[String]],
+      c: Map[Long, Set[String]],
+      tau: Double): Set[(Long, Long, Double)] =
+    (for {
+      (i, a) <- p.toSeq; (j, b) <- c.toSeq
+      o = (a & b).size
+      if a.nonEmpty && b.nonEmpty
+      j6 = round6(o.toDouble / (a.size + b.size - o))
+      if j6 >= tau
+    } yield (i, j, j6)).toSet
+
+  test("cross-table join: exact vs brute force, incl. probe-only tokens and shared ids") {
+    import spark.implicits._
+    // corpus with skewed vocab; probe = near-copies of some corpus items
+    // (two junk tokens appended — tokens the corpus has NEVER seen, df 0),
+    // plus genuinely novel items, plus an item REUSING a corpus id (the
+    // R-S join must not treat id equality as identity)
+    val corpus = (0L until 90L).map { id =>
+      id -> ((0 until 35).collect {
+        case k if id % (k + 2) == 0 => s"t$k"
+      }.toSet + s"self$id")
+    }.toMap
+    val probe: Map[Long, Set[String]] =
+      corpus.collect { case (id, s) if id % 6 == 0 =>
+        (id + 1000L) -> (s ++ Set("zzznew1", "zzznew2"))
+      } ++
+        (0L until 10L).map(i => (2000L + i) -> Set(s"novel${i}a", s"novel${i}b")) +
+        (3L -> corpus(4L)) // probe id 3 ≠ corpus item 3
+    val pDf = probe.toSeq.map { case (i, s) => (i, s.toSeq) }.toDF("item_id", "toks")
+    val cDf = corpus.toSeq.map { case (i, s) => (i, s.toSeq) }.toDF("item_id", "toks")
+    val got = SetSimJoin.similarPairsAcross(pDf, cDf, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val truth = bruteAcross(probe, corpus, 0.8)
+    assert(got == truth)
+    assert(got.contains((3L, 4L, 1.0)), "exact copy under a different id must be found")
+    assert(got.exists(_._1 >= 1000L), "planted near-copies must surface — vacuous otherwise")
+
+    val novel = SetSimJoin.keepNovel(pDf, SetSimJoin.similarPairsAcross(pDf, cDf, 0.8))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val hitIds = truth.map(_._1)
+    assert(novel == probe.keys.map(i => i -> !hitIds.contains(i)).toMap)
+    assert(novel.exists(_._2) && novel.exists(!_._2), "both verdicts must occur")
+  }
+
+  test("cross-table tau boundary: |probe|=4 vs |corpus|=5 at J=0.8 exactly") {
+    import spark.implicits._
+    val pDf = Seq((1L, Seq("a", "b", "c", "d"))).toDF("item_id", "toks")
+    val cDf = Seq((2L, Seq("a", "b", "c", "d", "e"))).toDF("item_id", "toks")
+    val got = SetSimJoin.similarPairsAcross(pDf, cDf, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.8)))
+  }
+
   test("empty and degenerate inputs") {
     import spark.implicits._
     val items = Seq(
