@@ -1107,6 +1107,44 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"), col("split"))
     }),
 
+    // ---- UT1-style domain blocklist ----
+    // per-doc subdomains (h<id%97>.) under 13 registered domains
+    // (site<id%13>.example); three domains listed — every subdomain of a
+    // listed site must flag, which is the registered-domain semantic the
+    // host-literal match would miss
+    "q_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(
+        col("doc_id"),
+        concat(lit("https://h"), pmod(col("doc_id"), lit(97)),
+          lit(".site"), pmod(col("doc_id"), lit(13)),
+          lit(".example/p"), col("doc_id")).as("url"))
+      val blocked = Seq("site2.example", "site5.example", "site11.example")
+        .toDF("domain")
+      QualityFilters.flagBlockedDomains(d, blocked)
+        .select(col("doc_id"), col("domain"), col("blocked"))
+    }),
+
+    // ---- domain-level quality gate ----
+    // same subdomain construction; docs on site3/site6 domains truncate
+    // to 20 words, dragging those DOMAINS' mean token count under the
+    // threshold — a content farm drops whole while a good site keeps its
+    // occasional short page. Integral scores keep the mean exact.
+    "q_domain_quality" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val d = docs(s, dir).select(
+        col("doc_id"),
+        concat(lit("https://h"), pmod(col("doc_id"), lit(97)),
+          lit(".site"), pmod(col("doc_id"), lit(13)),
+          lit(".example/p"), col("doc_id")).as("url"),
+        when(pmod(col("doc_id"), lit(13)).isin(3, 6),
+          array_join(slice(ws, 1, 20), " ")).otherwise(col("text")).as("text"))
+        .withColumn("score", size(split(col("text"), " ")))
+      QualityFilters.domainQualityFlag(d, minMean = 60.0)
+        .select(col("doc_id"), col("domain"), col("domain_mean"),
+          col("low_quality_domain"))
+    }),
+
     // ---- C4 blocklist filter ----
     // planted hits (%11==4) and word-boundary NON-hits ("casinos",
     // "viagras": %11==7) — boundaries are explicit [^a-z0-9]-or-edge
@@ -1746,6 +1784,50 @@ object SparkEntry {
         |       WHEN key < 'e6666666' THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM k""".stripMargin,
+
+    // mirrors q_domain_blocklist: same url construction, host regex,
+    // last-two-labels registered domain, and the three-domain list
+    "q_domain_blocklist" ->
+      s"""WITH u AS (SELECT doc_id,
+        |  'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.site' ||
+        |    CAST(doc_id % 13 AS VARCHAR) || '.example/p' ||
+        |    CAST(doc_id AS VARCHAR) AS url FROM documents),
+        |h AS (SELECT doc_id,
+        |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+        |  FROM u),
+        |p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM h),
+        |d AS (SELECT doc_id, lower(CASE WHEN len(parts) <= 2 THEN host
+        |  ELSE parts[len(parts)-1] || '.' || parts[len(parts)] END) AS domain
+        |  FROM p)
+        |SELECT doc_id, domain,
+        |  domain IN ('site2.example', 'site5.example', 'site11.example')
+        |    AS blocked
+        |FROM d""".stripMargin,
+
+    // mirrors q_domain_quality: same plant, url, registered domain, and
+    // the exact sum(long)/count mean
+    "q_domain_quality" ->
+      s"""WITH pl AS (SELECT doc_id, CASE WHEN doc_id % 13 IN (3, 6)
+        |    THEN array_to_string(string_split(text, ' ')[1:20], ' ')
+        |    ELSE text END AS text FROM documents),
+        |u AS (SELECT doc_id, len(string_split(text, ' ')) AS score,
+        |  'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.site' ||
+        |    CAST(doc_id % 13 AS VARCHAR) || '.example/p' ||
+        |    CAST(doc_id AS VARCHAR) AS url FROM pl),
+        |h AS (SELECT doc_id, score,
+        |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+        |  FROM u),
+        |p AS (SELECT doc_id, score, host, string_split(host, '.') AS parts
+        |  FROM h),
+        |d AS (SELECT doc_id, score, lower(CASE WHEN len(parts) <= 2 THEN host
+        |  ELSE parts[len(parts)-1] || '.' || parts[len(parts)] END) AS domain
+        |  FROM p),
+        |m AS (SELECT domain,
+        |  round(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) AS domain_mean
+        |  FROM d GROUP BY 1)
+        |SELECT d.doc_id, d.domain, m.domain_mean,
+        |  m.domain_mean < 60.0 AS low_quality_domain
+        |FROM d JOIN m USING (domain)""".stripMargin,
 
     // mirrors q_blocklist: identical planting, the SAME RE2-safe pattern
     // string the engine compiles (exposed by QualityFilters.blocklistPattern)

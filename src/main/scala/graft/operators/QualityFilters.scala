@@ -165,4 +165,56 @@ object QualityFilters {
       text: String = "text",
       words: Seq[String] = defaultBlocklist): DataFrame =
     df.select(col(id), blocklistHit(col(text), words).as("flagged"))
+
+  /** UT1-style DOMAIN blocklist filter: adds (domain, blocked) where
+    * `domain` is the url's registered domain ([[Splits.registeredDomain]])
+    * and `blocked` is true iff that domain appears in `blocked(domain)` —
+    * so EVERY subdomain and path of a listed site is caught, the semantic
+    * the standard adult/malware domain lists (UT1/Blacklists UT Capitole,
+    * used by CCNet/RefinedWeb-class pipelines) assume. Matching is a join
+    * against a domain TABLE, not an in-row literal list: real lists hold
+    * millions of entries (far past any `IN`-list), while still being tiny
+    * next to the corpus — a few hundred MB that AQE broadcast-joins, and
+    * above the threshold it degrades to a domain-keyed shuffle of 8-byte
+    * keys, never of page payloads. Pages with no parseable host get
+    * domain = '' and pass (flag-don't-drop keeps the accounting visible,
+    * as with [[blocklistFlag]]). */
+  def flagBlockedDomains(
+      df: DataFrame,
+      blocked: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val bl = blocked.select(lower(col("domain")).as("domain")).distinct()
+      .withColumn("__b", lit(true))
+    df.withColumn("domain", lower(Splits.registeredDomain(col(urlCol))))
+      .join(bl, Seq("domain"), "left")
+      .withColumn("blocked", coalesce(col("__b"), lit(false)))
+      .drop("__b")
+  }
+
+  /** DOMAIN-level quality gate (the FineWeb-style "filter by site, not
+    * just by page" stage): per registered domain, the mean of an INTEGRAL
+    * per-doc quality score; docs whose domain mean falls below `minMean`
+    * flag `low_quality_domain` — a handful of bad pages on a good site
+    * survive, a content farm drops whole, which page-level gates cannot
+    * express. The score must be integral so the mean is
+    * `sum(long)/count` — exact, order-free arithmetic that any engine
+    * reproduces bit-for-bit (a double sum's value depends on partial-agg
+    * order). Adds (domain, domain_mean, low_quality_domain).
+    *
+    * Shape at 100 TB: one map-side-combining groupBy of (domain, 2×long),
+    * then a domain-keyed join the optimizer broadcasts (|domains| ≪
+    * |docs|) — page payloads never shuffle. */
+  def domainQualityFlag(
+      df: DataFrame,
+      minMean: Double,
+      urlCol: String = "url",
+      scoreCol: String = "score"): DataFrame = {
+    val withDom = df
+      .withColumn("domain", lower(Splits.registeredDomain(col(urlCol))))
+    val stats = withDom.groupBy(col("domain"))
+      .agg(round(sum(col(scoreCol).cast("long")).cast("double") /
+        count(lit(1)), 6).as("domain_mean"))
+    withDom.join(stats, Seq("domain"))
+      .withColumn("low_quality_domain", col("domain_mean") < minMean)
+  }
 }

@@ -164,6 +164,45 @@ class QualityFiltersSpec extends AnyFunSuite {
       5L -> true, 6L -> false, 7L -> true))
   }
 
+  test("domain blocklist: registered-domain match catches every subdomain; no-host rows pass") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://bad.example/page"), // exact listed domain
+      (2L, "https://a.b.bad.example/x"), // deep subdomain of a listed site
+      (3L, "https://goodbad.example/x"), // different registered domain
+      (4L, "https://ok.example/x"),
+      (5L, "not a url at all"), // no host → domain '' → passes
+      (6L, "https://WWW.Bad.Example/up") // case-folded
+    ).toDF("doc_id", "url")
+    val blocked = Seq("bad.example").toDF("domain")
+    val got = QualityFilters.flagBlockedDomains(pages, blocked)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("domain"), r.getAs[Boolean]("blocked"))).toMap
+    assert(got(1L) == ("bad.example", true))
+    assert(got(2L) == ("bad.example", true))
+    assert(got(3L) == ("goodbad.example", false))
+    assert(got(4L) == ("ok.example", false))
+    assert(got(5L) == ("", false))
+    assert(got(6L) == ("bad.example", true))
+  }
+
+  test("domain quality gate: content farm drops whole, good site survives its bad page") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://a.good.example/1", 100),
+      (2L, "https://b.good.example/2", 10), // one bad page on a good site
+      (3L, "https://farm.example/1", 10),
+      (4L, "https://x.farm.example/2", 20), // subdomain pools with its site
+      (5L, "https://solo.example/1", 55)
+    ).toDF("doc_id", "url", "score")
+    val got = QualityFilters.domainQualityFlag(pages, minMean = 50.0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("domain_mean"), r.getAs[Boolean]("low_quality_domain"))).toMap
+    assert(got(1L) == (55.0, false) && got(2L) == (55.0, false))
+    assert(got(3L) == (15.0, true) && got(4L) == (15.0, true))
+    assert(got(5L) == (55.0, false))
+  }
+
   test("blocklist: custom list validated, non-word terms rejected") {
     import spark.implicits._
     val docs = Seq((1L, "foo bar")).toDF("doc_id", "text")
