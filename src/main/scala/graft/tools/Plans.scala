@@ -183,6 +183,50 @@ object Plans {
     val s20 = p20.queryExecution.executedPlan.toString
     println(s"epochMix exchanges: ${"Exchange".r.findAllIn(s20).size}")
     println(s"epochMix generators: ${"Generate".r.findAllIn(s20).size}")
+
+    println("=== PLAN 22: cross-table set-sim join (R-S prefix filter; corpus-df order) ===")
+    // wants: the df table computed from the CORPUS side only; both prefix
+    // frames join it (probe side left-join, unseen tokens df 0); candidates
+    // dedup BEFORE the token-array verify re-joins; length filter inside
+    // the join condition.
+    val corpus22 = docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("item_id"),
+        SetSimJoin.tokenSet(col("text")).as("toks"))
+    val probe22 = docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("item_id"),
+        SetSimJoin.tokenSet(col("text")).as("toks"))
+    val p22 = SetSimJoin.similarPairsAcross(probe22, corpus22, 0.8)
+    p22.collect()
+    val s22 = p22.queryExecution.executedPlan.toString
+    println(s"setsimAcross exchanges: ${"Exchange".r.findAllIn(s22).size}")
+    println(s"setsimAcross dedup before verify: ${s22.contains("HashAggregate")}")
+    println(s"setsimAcross toks in candidate-join exchanges: ${
+      s22.linesIterator.exists(l => l.contains("Exchange") && l.contains("ts#"))}")
+
+    println("=== PLAN 23: domain blocklist + domain quality gate ===")
+    // wants: blocklist = one left join against the tiny domain table
+    // (broadcast at any realistic list size); quality gate = one narrow
+    // (domain, 2xlong) aggregate + a broadcastable domain join — the text
+    // payload must appear in NO exchange of either plan.
+    import spark.implicits._
+    val urls23 = docs.select(col("doc_id"),
+      concat(lit("https://h"), col("doc_id") % 97, lit(".s"),
+        col("doc_id") % 13, lit(".example/p")).as("url"),
+      col("text"), size(split(col("text"), " ")).as("score"))
+    val p23a = QualityFilters.flagBlockedDomains(
+      urls23, Seq("s3.example", "s5.example").toDF("domain"))
+    p23a.collect()
+    val s23a = p23a.queryExecution.executedPlan.toString
+    println(s"domainBlocklist broadcast join: ${s23a.contains("BroadcastHashJoin")}")
+    println(s"domainBlocklist exchanges with text: ${
+      s23a.linesIterator.exists(l => l.contains("Exchange") && l.contains("text"))}")
+    val p23b = QualityFilters.domainQualityFlag(urls23, minMean = 60.0)
+    p23b.collect()
+    val s23b = p23b.queryExecution.executedPlan.toString
+    println(s"domainQuality exchanges: ${"Exchange".r.findAllIn(s23b).size}")
+    println(s"domainQuality broadcast join: ${s23b.contains("BroadcastHashJoin")}")
+    println(s"domainQuality exchanges with text: ${
+      s23b.linesIterator.exists(l => l.contains("Exchange") && l.contains("text"))}")
     spark.stop()
   }
 }
