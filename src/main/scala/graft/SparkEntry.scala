@@ -351,6 +351,18 @@ object SparkEntry {
       operators.TextAnalysis.topBigramFraction(d)
     }),
 
+    // ---- per-doc n-gram novelty (inverse of duplicated mass) ----
+    // planted exact copies (%31==4, id+9000000) must read novel_frac 0 on
+    // BOTH sides of the pair; engine matches on xxhash64(gram), oracle on
+    // the gram string (the q_decontaminate argument)
+    "q_novelty" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = base.unionByName(
+        base.where(col("doc_id") % 31 === 4)
+          .withColumn("doc_id", col("doc_id") + lit(9000000L)))
+      operators.TextAnalysis.noveltyFrac(planted, n = 8)
+    }),
+
     // ---- FULL Gopher repetition suite (Rae et al. 2021 §A1.1), driver-
     // verifiable ---- docs chunk into 8-word lines → 2-line paragraphs;
     // planted: a repeated first paragraph (%5=0 → dup paragraph + its
@@ -2703,6 +2715,29 @@ object SparkEntry {
         |  count(*) AS n_paras,
         |  CAST(sum(CASE WHEN strip THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped
         |FROM mk GROUP BY doc_id""".stripMargin,
+    // mirrors q_novelty: same plant, 8-word grams as STRINGS, per-doc
+    // distinct, doc-frequency, exact integer counts
+    "q_novelty" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |d AS (SELECT doc_id, text FROM d0
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, text FROM d0 WHERE doc_id % 31 = 4),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 7, 0)),
+        |    i -> array_to_string(w[i+1:i+8], ' ')))) AS gram FROM w),
+        |f AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+        |p AS (SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM g JOIN f USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_grams, 0) AS n_grams,
+        |  coalesce(p.n_novel, 0) AS n_novel,
+        |  CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 1.0
+        |    ELSE round(CAST(p.n_novel AS DOUBLE) / p.n_grams, 6)
+        |  END AS novel_frac
+        |FROM d LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin,
+
     // mirrors q_decontaminate with gram STRINGS (engine: xxhash64 of the
     // same grams — identical verdicts while grams are collision-free)
     "q_decontaminate" ->

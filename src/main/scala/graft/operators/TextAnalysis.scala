@@ -225,6 +225,51 @@ object TextAnalysis {
       gfrac("dup_4chars").as("dup_4gram_char_frac"))
   }
 
+  // ---- corpus-level novelty --------------------------------------------------
+
+  /** Per-doc n-gram NOVELTY: (id, n_grams, n_novel, novel_frac) where
+    * n_grams counts the doc's DISTINCT word n-grams and n_novel those
+    * occurring in NO other document — the inverse-side composition signal
+    * to [[SubstringDup.dupMassFilter]]'s duplicated-character fraction
+    * (that one asks "how much of this doc is copied?", this one "how much
+    * of this doc exists nowhere else?"); low novelty marks boilerplate
+    * and template mass even below the dedup thresholds. Gramless docs
+    * (< n words) emit novel_frac 1.0 — vacuously novel.
+    *
+    * Shape at 100 TB: the doc-frequency table is counted over per-doc
+    * DISTINCT gram hashes (8 B/gram via [[Decontaminate.gramHashes]] —
+    * text never leaves the scan), then one gram-keyed join back and a
+    * per-doc count — three narrow shuffles, the same linear silhouette as
+    * [[LineDedup]]'s corpus strip with grams for lines. Counts are exact
+    * integers; the one division rounds identically on any engine. */
+  def noveltyFrac(
+      docs: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(
+      col(idCol),
+      explode(array_distinct(Decontaminate.gramHashes(col(textCol), n)))
+        .as("g"))
+    val docFreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val perDoc = grams
+      .join(docFreq, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(1.0))
+          .otherwise(round(
+            coalesce(col("n_novel"), lit(0L)).cast("double") /
+              col("n_grams"), 6)).as("novel_frac"))
+  }
+
   // ---- fingerprinting -------------------------------------------------------
 
   /** Cheap 64-bit content fingerprint (xxhash64 of the text). */

@@ -77,6 +77,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(g(3L, "dup_line_frac") == 0.0 && g(3L, "dup_line_char_frac") == 0.0)
   }
 
+  test("noveltyFrac: exact copies read 0, unique docs 1, partial overlap in between") {
+    import spark.implicits._
+    // 10-word docs → three 8-grams each (distinct within doc)
+    val a = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10" // copied twice → all grams shared
+    val u = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10" // fully unique
+    // v = u's words 3..10 + two new → exactly one gram window shared with u
+    val v = "u3 u4 u5 u6 u7 u8 u9 u10 v1 v2"
+    val docs = Seq(
+      (1L, a), (2L, a), // planted pair
+      (3L, u), (4L, v),
+      (5L, "short text") // < 8 words → gramless
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyFrac(docs, n = 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == (3L, 0L, 0.0) && got(2L) == (3L, 0L, 0.0))
+    // u's grams: [u1..u8],[u2..u9],[u3..u10]; v's: [u3..u10],[u4..v1],[u5..v2]
+    // shared gram: [u3..u10] → u novel 2/3, v novel 2/3
+    assert(got(3L) == (3L, 2L, 0.666667) && got(4L) == (3L, 2L, 0.666667))
+    assert(got(5L) == (0L, 0L, 1.0))
+  }
+
   test("token counts: whitespace and BPE-ish") {
     import spark.implicits._
     val r = Seq("Hello, world! 42 times").toDF("text")
