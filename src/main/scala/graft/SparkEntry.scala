@@ -591,6 +591,18 @@ object SparkEntry {
       Decontaminate.contaminatedBloomGated(d, bench, bloom, n = 13)
     }),
 
+    // per-benchmark attribution: two eval slices (%37==5 → evalA,
+    // %41==6 → evalB); one row per (doc, bench set) sharing a 13-gram —
+    // the audit view behind q_decontaminate's boolean
+    "q_contamination_report" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.where(col("doc_id") % 37 === 5)
+        .select(lit("evalA").as("bench_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 41 === 6)
+          .select(lit("evalB").as("bench_id"), col("text")))
+      Decontaminate.contaminationReport(d, bench, n = 13)
+    }),
+
     // ---- re-crawl collapse (keep-latest per url), driver-verifiable ----
     // every doc_id%4=1 url gets a one-day-later re-crawl with changed text;
     // the collapse must keep exactly the newest row per url.
@@ -2737,6 +2749,24 @@ object SparkEntry {
         |    ELSE round(CAST(p.n_novel AS DOUBLE) / p.n_grams, 6)
         |  END AS novel_frac
         |FROM d LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin,
+
+    // mirrors q_contamination_report: per-(doc, bench set) shared-gram
+    // occurrence counts, gram STRINGS for the hashes
+    "q_contamination_report" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dg AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, greatest(len(w) - 12, 0)),
+        |    i -> array_to_string(w[i+1:i+13], ' '))) AS gram FROM d),
+        |b0 AS (SELECT 'evalA' AS bench_id, w FROM d WHERE doc_id % 37 = 5
+        |  UNION ALL
+        |  SELECT 'evalB', w FROM d WHERE doc_id % 41 = 6),
+        |bg0 AS (SELECT bench_id,
+        |  unnest(list_transform(range(0, greatest(len(w) - 12, 0)),
+        |    i -> array_to_string(w[i+1:i+13], ' '))) AS gram FROM b0),
+        |bg AS (SELECT DISTINCT bench_id, gram FROM bg0)
+        |SELECT dg.doc_id, bg.bench_id, count(*) AS n_hits
+        |FROM dg JOIN bg ON dg.gram = bg.gram
+        |GROUP BY 1, 2""".stripMargin,
 
     // mirrors q_decontaminate with gram STRINGS (engine: xxhash64 of the
     // same grams — identical verdicts while grams are collision-free)

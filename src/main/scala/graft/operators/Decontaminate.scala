@@ -73,6 +73,41 @@ object Decontaminate {
       .select(col(id), col("n_hits"), (col("n_hits") > 0).as("contaminated"))
   }
 
+  /** Per-benchmark contamination ATTRIBUTION: (id, bench_id, n_hits) —
+    * one row per (training doc, eval set) pair that shares at least one
+    * n-gram, with the shared-gram occurrence count. [[contaminated]]
+    * answers "is this doc dirty?"; this answers "WHICH benchmark leaked
+    * into it?" — what an audit needs before deciding to drop a doc from
+    * one task's training set but keep it for others (the per-task scrub
+    * GPT-3 App. C actually describes).
+    *
+    * Same cost silhouette as [[contaminated]]: the (bench_id, gram) table
+    * is distinct-per-benchmark and eval-battery-sized (broadcast under
+    * the same `maxBroadcastGrams` gate), the corpus side stays an 8-byte
+    * gram stream, and the verdict is one (id, bench_id) groupBy. */
+  def contaminationReport(
+      docs: DataFrame,
+      bench: DataFrame,
+      n: Int = 13,
+      id: String = "doc_id",
+      text: String = "text",
+      benchId: String = "bench_id",
+      maxBroadcastGrams: Long = 2000000L): DataFrame = {
+    val docGrams = docs.select(
+      col(id), explode(gramHashes(col(text), n)).as("g"))
+    val benchGrams = bench
+      .select(col(benchId), explode(gramHashes(col(text), n)).as("g"))
+      .distinct()
+    val fits = benchGrams.limit((maxBroadcastGrams + 1).toInt).count() <=
+      maxBroadcastGrams
+    val benchSide = if (fits) broadcast(benchGrams)
+      else benchGrams.hint("shuffle_hash")
+    docGrams
+      .join(benchSide, Seq("g"))
+      .groupBy(col(id), col(benchId))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Serialized Bloom filter over the eval battery's distinct gram hashes
     * (already 64-bit, so they feed `BloomFilterAggregate` directly).
     * Built ONCE per eval battery and reused across every corpus shard of a

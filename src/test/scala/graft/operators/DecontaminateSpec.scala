@@ -32,6 +32,29 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(out(4L) == ((8L, true)))
   }
 
+  test("contaminationReport attributes each hit to its benchmark only") {
+    import spark.implicits._
+    val evalA = words(20, "a")
+    val evalB = words(20, "b")
+    // doc 1 leaks from A only, doc 2 from B only, doc 3 from both, 4 clean
+    val fromA = evalA.split(" ").slice(2, 15).mkString(" ")
+    val fromB = evalB.split(" ").slice(4, 17).mkString(" ")
+    val docs = Seq(
+      (1L, words(4, "x") + " " + fromA),
+      (2L, fromB + " " + words(4, "y")),
+      (3L, fromA + " zz " + fromB),
+      (4L, words(30, "c"))).toDF("doc_id", "text")
+    val bench = Seq(("evalA", evalA), ("evalB", evalB)).toDF("bench_id", "text")
+    val got = Decontaminate.contaminationReport(docs, bench)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("bench_id")) ->
+        r.getAs[Long]("n_hits")).toMap
+    assert(got.keySet == Set((1L, "evalA"), (2L, "evalB"),
+      (3L, "evalA"), (3L, "evalB")), s"got $got")
+    assert(got((1L, "evalA")) == 1L && got((2L, "evalB")) == 1L)
+    assert(got((3L, "evalA")) == 1L && got((3L, "evalB")) == 1L)
+  }
+
   test("gram count is length - n + 1 and hashes are deterministic") {
     import spark.implicits._
     val df = Seq((1L, words(13, "w")), (2L, words(12, "w"))).toDF("doc_id", "text")
