@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.util.Base64
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.gf
+
+/** JSONL ingest: a fixture must land identically to its parquet twin (same
+  * corpus, same `input_hint` pages schema), with html-carrying lines
+  * re-deriving text through the canonical extractor. */
+class JsonlSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def b64(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)
+
+  test("jsonl fixture equals its parquet twin; html text re-derived; optional keys null") {
+    import spark.implicits._
+    // titles stay empty — the extractor keeps title TEXT, only
+    // script/style bodies drop (fixture contract, see verify recipe)
+    val html1 =
+      "<html><head><title></title></head><body>alpha beta gamma</body></html>"
+        .getBytes(UTF_8)
+    val html2 =
+      "<html><body><script>var x=1;</script>delta epsilon</body></html>"
+        .getBytes(UTF_8)
+    val lines = Seq(
+      s"""{"url":"https://a.example/1","warc_ts":"2026-01-02T03:04:05Z","html":"${b64(html1)}"}""",
+      s"""{"url":"https://b.example/2","warc_ts":"2026-01-02T03:04:06Z","html":"${b64(html2)}","lang":"en"}""",
+      s"""{"url":"https://c.example/3","warc_ts":"2026-01-02T03:04:07Z","text":"plain derived text","lang":"de"}""",
+      "this is not json")
+    val dir = Files.createTempDirectory("jsonl_fixture")
+    Files.write(dir.resolve("part-0.jsonl"),
+      lines.mkString("\n").getBytes(UTF_8))
+
+    val got = JsonlSource.pages(spark, dir.toString)
+    assert(got.count() == 4)
+    // PERMISSIVE semantics: the malformed line survives as an all-null row
+    assert(got.where(col("url").isNull).count() == 1)
+
+    // parquet twin: same three pages through the same extractor path
+    val twin = Seq(
+      ("https://a.example/1", "2026-01-02T03:04:05Z", html1, null: String),
+      ("https://b.example/2", "2026-01-02T03:04:06Z", html2, "en"))
+      .toDF("url", "ts", "html", "lang")
+      .select(col("url"), col("ts").cast("timestamp").as("warc_ts"),
+        col("html"), gf.extract_text(col("html")).as("text"), col("lang"))
+      .unionByName(Seq(("https://c.example/3", "2026-01-02T03:04:07Z",
+        "plain derived text", "de"))
+        .toDF("url", "ts", "text", "lang")
+        .select(col("url"), col("ts").cast("timestamp").as("warc_ts"),
+          lit(null).cast("binary").as("html"), col("text"), col("lang")))
+    val twinPath = dir.resolve("twin.parquet").toString
+    twin.write.parquet(twinPath)
+    val twinBack = spark.read.parquet(twinPath)
+
+    val goodRows = got.where(col("url").isNotNull)
+    assert(goodRows.exceptAll(twinBack).isEmpty &&
+      twinBack.exceptAll(goodRows).isEmpty,
+      "jsonl pages must equal the parquet twin row-for-row")
+    // the html-carrying rows really went through the extractor
+    val texts = goodRows.where(col("html").isNotNull)
+      .select(col("url"), col("text")).as[(String, String)].collect().toMap
+    assert(texts("https://a.example/1").contains("alpha beta gamma"))
+    assert(!texts("https://b.example/2").contains("var x=1"),
+      "script bodies must drop")
+  }
+}
