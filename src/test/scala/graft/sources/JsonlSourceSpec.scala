@@ -69,4 +69,30 @@ class JsonlSourceSpec extends AnyFunSuite {
     assert(!texts("https://b.example/2").contains("var x=1"),
       "script bodies must drop")
   }
+
+  test("dedup pipeline over JSONL ingest matches the parquet-twin run") {
+    val S = 120
+    val corpus = SyntheticCorpus.local(S)
+    // shard the corpus over 3 .jsonl files (byte-range splittable, but the
+    // multi-file layout is how derived corpora ship)
+    val dir = Files.createTempDirectory("graft-jsonl")
+    corpus.pages.zipWithIndex.groupBy(_._2 % 3).foreach { case (shard, ps) =>
+      val lines = ps.map { case (p, _) =>
+        s"""{"url":"${p.url}","warc_ts":"${p.warc_ts.toInstant}",""" +
+          s""""html":"${b64(p.html)}","lang":"${p.lang}"}"""
+      }
+      Files.write(dir.resolve(f"part-$shard%05d.jsonl"),
+        lines.mkString("\n").getBytes(UTF_8))
+    }
+
+    def decisionsOf(pages: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+      graft.DedupPipeline.run(spark, pages, graft.DedupConfig(), fromHtml = true)
+        .decisions.select("url", "cluster", "state").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    val fromJsonl = decisionsOf(
+      JsonlSource.pages(spark, dir.toString + "/*.jsonl"))
+    val fromParquet = decisionsOf(spark.createDataFrame(corpus.pages))
+    assert(fromJsonl == fromParquet && fromJsonl.size == S)
+  }
 }
