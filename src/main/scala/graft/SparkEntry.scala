@@ -351,6 +351,10 @@ object SparkEntry {
       operators.TextAnalysis.topBigramFraction(d)
     }),
 
+    // ---- corpus vocabulary head (tokenizer-prep statistics) ----
+    "q_vocab_topk" -> ((s, dir) =>
+      operators.TextAnalysis.vocabTopK(docs(s, dir), k = 50)),
+
     // ---- per-doc n-gram novelty (inverse of duplicated mass) ----
     // planted exact copies (%31==4, id+9000000) must read novel_frac 0 on
     // BOTH sides of the pair; engine matches on xxhash64(gram), oracle on
@@ -2727,6 +2731,15 @@ object SparkEntry {
         |  count(*) AS n_paras,
         |  CAST(sum(CASE WHEN strip THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped
         |FROM mk GROUP BY doc_id""".stripMargin,
+    // mirrors q_vocab_topk: same whitespace class, tf-desc-then-token
+    // deterministic order
+    "q_vocab_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |    x -> x <> '')) AS token FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM t GROUP BY 1 ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+
     // mirrors q_novelty: same plant, 8-word grams as STRINGS, per-doc
     // distinct, doc-frequency, exact integer counts
     "q_novelty" ->

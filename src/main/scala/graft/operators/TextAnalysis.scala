@@ -270,6 +270,38 @@ object TextAnalysis {
               col("n_grams"), 6)).as("novel_frac"))
   }
 
+  // ---- corpus vocabulary ----------------------------------------------------
+
+  /** Corpus vocabulary head: the k most frequent whitespace tokens with
+    * their occurrence (tf) and document (df) counts — the statistics pass
+    * every tokenizer-training pipeline runs before BPE/unigram fitting,
+    * and the sanity table a datacard quotes. df counts documents via the
+    * caller's id column. Deterministic: ties in tf break toward the
+    * lexicographically smaller token, so reruns and the oracle agree
+    * row-for-row.
+    *
+    * Shape at 100 TB: one map-side-combining groupBy over (token) —
+    * partials collapse each task to its distinct-token count — then a
+    * TakeOrdered(k) instead of any global sort; text never leaves the
+    * scan (tokens do, which is inherent to counting them). */
+  def vocabTopK(
+      docs: DataFrame,
+      k: Int = 50,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tok = docs.select(
+      col(idCol).as("__d"),
+      explode(filter(split(col(textCol), "[ \\t\\n\\f\\r]+"),
+        w => w =!= "")).as("token"))
+    tok.groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("tf"),
+        count_distinct(col("__d")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+  }
+
   // ---- fingerprinting -------------------------------------------------------
 
   /** Cheap 64-bit content fingerprint (xxhash64 of the text). */

@@ -100,6 +100,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5L) == (0L, 0L, 1.0))
   }
 
+  test("vocabTopK: tf/df counts, tf-desc order, lexicographic tie-break, k cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b b a"), // b tf 2 here, a 1
+      (2L, "a c\tb"), // tab-split; a 1, c 1, b 1
+      (3L, "c a") // a 1, c 1
+    ).toDF("doc_id", "text")
+    // totals: a tf 3 df 3, b tf 3 df 2, c tf 2 df 2
+    val got = TextAnalysis.vocabTopK(docs, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 3L, 3L), ("b", 3L, 2L)),
+      s"tie at tf=3 breaks to 'a' first; got ${got.toSeq}")
+    val all = TextAnalysis.vocabTopK(docs, k = 10).collect()
+    assert(all.length == 3 && all.last.getString(0) == "c")
+  }
+
   test("token counts: whitespace and BPE-ish") {
     import spark.implicits._
     val r = Seq("Hello, world! 42 times").toDF("text")
