@@ -1138,8 +1138,9 @@ object SparkEntry {
     // ---- UT1-style domain blocklist ----
     // per-doc subdomains (h<id%97>.) under 13 registered domains
     // (site<id%13>.example); three domains listed — every subdomain of a
-    // listed site must flag, which is the registered-domain semantic the
-    // host-literal match would miss
+    // listed site must flag — plus one HOST-level entry
+    // (h40.site1.example) that must flag exactly doc 40 while the rest of
+    // site1.example passes
     "q_domain_blocklist" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(
@@ -1147,8 +1148,8 @@ object SparkEntry {
         concat(lit("https://h"), pmod(col("doc_id"), lit(97)),
           lit(".site"), pmod(col("doc_id"), lit(13)),
           lit(".example/p"), col("doc_id")).as("url"))
-      val blocked = Seq("site2.example", "site5.example", "site11.example")
-        .toDF("domain")
+      val blocked = Seq("site2.example", "site5.example", "site11.example",
+        "h40.site1.example").toDF("domain")
       QualityFilters.flagBlockedDomains(d, blocked)
         .select(col("doc_id"), col("domain"), col("blocked"))
     }),
@@ -1814,7 +1815,8 @@ object SparkEntry {
         |FROM k""".stripMargin,
 
     // mirrors q_domain_blocklist: same url construction, host regex,
-    // last-two-labels registered domain, and the three-domain list
+    // last-two-labels registered domain, and the domain-or-host list
+    // membership
     "q_domain_blocklist" ->
       s"""WITH u AS (SELECT doc_id,
         |  'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.site' ||
@@ -1824,12 +1826,15 @@ object SparkEntry {
         |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
         |  FROM u),
         |p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM h),
-        |d AS (SELECT doc_id, lower(CASE WHEN len(parts) <= 2 THEN host
+        |d AS (SELECT doc_id, lower(host) AS host,
+        |  lower(CASE WHEN len(parts) <= 2 THEN host
         |  ELSE parts[len(parts)-1] || '.' || parts[len(parts)] END) AS domain
         |  FROM p)
         |SELECT doc_id, domain,
-        |  domain IN ('site2.example', 'site5.example', 'site11.example')
-        |    AS blocked
+        |  domain IN ('site2.example', 'site5.example', 'site11.example',
+        |    'h40.site1.example')
+        |  OR host IN ('site2.example', 'site5.example', 'site11.example',
+        |    'h40.site1.example') AS blocked
         |FROM d""".stripMargin,
 
     // mirrors q_domain_quality: same plant, url, registered domain, and

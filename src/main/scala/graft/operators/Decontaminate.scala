@@ -38,6 +38,16 @@ object Decontaminate {
           i => xxhash64(array_join(slice(ws, i + 1, lit(n)), " "))))
   }
 
+  /** Shared broadcast size gate: does `grams` hold ≤ `max` rows? Bounded
+    * probe (`limit(max+1).count()`), clamped so a cluster-sized `max`
+    * cannot overflow `limit`'s Int argument (a wrapped negative throws;
+    * a wrapped small-positive would fake `fits = true` and broadcast a
+    * multi-billion-row table). One definition for every gated path. */
+  private def fitsBroadcast(grams: DataFrame, max: Long): Boolean = {
+    val probe = math.min(max + 1, Int.MaxValue.toLong - 1).toInt
+    grams.limit(probe).count() <= max
+  }
+
   /** Contamination verdict per training doc: (id, n_hits, contaminated)
     * where n_hits counts this doc's gram OCCURRENCES that appear anywhere
     * in `bench` (a (bench_id, text) frame).
@@ -62,7 +72,7 @@ object Decontaminate {
       col(id), explode_outer(gramHashes(col(text), n)).as("g"))
     val benchGrams = bench.select(explode(gramHashes(col(text), n)).as("g"))
       .distinct()
-    val fits = benchGrams.limit((maxBroadcastGrams + 1).toInt).count() <= maxBroadcastGrams
+    val fits = fitsBroadcast(benchGrams, maxBroadcastGrams)
     val benchSide = benchGrams.withColumn("hit", lit(1L))
     val joined =
       if (fits) docGrams.join(broadcast(benchSide), Seq("g"), "left")
@@ -98,8 +108,7 @@ object Decontaminate {
     val benchGrams = bench
       .select(col(benchId), explode(gramHashes(col(text), n)).as("g"))
       .distinct()
-    val fits = benchGrams.limit((maxBroadcastGrams + 1).toInt).count() <=
-      maxBroadcastGrams
+    val fits = fitsBroadcast(benchGrams, maxBroadcastGrams)
     val benchSide = if (fits) broadcast(benchGrams)
       else benchGrams.hint("shuffle_hash")
     docGrams

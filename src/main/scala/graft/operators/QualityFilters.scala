@@ -168,27 +168,37 @@ object QualityFilters {
 
   /** UT1-style DOMAIN blocklist filter: adds (domain, blocked) where
     * `domain` is the url's registered domain ([[Splits.registeredDomain]])
-    * and `blocked` is true iff that domain appears in `blocked(domain)` —
-    * so EVERY subdomain and path of a listed site is caught, the semantic
-    * the standard adult/malware domain lists (UT1/Blacklists UT Capitole,
-    * used by CCNet/RefinedWeb-class pipelines) assume. Matching is a join
-    * against a domain TABLE, not an in-row literal list: real lists hold
-    * millions of entries (far past any `IN`-list), while still being tiny
-    * next to the corpus — a few hundred MB that AQE broadcast-joins, and
-    * above the threshold it degrades to a domain-keyed shuffle of 8-byte
-    * keys, never of page payloads. Pages with no parseable host get
-    * domain = '' and pass (flag-don't-drop keeps the accounting visible,
-    * as with [[blocklistFlag]]). */
+    * and `blocked` is true iff the registered domain OR the full host
+    * appears in `blocked(domain)` — a 2-label entry catches EVERY
+    * subdomain and path of a listed site, while a host-level entry (real
+    * UT1 lists carry many, e.g. one bad subdomain of a shared-hosting
+    * domain) matches exactly that host. Matching is a join against a
+    * domain TABLE, not an in-row literal list: real lists hold millions
+    * of entries (far past any `IN`-list), while still being tiny next to
+    * the corpus — a few hundred MB that AQE broadcast-joins, and above
+    * the threshold it degrades to a key-keyed shuffle of short strings,
+    * never of page payloads. Pages with no parseable host (including a
+    * NULL url) get domain = '' and pass — flag-don't-drop keeps row
+    * counts and accounting intact, as with [[blocklistFlag]]. */
   def flagBlockedDomains(
       df: DataFrame,
       blocked: DataFrame,
       urlCol: String = "url"): DataFrame = {
-    val bl = blocked.select(lower(col("domain")).as("domain")).distinct()
+    val bl = blocked.select(lower(col("domain")).as("__key"))
+      .where(col("__key").isNotNull && col("__key") =!= "").distinct()
       .withColumn("__b", lit(true))
-    df.withColumn("domain", lower(Splits.registeredDomain(col(urlCol))))
-      .join(bl, Seq("domain"), "left")
-      .withColumn("blocked", coalesce(col("__b"), lit(false)))
-      .drop("__b")
+    val host = lower(coalesce(Splits.host(col(urlCol)), lit("")))
+    df.withColumn("domain",
+        lower(coalesce(Splits.registeredDomain(col(urlCol)), lit(""))))
+      .withColumn("__h", host)
+      .withColumn("__key", col("domain"))
+      .join(bl, Seq("__key"), "left")
+      .withColumn("__domHit", coalesce(col("__b"), lit(false)))
+      .drop("__b", "__key")
+      .withColumn("__key", col("__h"))
+      .join(bl, Seq("__key"), "left")
+      .withColumn("blocked", col("__domHit") || coalesce(col("__b"), lit(false)))
+      .drop("__b", "__key", "__h", "__domHit")
   }
 
   /** DOMAIN-level quality gate (the FineWeb-style "filter by site, not
@@ -209,8 +219,11 @@ object QualityFilters {
       minMean: Double,
       urlCol: String = "url",
       scoreCol: String = "score"): DataFrame = {
-    val withDom = df
-      .withColumn("domain", lower(Splits.registeredDomain(col(urlCol))))
+    // domain coalesces to '' for unparseable hosts AND null urls: the
+    // stats join key must never be NULL (an inner join would silently
+    // drop the row — flag-don't-drop, same contract as the blocklist)
+    val withDom = df.withColumn("domain",
+      lower(coalesce(Splits.registeredDomain(col(urlCol)), lit(""))))
     val stats = withDom.groupBy(col("domain"))
       .agg(round(sum(col(scoreCol).cast("long")).cast("double") /
         count(lit(1)), 6).as("domain_mean"))

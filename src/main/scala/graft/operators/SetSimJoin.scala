@@ -53,14 +53,24 @@ object SetSimJoin {
     n => floor((n.cast("long") * tauNum + (1000000L - 1)) / 1000000.0).cast("int")
   }
 
+  /** (w, df) document frequencies over a (pid, ts) items frame. */
+  private def freqOf(base: DataFrame): DataFrame =
+    base.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+
   /** (pid, ots, len) with each item's distinct tokens in the canonical
     * rare-first order: (document frequency, token) ascending — the
-    * AllPairs trick that keeps corpus stopwords out of every prefix. */
-  private def rareFirst(base: DataFrame): DataFrame = {
+    * AllPairs trick that keeps corpus stopwords out of every prefix.
+    * `freq` supplies the total order (LEFT join: tokens absent from it
+    * take df 0 — rarest); the self-join paths pass `freqOf(base)` itself,
+    * the cross-table path passes the corpus-side table so both sides rank
+    * under ONE order. This is the exactness-critical construction — keep
+    * it single-sourced. */
+  private def rareFirst(base: DataFrame, freq: DataFrame): DataFrame = {
     val tok = base.select(col("pid"), explode(col("ts")).as("w"))
-    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
     tok
-      .join(freq, Seq("w"))
+      .join(freq, Seq("w"), "left")
+      .select(col("pid"), col("w"), coalesce(col("df"), lit(0L)).as("df"))
       .groupBy(col("pid"))
       .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sw"))
       .select(
@@ -82,7 +92,7 @@ object SetSimJoin {
     val base = items
       .select(col(id).as("pid"), array_distinct(col(toks)).as("ts"))
       .where(size(col("ts")) > 0)
-    val ordered = rareFirst(base)
+    val ordered = rareFirst(base, freqOf(base))
     val pref = ordered.select(
       col("pid"), col("len"),
       explode(slice(col("ots"), lit(1),
@@ -131,7 +141,7 @@ object SetSimJoin {
     val base = items
       .select(col(id).as("pid"), array_distinct(col(toks)).as("ts"))
       .where(size(col("ts")) > 0)
-    val ordered = rareFirst(base)
+    val ordered = rareFirst(base, freqOf(base))
     val aPref = ordered.select(
       col("pid"), col("len"),
       explode(slice(col("ots"), lit(1),
@@ -194,19 +204,11 @@ object SetSimJoin {
     val pBase = baseOf(probe)
     val cBase = baseOf(corpus)
     // the shared total order: corpus df ascending, token tie-break
-    val freq = cBase.select(explode(col("ts")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("df"))
-    def prefixed(b: DataFrame) = b
-      .select(col("pid"), explode(col("ts")).as("w"))
-      .join(freq, Seq("w"), "left")
-      .select(col("pid"), col("w"), coalesce(col("df"), lit(0L)).as("df"))
-      .groupBy(col("pid"))
-      .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sw"))
-      .select(
-        col("pid"), size(col("sw")).as("len"),
-        explode(slice(transform(col("sw"), s => s.getField("w")), lit(1),
-          greatest(lit(1), size(col("sw")) - ceilTau(size(col("sw"))) + 1)))
-          .as("w"))
+    val freq = freqOf(cBase)
+    def prefixed(b: DataFrame) = rareFirst(b, freq).select(
+      col("pid"), col("len"),
+      explode(slice(col("ots"), lit(1),
+        greatest(lit(1), col("len") - ceilTau(col("len")) + 1))).as("w"))
     val cand = prefixed(pBase).as("a")
       .join(prefixed(cBase).as("b"),
         col("a.w") === col("b.w") &&

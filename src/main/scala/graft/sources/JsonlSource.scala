@@ -26,9 +26,14 @@ import graft.functions.gf
   * JSON is splittable within a file, so parallelism is byte-range-level,
   * finer than WARC's file-level; `.gz` fixtures decompress transparently
   * (gzip is not splittable — production keeps files ~1 GB like CC, or
-  * re-encodes to zstd/parquet after ingest). Malformed lines surface
-  * under `_corrupt_record` semantics (PERMISSIVE default) rather than
-  * killing the scan.
+  * re-encodes to zstd/parquet after ingest). Point `path` at files or a
+  * `*.jsonl` glob — a bare directory reads EVERY non-hidden file in it
+  * as JSON, so a mixed-format layout (jsonl next to its parquet
+  * re-encoding) needs the glob or a `pathGlobFilter` option. Malformed
+  * lines are captured in an explicit `_corrupt_record` column: [[pages]]
+  * DROPS them (they carry no page), [[corruptLines]] returns them for
+  * accounting — a truncated shard shows up in the ingest report instead
+  * of flowing downstream as null-url pages.
   *
   * Reference anchor: the recursive source scan
   * (`ViewModels/MainViewModel.cs:833-872`), third container format.
@@ -44,17 +49,37 @@ object JsonlSource {
     StructField("text", StringType),
     StructField("lang", StringType)))
 
-  /** input_hint-shaped pages from every `.jsonl`/`.jsonl.gz` under `path`
-    * (glob allowed). */
+  /** input_hint-shaped pages from every `.jsonl`/`.jsonl.gz` matched by
+    * `path`; malformed lines are dropped (see [[corruptLines]]). Under
+    * PERMISSIVE parsing a malformed line yields all-null contract fields,
+    * so the drop predicate tests exactly that — it deliberately avoids
+    * Spark's `_corrupt_record` column, whose referenced-columns
+    * restriction breaks innocent `pages(...).count()` calls after the
+    * optimizer prunes the projection (a contentless `{}` line carries no
+    * page either and drops with them). */
   def pages(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.schema(wireSchema).json(path)
     val html = unbase64(col("html"))
-    raw.select(
-      col("url"),
-      col("warc_ts").cast("timestamp").as("warc_ts"),
-      html.as("html"),
-      when(col("html").isNotNull, gf.extract_text(html))
-        .otherwise(col("text")).as("text"),
-      col("lang"))
+    spark.read.schema(wireSchema).json(path)
+      .where(wireSchema.fields.map(f => col(f.name).isNotNull)
+        .reduce(_ || _))
+      .select(
+        col("url"),
+        col("warc_ts").cast("timestamp").as("warc_ts"),
+        html.as("html"),
+        when(col("html").isNotNull, gf.extract_text(html))
+          .otherwise(col("text")).as("text"),
+        col("lang"))
+  }
+
+  /** The raw text of every line [[pages]] drops — malformed JSON and
+    * contentless objects both parse to an all-null contract struct under
+    * PERMISSIVE `from_json`, the EXACT mirror of pages' drop predicate.
+    * Reads the files as TEXT; one pass, same cost. */
+  def corruptLines(spark: SparkSession, path: String): DataFrame = {
+    val parsed = from_json(col("value"), wireSchema)
+    spark.read.text(path)
+      .where(wireSchema.fields.map(f => parsed.getField(f.name).isNull)
+        .reduce(_ && _) && trim(col("value")) =!= "")
+      .select(col("value").as("line"))
   }
 }

@@ -172,18 +172,25 @@ class QualityFiltersSpec extends AnyFunSuite {
       (3L, "https://goodbad.example/x"), // different registered domain
       (4L, "https://ok.example/x"),
       (5L, "not a url at all"), // no host → domain '' → passes
-      (6L, "https://WWW.Bad.Example/up") // case-folded
+      (6L, "https://WWW.Bad.Example/up"), // case-folded
+      (7L, "https://deep.host.example/x"), // HOST-level list entry hits
+      (8L, "https://other.host.example/x"), // sibling host passes
+      (9L, null.asInstanceOf[String]) // null url → domain '' → kept, passes
     ).toDF("doc_id", "url")
-    val blocked = Seq("bad.example").toDF("domain")
+    val blocked = Seq("bad.example", "deep.host.example").toDF("domain")
     val got = QualityFilters.flagBlockedDomains(pages, blocked)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[String]("domain"), r.getAs[Boolean]("blocked"))).toMap
+    assert(got.size == 9, "flag-don't-drop: every input row survives")
     assert(got(1L) == ("bad.example", true))
     assert(got(2L) == ("bad.example", true))
     assert(got(3L) == ("goodbad.example", false))
     assert(got(4L) == ("ok.example", false))
     assert(got(5L) == ("", false))
     assert(got(6L) == ("bad.example", true))
+    assert(got(7L) == ("host.example", true), "host-level entry must hit")
+    assert(got(8L) == ("host.example", false))
+    assert(got(9L) == ("", false))
   }
 
   test("domain quality gate: content farm drops whole, good site survives its bad page") {
@@ -193,14 +200,17 @@ class QualityFiltersSpec extends AnyFunSuite {
       (2L, "https://b.good.example/2", 10), // one bad page on a good site
       (3L, "https://farm.example/1", 10),
       (4L, "https://x.farm.example/2", 20), // subdomain pools with its site
-      (5L, "https://solo.example/1", 55)
+      (5L, "https://solo.example/1", 55),
+      (6L, null.asInstanceOf[String], 10) // null url: kept, pools under ''
     ).toDF("doc_id", "url", "score")
     val got = QualityFilters.domainQualityFlag(pages, minMean = 50.0)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Double]("domain_mean"), r.getAs[Boolean]("low_quality_domain"))).toMap
+    assert(got.size == 6, "flag-don't-drop: a null url must not vanish in the stats join")
     assert(got(1L) == (55.0, false) && got(2L) == (55.0, false))
     assert(got(3L) == (15.0, true) && got(4L) == (15.0, true))
     assert(got(5L) == (55.0, false))
+    assert(got(6L) == (10.0, true))
   }
 
   test("blocklist: custom list validated, non-word terms rejected") {

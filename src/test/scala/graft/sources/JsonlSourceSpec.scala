@@ -37,10 +37,12 @@ class JsonlSourceSpec extends AnyFunSuite {
     Files.write(dir.resolve("part-0.jsonl"),
       lines.mkString("\n").getBytes(UTF_8))
 
-    val got = JsonlSource.pages(spark, dir.toString)
-    assert(got.count() == 4)
-    // PERMISSIVE semantics: the malformed line survives as an all-null row
-    assert(got.where(col("url").isNull).count() == 1)
+    val got = JsonlSource.pages(spark, dir.toString + "/*.jsonl")
+    // the malformed line is DROPPED from pages and surfaced for accounting
+    assert(got.count() == 3)
+    val corrupt = JsonlSource.corruptLines(spark, dir.toString + "/*.jsonl")
+      .collect().map(_.getString(0))
+    assert(corrupt.toSeq == Seq("this is not json"))
 
     // parquet twin: same three pages through the same extractor path
     val twin = Seq(
@@ -54,11 +56,14 @@ class JsonlSourceSpec extends AnyFunSuite {
         .toDF("url", "ts", "text", "lang")
         .select(col("url"), col("ts").cast("timestamp").as("warc_ts"),
           lit(null).cast("binary").as("html"), col("text"), col("lang")))
-    val twinPath = dir.resolve("twin.parquet").toString
+    // twin lives OUTSIDE the jsonl dir: a re-resolved json relation must
+    // never see parquet files as corrupt JSON
+    val twinPath = Files.createTempDirectory("jsonl_twin")
+      .resolve("twin.parquet").toString
     twin.write.parquet(twinPath)
     val twinBack = spark.read.parquet(twinPath)
 
-    val goodRows = got.where(col("url").isNotNull)
+    val goodRows = got
     assert(goodRows.exceptAll(twinBack).isEmpty &&
       twinBack.exceptAll(goodRows).isEmpty,
       "jsonl pages must equal the parquet twin row-for-row")
