@@ -39,13 +39,16 @@ object Decontaminate {
   }
 
   /** Shared broadcast size gate: does `grams` hold ≤ `max` rows? Bounded
-    * probe (`limit(max+1).count()`), clamped so a cluster-sized `max`
-    * cannot overflow `limit`'s Int argument (a wrapped negative throws;
-    * a wrapped small-positive would fake `fits = true` and broadcast a
-    * multi-billion-row table). One definition for every gated path. */
+    * probe (`limit(max+1).count()`). Maxima the Int-argument probe cannot
+    * distinguish (≥ Int.MaxValue − 1 rows ≈ 17 GB of 8-byte grams — far
+    * past any sane broadcast) report `false` OUTRIGHT rather than running
+    * a saturated probe that would fake `fits = true` for every table; the
+    * same guard kills the `Long.MaxValue + 1` wrap-to-negative case, so
+    * the `max + 1` below can never overflow. Non-positive maxima also
+    * never fit. One definition for every gated path. */
   private def fitsBroadcast(grams: DataFrame, max: Long): Boolean = {
-    val probe = math.min(max + 1, Int.MaxValue.toLong - 1).toInt
-    grams.limit(probe).count() <= max
+    if (max <= 0L || max >= Int.MaxValue.toLong - 1) false
+    else grams.limit((max + 1).toInt).count() <= max
   }
 
   /** Contamination verdict per training doc: (id, n_hits, contaminated)

@@ -151,6 +151,18 @@ object QualityFilters {
     lower(text).rlike(blocklistPattern(words))
   }
 
+  /** Fail fast when `df` already carries a column this operator writes —
+    * `withColumn` replaces silently, which would corrupt caller data.
+    * Case-insensitive to match Spark's default resolution. */
+  private def requireFreeColumns(
+      df: DataFrame, op: String, reserved: Seq[String]): Unit = {
+    val clash = df.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"$op writes reserved columns [${reserved.mkString(", ")}]; the " +
+        s"input already carries [${clash.mkString(", ")}] — rename them " +
+        "before calling (withColumn would silently overwrite)")
+  }
+
   /** The shared engine/oracle pattern — exposed so the SQL mirror embeds
     * the exact same string. */
   def blocklistPattern(words: Seq[String]): String =
@@ -179,11 +191,19 @@ object QualityFilters {
     * the threshold it degrades to a key-keyed shuffle of short strings,
     * never of page payloads. Pages with no parseable host (including a
     * NULL url) get domain = '' and pass — flag-don't-drop keeps row
-    * counts and accounting intact, as with [[blocklistFlag]]. */
+    * counts and accounting intact, as with [[blocklistFlag]].
+    *
+    * RESERVED OUTPUT/TEMP NAMES: `domain`, `blocked`, `__key`, `__b`,
+    * `__h`, `__domHit`. `withColumn` REPLACES an existing column of the
+    * same name, so an input already carrying one of these would be
+    * silently corrupted — the require below fails fast instead; rename
+    * the caller's column first. */
   def flagBlockedDomains(
       df: DataFrame,
       blocked: DataFrame,
       urlCol: String = "url"): DataFrame = {
+    requireFreeColumns(df, "flagBlockedDomains",
+      Seq("domain", "blocked", "__key", "__b", "__h", "__domHit"))
     val bl = blocked.select(lower(col("domain")).as("__key"))
       .where(col("__key").isNotNull && col("__key") =!= "").distinct()
       .withColumn("__b", lit(true))
@@ -213,12 +233,18 @@ object QualityFilters {
     *
     * Shape at 100 TB: one map-side-combining groupBy of (domain, 2×long),
     * then a domain-keyed join the optimizer broadcasts (|domains| ≪
-    * |docs|) — page payloads never shuffle. */
+    * |docs|) — page payloads never shuffle.
+    *
+    * RESERVED OUTPUT NAMES: `domain`, `domain_mean`,
+    * `low_quality_domain` — same fail-fast contract as
+    * [[flagBlockedDomains]]. */
   def domainQualityFlag(
       df: DataFrame,
       minMean: Double,
       urlCol: String = "url",
       scoreCol: String = "score"): DataFrame = {
+    requireFreeColumns(df, "domainQualityFlag",
+      Seq("domain", "domain_mean", "low_quality_domain"))
     // domain coalesces to '' for unparseable hosts AND null urls: the
     // stats join key must never be NULL (an inner join would silently
     // drop the row — flag-don't-drop, same contract as the blocklist)

@@ -75,6 +75,53 @@ class JsonlSourceSpec extends AnyFunSuite {
       "script bodies must drop")
   }
 
+  test("pages/corruptLines exactly partition the non-blank lines; " +
+    "contentless, array and bad-base64 lines route to accounting") {
+    import spark.implicits._
+    val lines = Seq(
+      // a real page
+      s"""{"url":"https://a.example/1","warc_ts":"2026-01-02T03:04:05Z","text":"alpha"}""",
+      // metadata-only object: NO url/text/html — must NOT become a page
+      """{"lang":"en"}""",
+      // top-level array: under the shared from_json parse it carries no
+      // contract object — one corrupt line, never two pages
+      """[{"url":"https://x.example/a","text":"in-array"},{"url":"https://x.example/b"}]""",
+      // html present but NOT valid base64, with a valid text fallback:
+      // stays a page, text survives, html lands null
+      s"""{"url":"https://b.example/2","html":"@@not-base64@@","text":"fallback text"}""",
+      // html-ONLY line whose base64 is garbage: no decodable content at
+      // all — corrupt, not a null-text page
+      """{"html":"%%%"}""",
+      // plain malformed JSON
+      "this is not json",
+      // blank line: neither view
+      "   ")
+    val dir = Files.createTempDirectory("jsonl_partition")
+    Files.write(dir.resolve("part-0.jsonl"),
+      lines.mkString("\n").getBytes(UTF_8))
+    val glob = dir.toString + "/*.jsonl"
+
+    val pages = JsonlSource.pages(spark, glob)
+    val got = pages.select("url", "text").as[(String, String)]
+      .collect().toSet
+    assert(got == Set(
+      ("https://a.example/1", "alpha"),
+      ("https://b.example/2", "fallback text")))
+    // bad base64 never reaches the extractor and never fakes a decode
+    assert(pages.where(col("html").isNotNull).count() == 0)
+
+    val corrupt = JsonlSource.corruptLines(spark, glob)
+      .collect().map(_.getString(0)).toSet
+    assert(corrupt == Set(
+      """{"lang":"en"}""",
+      """[{"url":"https://x.example/a","text":"in-array"},{"url":"https://x.example/b"}]""",
+      """{"html":"%%%"}""",
+      "this is not json"))
+    // exact partition: pages + corrupt == non-blank input lines
+    assert(pages.count() + corrupt.size ==
+      lines.count(_.trim.nonEmpty))
+  }
+
   test("dedup pipeline over JSONL ingest matches the parquet-twin run") {
     val S = 120
     val corpus = SyntheticCorpus.local(S)
