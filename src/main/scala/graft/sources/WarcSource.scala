@@ -1,8 +1,11 @@
 package graft.sources
 
+import java.io.{BufferedInputStream, ByteArrayInputStream, InputStream}
 import java.nio.charset.StandardCharsets
 import java.sql.Timestamp
+import java.util.zip.GZIPInputStream
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,7 +13,10 @@ import graft.functions.gf
 
 /** Minimal WARC (ISO 28500) container source — the real ingest format of
   * Common-Crawl-style corpora, feeding the same pages schema the parquet
-  * path produces (`url, warc_ts, html, text, lang`).
+  * path produces (`url, warc_ts, html, text, lang`). Reads both plain
+  * `.warc` and production `.warc.gz` (Common Crawl ships ONLY the
+  * latter: one gzip member per record, concatenated — the member framing
+  * is what lets CC index byte offsets into a compressed file).
   *
   * Format handled: concatenated `WARC/1.0` / `WARC/1.1` records, each a
   * CRLF header block terminated by a blank line with `Content-Length`
@@ -19,15 +25,21 @@ import graft.functions.gf
   * the HTTP header block is the page html. Other record types
   * (`warcinfo`, `request`, `metadata`) are skipped. Line endings are
   * strict CRLF as the standard mandates — this is a framing parser, not
-  * a recovery tool; a malformed offset ends that file's scan (records
-  * before it are kept).
+  * a recovery tool; a malformed offset (or a corrupt gzip member) ends
+  * that file's scan (records before it are kept).
   *
-  * Scale shape: `binaryFile` rows parse per file inside `mapPartitions`
-  * (opaque binary is the one place imperative per-partition code is the
-  * right tool — same stance as the media decoders). Parallelism is
-  * file-level, which is how Common Crawl ships: ~1 GB WARC files by
-  * convention, thousands per crawl, so the natural task is one file and
-  * no record-boundary split of a single file is needed. Text is
+  * Scale shape: the container files are STREAMED, never materialized —
+  * the listing reads only `path` (binaryFile prunes `content` away), and
+  * each task opens its files through the Hadoop filesystem and parses
+  * records off the stream, holding one record body in memory at a time
+  * (~page-sized), not one file (~GB-sized). Gzip is detected by magic
+  * bytes and inflated member-by-member through the same stream —
+  * `GZIPInputStream` walks concatenated members natively, so per-record
+  * members and whole-file gzip both decode without ever inflating the
+  * file into a buffer. Parallelism is file-level, which is how Common
+  * Crawl ships: ~1 GB WARC files by convention, thousands per crawl, so
+  * the natural task is one file and no record-boundary split of a single
+  * file is needed (gzip is not byte-range splittable anyway). Text is
   * re-derived from the payload with the canonical extractor, so the
   * byte-identity invariant holds by construction.
   *
@@ -41,9 +53,31 @@ object WarcSource {
 
   private val CRLF2 = Array[Byte]('\r', '\n', '\r', '\n')
 
+  /** Hard cap on one record's header block — a stream position that
+    * claims a megabyte of WARC headers is framing corruption, not a
+    * header. */
+  private val MaxHeaderBytes = 1 << 20
+
+  /** Hadoop `Configuration` that survives the driver→executor hop.
+    * `Configuration` is `Writable` but not `Serializable`; this is the
+    * standard write/readFields envelope (Spark carries its own
+    * `private[spark]` twin — public API only here). */
+  final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Index of `pat` in `hay` at or after `from`, -1 if absent.
-    * NB: must NOT be named `indexOf` — inside the `new Iterator` body below,
-    * that name resolves to the inherited `Iterator.indexOf(elem, from)` via
+    * NB: must NOT be named `indexOf` — inside an `Iterator` body, that
+    * name resolves to the inherited `Iterator.indexOf(elem, from)` via
     * auto-tupling and silently searches the iterator instead of the bytes. */
   private def byteIndexOf(hay: Array[Byte], pat: Array[Byte], from: Int): Int = {
     var i = math.max(from, 0)
@@ -57,73 +91,145 @@ object WarcSource {
     -1
   }
 
-  /** Parse one file's bytes into its response-record pages. */
-  def parseRecords(bytes: Array[Byte]): Iterator[WarcPage] = new Iterator[WarcPage] {
-    private var pos = 0
+  /** Parse one file's bytes into its response-record pages (in-memory
+    * convenience over [[parseStream]]; the distributed path never
+    * materializes files — see [[records]]). */
+  def parseRecords(bytes: Array[Byte]): Iterator[WarcPage] =
+    parseStream(new ByteArrayInputStream(bytes))
+
+  /** Streaming record parser: one record body in memory at a time. The
+    * stream is closed when the scan ends (exhaustion, framing error, or
+    * an I/O / gzip-member failure — any of which keeps the records
+    * already emitted and drops the rest of the file, the same stance as
+    * the original whole-buffer parser). */
+  def parseStream(in0: InputStream): Iterator[WarcPage] = new Iterator[WarcPage] {
+    private val in = new BufferedInputStream(in0, 1 << 16)
     private var nextPage: WarcPage = null
+    private var closed = false
+
+    private def stop(): Unit = {
+      if (!closed) { closed = true; scala.util.Try(in.close()) }
+      nextPage = null
+    }
+
+    /** Header block bytes INCLUDING the CRLFCRLF terminator, or null at
+      * EOF / missing terminator / over-cap. */
+    private def readHeaderBlock(): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream(512)
+      var state = 0 // matched prefix length of \r\n\r\n
+      while (state < 4) {
+        val b = in.read()
+        if (b < 0 || buf.size >= MaxHeaderBytes) return null
+        buf.write(b)
+        state =
+          if (b == '\r') { if (state == 2) 3 else 1 }
+          else if (b == '\n') { if (state == 1) 2 else if (state == 3) 4 else 0 }
+          else 0
+      }
+      buf.toByteArray
+    }
 
     private def advance(): Unit = {
       nextPage = null
-      while (nextPage == null && pos < bytes.length) {
-        // header block: version line + fields, terminated by CRLFCRLF
-        val hdrEnd = byteIndexOf(bytes, CRLF2, pos)
-        if (hdrEnd < 0) { pos = bytes.length; return }
-        val header = new String(bytes, pos, hdrEnd - pos, StandardCharsets.UTF_8)
-        val lines = header.split("\r\n")
-        if (!lines.headOption.exists(_.startsWith("WARC/"))) { pos = bytes.length; return }
-        val fields = lines.drop(1).flatMap { l =>
-          val i = l.indexOf(':')
-          if (i < 0) None else Some(l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim)
-        }.toMap
-        val len = fields.get("content-length").flatMap(_.toLongOption)
-          .filter(n => n >= 0 && n <= Int.MaxValue.toLong)
-        len match {
-          case None => pos = bytes.length // unframed record: cannot continue
-          case Some(n) =>
-            val bodyStart = hdrEnd + 4
-            val bodyEnd = bodyStart + n.toInt
-            if (bodyEnd > bytes.length) { pos = bytes.length; return }
-            if (fields.get("warc-type").contains("response")) {
-              val uri = fields.get("warc-target-uri")
-              val ts = fields.get("warc-date").flatMap(d =>
-                scala.util.Try(Timestamp.from(java.time.Instant.parse(d))).toOption)
-              // payload = bytes after the HTTP header block (if present)
-              val httpEnd = byteIndexOf(bytes, CRLF2, bodyStart)
-              val payloadStart =
-                if (httpEnd >= 0 && httpEnd + 4 <= bodyEnd &&
-                  bodyStart < bodyEnd && bytes(bodyStart) == 'H') httpEnd + 4
-                else bodyStart
-              (uri, ts) match {
-                case (Some(u), Some(t)) =>
-                  nextPage = WarcPage(
-                    u, t, java.util.Arrays.copyOfRange(bytes, payloadStart, bodyEnd))
-                case _ => // response without uri/date: skip
+      try {
+        while (nextPage == null && !closed) {
+          val hdrBytes = readHeaderBlock()
+          if (hdrBytes == null) { stop(); return }
+          val header =
+            new String(hdrBytes, 0, hdrBytes.length - 4, StandardCharsets.UTF_8)
+          val lines = header.split("\r\n")
+          if (!lines.headOption.exists(_.startsWith("WARC/"))) { stop(); return }
+          val fields = lines.drop(1).flatMap { l =>
+            val i = l.indexOf(':')
+            if (i < 0) None
+            else Some(l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim)
+          }.toMap
+          val len = fields.get("content-length").flatMap(_.toLongOption)
+            .filter(n => n >= 0 && n <= Int.MaxValue.toLong)
+          len match {
+            case None => stop() // unframed record: cannot continue
+            case Some(n) =>
+              val body = in.readNBytes(n.toInt)
+              if (body.length < n.toInt) { stop(); return } // truncated record
+              if (fields.get("warc-type").contains("response")) {
+                val uri = fields.get("warc-target-uri")
+                val ts = fields.get("warc-date").flatMap(d =>
+                  scala.util.Try(Timestamp.from(java.time.Instant.parse(d))).toOption)
+                // payload = bytes after the HTTP header block (if present)
+                val httpEnd = byteIndexOf(body, CRLF2, 0)
+                val payload =
+                  if (httpEnd >= 0 && body.nonEmpty && body(0) == 'H')
+                    java.util.Arrays.copyOfRange(body, httpEnd + 4, body.length)
+                  else body
+                (uri, ts) match {
+                  case (Some(u), Some(t)) => nextPage = WarcPage(u, t, payload)
+                  case _ => // response without uri/date: skip
+                }
               }
-            }
-            // consume the two record-terminating CRLFs when present
-            pos = bodyEnd
-            var terms = 0
-            while (terms < 2 && pos + 2 <= bytes.length &&
-              bytes(pos) == '\r' && bytes(pos + 1) == '\n') { pos += 2; terms += 1 }
+              // consume the two record-terminating CRLFs when present
+              var terms = 0
+              var more = true
+              while (terms < 2 && more) {
+                in.mark(2)
+                val a = in.read()
+                val b = if (a >= 0) in.read() else -1
+                if (a == '\r' && b == '\n') terms += 1
+                else {
+                  if (a >= 0) in.reset()
+                  more = false
+                }
+              }
+          }
         }
+        if (nextPage == null) stop()
+      } catch {
+        // corrupt gzip member / I/O failure mid-file: keep what we have
+        case _: java.io.IOException => stop()
       }
     }
 
     advance()
     override def hasNext: Boolean = nextPage != null
     override def next(): WarcPage = {
-      val p = nextPage; advance(); p
+      val p = nextPage
+      advance()
+      p
     }
   }
 
-  /** Raw record frame: (url, warc_ts, html) from every `.warc` under
-    * `path` (glob allowed). One task per file. */
+  /** Wrap `raw` in a gzip inflater when the magic bytes say so —
+    * extension-independent, so a mislabeled `.warc` that is really gzip
+    * still parses. Multi-member streams (CC's per-record convention)
+    * decode transparently: `GZIPInputStream` starts the next member when
+    * one ends. */
+  def maybeGunzip(raw: InputStream): InputStream = {
+    val buf = new BufferedInputStream(raw, 1 << 16)
+    buf.mark(2)
+    val a = buf.read()
+    val b = buf.read()
+    buf.reset()
+    if (a == 0x1f && b == 0x8b) new GZIPInputStream(buf, 1 << 16) else buf
+  }
+
+  /** Raw record frame: (url, warc_ts, html) from every `.warc` /
+    * `.warc.gz` under `path` (glob allowed). One task per file; each
+    * file is STREAMED through the Hadoop filesystem (the binaryFile
+    * listing is pruned to `path` only, so file contents are never
+    * buffered as rows). */
   def records(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     spark.read.format("binaryFile").load(path)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .mapPartitions(_.flatMap(parseRecords))
+      .select(col("path"))
+      .as[String]
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(confBc.value.value)
+          parseStream(maybeGunzip(fs.open(hp)))
+        }
+      }
       .toDF()
   }
 

@@ -142,4 +142,80 @@ class WarcSourceSpec extends AnyFunSuite {
 
   private def parseAll(bytes: Array[Byte]): Seq[WarcSource.WarcPage] =
     WarcSource.parseRecords(bytes).toSeq
+
+  // ---- gzip twin (production Common Crawl framing) -------------------------
+
+  /** One gzip MEMBER per record — Common Crawl's convention (the member
+    * boundary is what lets CC index byte offsets into `.warc.gz`). */
+  private def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(record)
+    gz.close()
+    out.toByteArray
+  }
+
+  private lazy val warcGzDir: Path = {
+    val dir = Files.createTempDirectory("graft-warc-gz")
+    corpus.pages.zipWithIndex.groupBy(_._2 % 3).foreach { case (shard, ps) =>
+      val recs = Seq(otherRecord("warcinfo", "software: graft-fixture\r\n")) ++
+        ps.flatMap { case (p, _) =>
+          Seq(otherRecord("request", s"GET ${p.url} HTTP/1.1\r\n"), responseRecord(p))
+        }
+      writeWarc(dir, f"crawl-$shard%05d.warc.gz", recs.map(gzipMember))
+    }
+    dir
+  }
+
+  test("per-record-member .warc.gz parses byte-identically to its plain twin " +
+    "and to the parquet twin") {
+    import spark.implicits._
+    val fromGz = WarcSource.pages(spark, warcGzDir.toString + "/*.warc.gz")
+      .select($"url", $"warc_ts", $"html", $"text", $"lang")
+    val fromPlain = WarcSource.pages(spark, warcDir.toString + "/*.warc")
+      .select($"url", $"warc_ts", $"html", $"text", $"lang")
+    assert(fromGz.count() == S.toLong)
+    assert(fromGz.exceptAll(fromPlain).count() == 0 &&
+      fromPlain.exceptAll(fromGz).count() == 0,
+      "gz pages must equal the plain-warc pages byte-for-byte")
+    val twin = spark.createDataFrame(corpus.pages)
+      .withColumn("lang", lit(null).cast("string"))
+    assert(fromGz.exceptAll(twin).count() == 0 &&
+      twin.exceptAll(fromGz).count() == 0,
+      "gz pages must equal the parquet twin byte-for-byte")
+  }
+
+  test("whole-file single-member gzip decodes too (mislabeled extension included)") {
+    val dir = Files.createTempDirectory("graft-warc-gz1")
+    val recs = corpus.pages.take(5).map(responseRecord)
+    // one member for the WHOLE file, and a deliberately plain `.warc` name:
+    // detection is by magic bytes, not extension
+    Files.write(dir.resolve("whole.warc"),
+      gzipMember(recs.reduce(_ ++ _)))
+    val got = WarcSource.pages(spark, dir.toString + "/*.warc")
+    assert(got.count() == 5)
+    assert(got.select("url").collect().map(_.getString(0)).toSet ==
+      corpus.pages.take(5).map(_.url).toSet)
+  }
+
+  test("a corrupt gzip member ends that file's scan; prior records survive") {
+    val dir = Files.createTempDirectory("graft-warc-gzbad")
+    val good = gzipMember(responseRecord(corpus.pages.head))
+    val bad = Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3, 4, 5, 6, 7, 8)
+    val out = new ByteArrayOutputStream()
+    out.write(good); out.write(bad)
+    Files.write(dir.resolve("trunc.warc.gz"), out.toByteArray)
+    val got = WarcSource.pages(spark, dir.toString + "/*.warc.gz")
+      .select("url").collect().map(_.getString(0)).toSeq
+    assert(got == Seq(corpus.pages.head.url))
+  }
+
+  test("streamed records never buffer whole files: listing is pruned to path") {
+    // the plan must read ONLY `path` from the binaryFile relation — the
+    // content column (whole-file bytes) stays out of the scan schema
+    val plan = WarcSource.records(spark, warcDir.toString + "/*.warc")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("path") && !plan.contains("content"),
+      s"binaryFile scan must prune content:\n$plan")
+  }
 }
