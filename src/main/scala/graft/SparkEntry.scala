@@ -1123,13 +1123,21 @@ object SparkEntry {
     // every page of a registered domain lands on ONE side of the
     // train/valid/test boundary; doc_id%7==3 pages get a `www.` host so
     // the ≥3-label → registered-domain collapse is exercised
-    // (www.SRC.example must split WITH SRC.example). One md5 projection —
-    // DuckDB replays the draw bit-for-bit.
+    // (www.SRC.example must split WITH SRC.example), and %7∈{1,5} pages
+    // live under co.uk — www.SRC.co.uk must split WITH SRC.co.uk via the
+    // public-suffix table, NOT fuse into one 'co.uk' pseudo-domain. One
+    // md5 projection — DuckDB replays the draw bit-for-bit.
     "q_domain_split" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id"), col("source"))
       val u = when(col("doc_id") % 7 === 3,
         concat(lit("https://www."), col("source"), lit(".example/d"),
           pmod(col("doc_id"), lit(5)), lit("/doc"), col("doc_id"), lit(".html")))
+        .when(col("doc_id") % 7 === 5,
+          concat(lit("https://www."), col("source"), lit(".co.uk/doc"),
+            col("doc_id"), lit(".html")))
+        .when(col("doc_id") % 7 === 1,
+          concat(lit("https://"), col("source"), lit(".co.uk/doc"),
+            col("doc_id"), lit(".html")))
         .otherwise(urlCol)
       Splits.domainSplit(base.withColumn("url", u))
         .select(col("doc_id"), col("domain"), col("split"))
@@ -1140,16 +1148,23 @@ object SparkEntry {
     // (site<id%13>.example); three domains listed — every subdomain of a
     // listed site must flag — plus one HOST-level entry
     // (h40.site1.example) that must flag exactly doc 40 while the rest of
-    // site1.example passes
+    // site1.example passes. %11==6 docs live under co.uk shops
+    // (h<k>.shop<m>.co.uk): the listed 'shop4.co.uk' must flag exactly
+    // shop4's subdomains — possible only with the public-suffix table
+    // (the two-label cut collapsed every UK site into 'co.uk')
     "q_domain_blocklist" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(
         col("doc_id"),
-        concat(lit("https://h"), pmod(col("doc_id"), lit(97)),
-          lit(".site"), pmod(col("doc_id"), lit(13)),
-          lit(".example/p"), col("doc_id")).as("url"))
+        when(pmod(col("doc_id"), lit(11)) === 6,
+          concat(lit("https://h"), pmod(col("doc_id"), lit(97)),
+            lit(".shop"), pmod(col("doc_id"), lit(13)),
+            lit(".co.uk/p"), col("doc_id")))
+          .otherwise(concat(lit("https://h"), pmod(col("doc_id"), lit(97)),
+            lit(".site"), pmod(col("doc_id"), lit(13)),
+            lit(".example/p"), col("doc_id"))).as("url"))
       val blocked = Seq("site2.example", "site5.example", "site11.example",
-        "h40.site1.example").toDF("domain")
+        "h40.site1.example", "shop4.co.uk").toDF("domain")
       QualityFilters.flagBlockedDomains(d, blocked)
         .select(col("doc_id"), col("domain"), col("blocked"))
     }),
@@ -1158,14 +1173,19 @@ object SparkEntry {
     // same subdomain construction; docs on site3/site6 domains truncate
     // to 20 words, dragging those DOMAINS' mean token count under the
     // threshold — a content farm drops whole while a good site keeps its
-    // occasional short page. Integral scores keep the mean exact.
+    // occasional short page. Integral scores keep the mean exact. The
+    // two farm sites live under co.uk: the public-suffix table keeps
+    // site3.co.uk and site6.co.uk as SEPARATE pooled means (the old
+    // two-label cut would have fused them — and every other UK site —
+    // into one 'co.uk' pseudo-domain mean).
     "q_domain_quality" -> ((s, dir) => {
       val ws = split(col("text"), " ")
       val d = docs(s, dir).select(
         col("doc_id"),
         concat(lit("https://h"), pmod(col("doc_id"), lit(97)),
           lit(".site"), pmod(col("doc_id"), lit(13)),
-          lit(".example/p"), col("doc_id")).as("url"),
+          when(pmod(col("doc_id"), lit(13)).isin(3, 6), lit(".co.uk/p"))
+            .otherwise(lit(".example/p")), col("doc_id")).as("url"),
         when(pmod(col("doc_id"), lit(13)).isin(3, 6),
           array_join(slice(ws, 1, 20), " ")).otherwise(col("text")).as("text"))
         .withColumn("score", size(split(col("text"), " ")))
@@ -1791,20 +1811,28 @@ object SparkEntry {
       |  round(CAST(ov AS DOUBLE) / (na + nb - ov), 6) AS jac FROM o)""".stripMargin
 
   private def oracleSqlBase: Map[String, String] = Map(
-    // mirrors q_domain_split: host → registered domain → md5 draw; hex
-    // thresholds are floor(f·2^32) (0.8 → cccccccc, 0.9 → e6666666)
+    // mirrors q_domain_split: host → public-suffix-aware registered
+    // domain (the interpolated CASE is PublicSuffix.registeredDomainCaseSql
+    // — the SAME snapshot the engine probes) → md5 draw; hex thresholds
+    // are floor(f·2^32) (0.8 → cccccccc, 0.9 → e6666666)
     "q_domain_split" ->
       s"""WITH u AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3
         |    THEN 'https://www.' || source || '.example/d' ||
         |      CAST(doc_id % 5 AS VARCHAR) || '/doc' ||
+        |      CAST(doc_id AS VARCHAR) || '.html'
+        |    WHEN doc_id % 7 = 5
+        |    THEN 'https://www.' || source || '.co.uk/doc' ||
+        |      CAST(doc_id AS VARCHAR) || '.html'
+        |    WHEN doc_id % 7 = 1
+        |    THEN 'https://' || source || '.co.uk/doc' ||
         |      CAST(doc_id AS VARCHAR) || '.html'
         |    ELSE $urlSql END AS url FROM documents),
         |h AS (SELECT doc_id,
         |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
         |  FROM u),
         |p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM h),
-        |d AS (SELECT doc_id, CASE WHEN len(parts) <= 2 THEN host
-        |  ELSE parts[len(parts)-1] || '.' || parts[len(parts)] END AS domain
+        |d AS (SELECT doc_id,
+        |  ${PublicSuffix.registeredDomainCaseSql("host", "parts")} AS domain
         |  FROM p),
         |k AS (SELECT doc_id, domain,
         |  substring(md5(domain || ':7'), 1, 8) AS key FROM d)
@@ -1815,45 +1843,53 @@ object SparkEntry {
         |FROM k""".stripMargin,
 
     // mirrors q_domain_blocklist: same url construction, host regex,
-    // last-two-labels registered domain, and the domain-or-host list
-    // membership
+    // public-suffix-aware registered domain (shared CASE snapshot), and
+    // the domain-or-host list membership
     "q_domain_blocklist" ->
-      s"""WITH u AS (SELECT doc_id,
-        |  'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.site' ||
-        |    CAST(doc_id % 13 AS VARCHAR) || '.example/p' ||
-        |    CAST(doc_id AS VARCHAR) AS url FROM documents),
+      s"""WITH u AS (SELECT doc_id, CASE WHEN doc_id % 11 = 6
+        |    THEN 'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.shop' ||
+        |      CAST(doc_id % 13 AS VARCHAR) || '.co.uk/p' ||
+        |      CAST(doc_id AS VARCHAR)
+        |    ELSE 'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.site' ||
+        |      CAST(doc_id % 13 AS VARCHAR) || '.example/p' ||
+        |      CAST(doc_id AS VARCHAR) END AS url FROM documents),
         |h AS (SELECT doc_id,
         |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
         |  FROM u),
         |p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM h),
         |d AS (SELECT doc_id, lower(host) AS host,
-        |  lower(CASE WHEN len(parts) <= 2 THEN host
-        |  ELSE parts[len(parts)-1] || '.' || parts[len(parts)] END) AS domain
+        |  lower(coalesce(
+        |    ${PublicSuffix.registeredDomainCaseSql("host", "parts")},
+        |    '')) AS domain
         |  FROM p)
         |SELECT doc_id, domain,
         |  domain IN ('site2.example', 'site5.example', 'site11.example',
-        |    'h40.site1.example')
+        |    'h40.site1.example', 'shop4.co.uk')
         |  OR host IN ('site2.example', 'site5.example', 'site11.example',
-        |    'h40.site1.example') AS blocked
+        |    'h40.site1.example', 'shop4.co.uk') AS blocked
         |FROM d""".stripMargin,
 
-    // mirrors q_domain_quality: same plant, url, registered domain, and
-    // the exact sum(long)/count mean
+    // mirrors q_domain_quality: same plant, url, public-suffix-aware
+    // registered domain (shared CASE snapshot), and the exact
+    // sum(long)/count mean
     "q_domain_quality" ->
       s"""WITH pl AS (SELECT doc_id, CASE WHEN doc_id % 13 IN (3, 6)
         |    THEN array_to_string(string_split(text, ' ')[1:20], ' ')
         |    ELSE text END AS text FROM documents),
         |u AS (SELECT doc_id, len(string_split(text, ' ')) AS score,
         |  'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.site' ||
-        |    CAST(doc_id % 13 AS VARCHAR) || '.example/p' ||
+        |    CAST(doc_id % 13 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 13 IN (3, 6) THEN '.co.uk/p'
+        |      ELSE '.example/p' END ||
         |    CAST(doc_id AS VARCHAR) AS url FROM pl),
         |h AS (SELECT doc_id, score,
         |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
         |  FROM u),
         |p AS (SELECT doc_id, score, host, string_split(host, '.') AS parts
         |  FROM h),
-        |d AS (SELECT doc_id, score, lower(CASE WHEN len(parts) <= 2 THEN host
-        |  ELSE parts[len(parts)-1] || '.' || parts[len(parts)] END) AS domain
+        |d AS (SELECT doc_id, score, lower(coalesce(
+        |    ${PublicSuffix.registeredDomainCaseSql("host", "parts")},
+        |    '')) AS domain
         |  FROM p),
         |m AS (SELECT domain,
         |  round(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) AS domain_mean

@@ -30,16 +30,40 @@ object Splits {
   def host(url: Column): Column =
     regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
 
-  /** Registered domain = last two dot-labels of the host (`www.news
-    * .example` → `news.example`); hosts with ≤ 2 labels pass through.
-    * A public-suffix list would refine multi-label TLDs (`co.uk`) — at
-    * this fixture's `.example` universe two labels are exact, and the
-    * seam is this one function. */
+  /** Registered domain of the host, public-suffix aware: consult the
+    * embedded [[PublicSuffix]] snapshot for multi-label TLDs FIRST, then
+    * fall back to the last two dot-labels.
+    *
+    *   - `news.bbc.co.uk` → `bbc.co.uk` (co.uk is a 2-label suffix: keep
+    *     THREE labels — `bbc.co.uk` and `argos.co.uk` stay distinct
+    *     sites instead of fusing into one `co.uk` pseudo-domain);
+    *   - `district.school.k12.ca.us` → `school.k12.ca.us` (3-label
+    *     suffix: keep FOUR);
+    *   - a BARE public suffix (`co.uk`, `k12.ca.us`) is nobody's
+    *     registered domain → NULL (callers that must never see NULL —
+    *     the blocklist/quality gates — already coalesce to '');
+    *   - everything else: `www.news.example` → `news.example`, hosts
+    *     with ≤ 2 labels pass through unchanged.
+    *
+    * Membership is an `InSet` hash probe on the lowercased suffix inside
+    * the same codegen'd projection — still no join, no shuffle. The SQL
+    * mirror is [[PublicSuffix.registeredDomainCaseSql]], interpolating
+    * the SAME snapshot. */
   def registeredDomain(url: Column): Column = {
     val h = host(url)
     val parts = split(h, "\\.")
-    when(size(parts) <= 2, h)
-      .otherwise(concat_ws(".", slice(parts, -2, 2)))
+    val n = size(parts)
+    val last2 = concat_ws(".", slice(parts, -2, 2))
+    val last3 = concat_ws(".", slice(parts, -3, 3))
+    val last4 = concat_ws(".", slice(parts, -4, 4))
+    val inS3 = lower(last3).isInCollection(PublicSuffix.threeLabel)
+    val inS2 = lower(last2).isInCollection(PublicSuffix.twoLabel)
+    when(n >= 4 && inS3, last4)
+      .when(n === 3 && inS3, lit(null).cast("string"))
+      .when(n >= 3 && inS2, last3)
+      .when(n === 2 && inS2, lit(null).cast("string"))
+      .when(n <= 2, h)
+      .otherwise(last2)
   }
 
   /** Adds `domain` and `split` ∈ {train, valid, test} columns. Fractions

@@ -27,6 +27,36 @@ class SplitsSpec extends AnyFunSuite {
     assert(df(4) == (("a.b.co", "b.co")))
   }
 
+  test("public-suffix awareness: co.uk-class sites stay distinct, bare suffixes are nobody's domain") {
+    import spark.implicits._
+    val df = Seq(
+      "https://bbc.co.uk/news",
+      "https://news.bbc.co.uk/story.html",
+      "https://media.news.bbc.co.uk/clip",
+      "https://argos.co.uk/catalogue",
+      "https://co.uk/",                        // bare 2-label suffix
+      "https://www.example.com.au/x",
+      "https://school.k12.ca.us/home",
+      "https://district.school.k12.ca.us/a",
+      "https://k12.ca.us/",                    // bare 3-label suffix
+      "https://city.ca.us/hall",               // state.us is itself a suffix
+      "https://plain.example.com/y")
+      .toDF("url")
+      .select(Splits.registeredDomain(col("url")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(df(0) == "bbc.co.uk")
+    assert(df(1) == "bbc.co.uk", "news.bbc.co.uk must split WITH bbc.co.uk")
+    assert(df(2) == "bbc.co.uk")
+    assert(df(3) == "argos.co.uk", "argos.co.uk must NOT fuse with bbc.co.uk")
+    assert(df(4) == null, "co.uk is a public suffix, never a domain")
+    assert(df(5) == "example.com.au")
+    assert(df(6) == "school.k12.ca.us")
+    assert(df(7) == "school.k12.ca.us")
+    assert(df(8) == null, "k12.ca.us is a public suffix, never a domain")
+    assert(df(9) == "city.ca.us")
+    assert(df(10) == "example.com")
+  }
+
   test("leak-freedom: every page of a domain lands on exactly one side") {
     import spark.implicits._
     // 200 domains × {bare, www, deep-sub} × 3 paths = 1800 pages
