@@ -847,10 +847,23 @@ object SparkEntry {
         col("doc_id"),
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))),
 
-    "q_token_count_bpe" -> ((s, dir) =>
-      docs(s, dir).select(
+    // token count under LEARNED BPE merges (12 training rounds over the
+    // same corpus — the statistic a token-budget solver consumes); the
+    // oracle re-trains the merges itself as unrolled SQL rounds and
+    // applies them with the same marker-string replace chain
+    "q_token_count_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Bpe.trainMerges(d, rounds = 12)
+      d.select(
         col("doc_id"),
-        TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe"))),
+        Bpe.tokenCountUnderMerges(col("text"), merges).as("n_bpe"))
+    }),
+
+    // the learned merge table itself: (round, lhs, rhs, pair_count) —
+    // every round's argmax pair under the (count desc, lhs, rhs)
+    // tie-break, replayed round-for-round by the oracle
+    "q_bpe_merges" -> ((s, dir) =>
+      Bpe.mergesDF(s, Bpe.trainMerges(docs(s, dir), rounds = 12))),
 
     "q_lang_stats" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
@@ -2667,10 +2680,10 @@ object SparkEntry {
         |FROM d""".stripMargin,
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
-    "q_token_count_bpe" ->
-      """SELECT doc_id,
-        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
-        |FROM documents""".stripMargin,
+    // re-trains the 12 BPE rounds in SQL (materialized CTE chain) and
+    // counts markers under the same replace cascade
+    "q_token_count_bpe" -> Bpe.tokenCountOracleSql(rounds = 12),
+    "q_bpe_merges" -> Bpe.mergesOracleSql(rounds = 12),
     "q_quality" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
         |  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 6)
