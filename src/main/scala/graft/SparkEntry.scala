@@ -1132,6 +1132,14 @@ object SparkEntry {
     "q_semdedup" -> ((s, dir) =>
       Similarity.semDedup(plantedEmbeddings(s, dir, toDouble = true), k = 8, tau = 0.8)),
 
+    // ---- text -> embedding (hashing trick), exploded for the oracle ----
+    // signed md5-bucketed token counts: the projection that lets the
+    // ANN/SemDeDup/cosine tier run end-to-end from raw pages; doubles
+    // are exact small integers so the compare is bit-stable
+    "q_text_embed" -> ((s, dir) =>
+      TextEmbed.hashedEmbedding(docs(s, dir), dim = 64, seed = 7L)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("i", "v")))),
+
     // ---- leak-free domain-grouped split ----
     // every page of a registered domain lands on ONE side of the
     // train/valid/test boundary; doc_id%7==3 pages get a `www.` host so
@@ -2684,6 +2692,10 @@ object SparkEntry {
     // counts markers under the same replace cascade
     "q_token_count_bpe" -> Bpe.tokenCountOracleSql(rounds = 12),
     "q_bpe_merges" -> Bpe.mergesOracleSql(rounds = 12),
+
+    // mirrors q_text_embed: same md5 bucket/sign draws, zero-filled
+    // dense grid via the dim-row cross join
+    "q_text_embed" -> TextEmbed.oracleSql(dim = 64, seed = 7L),
     "q_quality" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
         |  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 6)

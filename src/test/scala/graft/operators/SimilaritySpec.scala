@@ -228,4 +228,42 @@ class SimilaritySpec extends AnyFunSuite {
       .select("bucket").as[Long].collect()
     assert(buckets(0) == buckets(1))
   }
+
+  test("semDedup end-to-end from RAW TEXT via TextEmbed.hashedEmbedding") {
+    import spark.implicits._
+    // distinct filler docs plus two exact-copy pairs: identical text ->
+    // identical hashed embedding -> cosine 1 -> the higher id of each
+    // pair deletes; distinct docs (disjoint token bags) survive
+    val r = new scala.util.Random(5)
+    val words = (0 until 400).map(i => s"w${i}x").toArray
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.fill(30)(words(r.nextInt(words.length))).mkString(" "))
+    }
+    val copies = Seq(7L, 23L).map(i => (i + 1000L, base(i.toInt)._2))
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val emb = TextEmbed.hashedEmbedding(docs, dim = 64, seed = 7L)
+      .withColumnRenamed("doc_id", "vec_id")
+    val out = Similarity.semDedup(emb, k = 6, tau = 0.999)
+    val rows = out.collect().map(x =>
+      x.getAs[Long]("vec_id") -> x.getAs[Boolean]("deleted")).toMap
+    assert(rows.size == 62, "one row per doc")
+    assert(rows(1007L) && rows(1023L), "copies must be deleted")
+    assert(!rows(7L) && !rows(23L), "originals must survive")
+  }
+
+  test("hashedEmbedding: deterministic, zero vector for empty text, dim enforced") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta alpha"), (1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    def run() = TextEmbed.hashedEmbedding(docs, dim = 16).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        x.getSeq[Double](x.fieldIndex("embedding")).toVector).toMap
+    val a = run()
+    val b = run()
+    assert(a == b, "deterministic under rerun")
+    assert(a(0L).length == 16)
+    assert(a(0L).map(math.abs).sum == 3.0, "three signed unit contributions")
+    assert(a(1L).forall(_ == 0.0) && a(2L).forall(_ == 0.0), "empty docs -> zero vector")
+    intercept[IllegalArgumentException](
+      TextEmbed.hashedEmbedding(docs, dim = 48)) // not a power of two
+  }
 }
