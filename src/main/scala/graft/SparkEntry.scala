@@ -1090,6 +1090,20 @@ object SparkEntry {
     // permanent no_oracle rows on the flagship surface — VERDICT r2)
     "q_dedup_decisions" -> (fullPlantedDecisions _),
 
+    // ---- soft-delete sink (O22) driver signal ----
+    // the decisions table round-trips through the ACTUAL sink
+    // (Sinks.writeDecisions: parquet partitioned by state) and reads
+    // back pruned to the delete partition — so the driver oracles the
+    // sink write+scan path, not just the upstream decision logic
+    "q_deletions" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_deletions_").toString
+      Sinks.writeDecisions(fullPlantedDecisions(s, dir), out)
+      s.read.parquet(out)
+        .where(col("state") === "delete")
+        .select(col("url"), col("cluster_size"), col("state"))
+    }),
+
     "q_dedup_stats" -> (exactPlantedStats _),
 
     // ---- similarity search (rows-only; ScalaTest oracle vs brute force) ----
@@ -1428,7 +1442,13 @@ object SparkEntry {
     // flagship aliases run the SAME planted configurations, so they carry
     // the same oracles (VERDICT r2 missing.3)
     m + ("q_dedup_decisions" -> m("q_dedup_decisions_full")) +
-      ("q_dedup_stats" -> m("q_dedup_stats_exact"))
+      ("q_dedup_stats" -> m("q_dedup_stats_exact")) +
+      // the sink round-trip carries the full-pipeline decisions oracle
+      // filtered to the delete partition
+      ("q_deletions" ->
+        s"""SELECT url, cluster_size, state FROM (
+           |${m("q_dedup_decisions_full")}
+           |) t WHERE state = 'delete'""".stripMargin)
   }
 
   /** The exhaustive 200-gram span truth shared by `q_dup_spans` (winnowing
