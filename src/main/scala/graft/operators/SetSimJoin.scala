@@ -29,8 +29,14 @@ import org.apache.spark.sql.functions._
   *     the join condition, before the exchange materialises them;
   *   - verification joins token arrays back only for surviving
   *     candidates; everything else moves (id, len, token) rows.
-  *   - production seams: positional filtering and PPJoin's suffix bound
-  *     tighten candidates further; both drop into the join condition.
+  *   - PPJoin's positional filter rides in the join condition too: each
+  *     prefix token carries its rank, and a pair whose best positional
+  *     overlap bound cannot reach the τ-implied minimum overlap drops
+  *     before the distinct and the verification join (see
+  *     [[positionalBound]] for the exactness argument);
+  *   - remaining production seam: PPJoin+'s suffix bound (a second
+  *     binary-search refinement per candidate) — cheaper verification,
+  *     same exchange shape.
   *
   * Reference anchor: the reference's candidate stage is its block
   * self-join (`ViewModels/MainViewModel.cs:1085-1130`); prefix tokens
@@ -52,6 +58,38 @@ object SetSimJoin {
     val tauNum = math.round(tau * 1000000L)
     n => floor((n.cast("long") * tauNum + (1000000L - 1)) / 1000000.0).cast("int")
   }
+
+  // exact integer ⌈a/b⌉ for a ≥ 0, b > 0: a − pmod(a,b) is an exact
+  // multiple of b, so its double division is exact (quotient ≤ 2^53) —
+  // no rounding-boundary risk on either side
+  private def ceilDiv(a: Column, b: Column): Column = {
+    val r = pmod(a, b)
+    ((a - r) / b).cast("long") + when(r > lit(0L), lit(1L)).otherwise(lit(0L))
+  }
+
+  /** PPJoin's minimum-overlap threshold for Jaccard τ over item sizes
+    * (la, lb): J(A,B) ≥ τ ⇔ |A∩B| ≥ τ/(1+τ)·(|A|+|B|), so
+    * α = ⌈τ·(la+lb) / (1+τ)⌉ in the same ppm arithmetic. */
+  private def alphaFn(tau: Double): (Column, Column) => Column = {
+    val tauNum = math.round(tau * 1000000L)
+    (la, lb) =>
+      ceilDiv((la.cast("long") + lb.cast("long")) * tauNum, lit(1000000L + tauNum))
+  }
+
+  /** PPJoin positional filter (Xiao et al. 2008 §3.2): a join row
+    * matches token w at 0-based rank pa of A's ordered tokens and pb of
+    * B's. For the pair's FIRST shared token no earlier token is shared,
+    * so total overlap ≤ 1 + min(la−pa−1, lb−pb−1); a pair whose every
+    * shared-prefix row fails `that bound ≥ minOverlap` cannot reach the
+    * threshold and drops BEFORE the distinct + verification join. Rows
+    * where the matched token is not the first shared one carry an
+    * invalid (too-high) bound — harmless: they can only KEEP the pair,
+    * and the first-shared row is always present for a true pair, so
+    * exactness is untouched while typical candidate volume drops
+    * substantially at high τ. */
+  private def positionalBound(
+      aLen: Column, aPos: Column, bLen: Column, bPos: Column): Column =
+    lit(1) + least(aLen - aPos - lit(1), bLen - bPos - lit(1))
 
   /** (w, df) document frequencies over a (pid, ts) items frame. */
   private def freqOf(base: DataFrame): DataFrame =
@@ -79,32 +117,59 @@ object SetSimJoin {
         size(col("sw")).as("len"))
   }
 
+  /** Prefix tokens with their 0-based rank in the item's ordered token
+    * list: (pid, len, p, w). The rank feeds the positional filter. */
+  private def prefixed(ordered: DataFrame, ceilTau: Column => Column): DataFrame =
+    ordered.select(
+      col("pid"), col("len"),
+      posexplode(slice(col("ots"), lit(1),
+        greatest(lit(1), col("len") - ceilTau(col("len")) + 1))).as(Seq("p", "w")))
+
+  /** Deduped self-join candidate pairs before verification — exposed
+    * package-side so the spec and the PLAN 15 audit can measure the
+    * positional filter's tightening against the same inputs with it
+    * off. */
+  private[graft] def selfCandidates(
+      items: DataFrame,
+      tau: Double,
+      id: String = "item_id",
+      toks: String = "toks",
+      positional: Boolean = true): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
+    val ceilTau = ceilTauFn(tau)
+    val alpha = alphaFn(tau)
+    val base = items
+      .select(col(id).as("pid"), array_distinct(col(toks)).as("ts"))
+      .where(size(col("ts")) > 0)
+    val pref = prefixed(rareFirst(base, freqOf(base)), ceilTau)
+    val lengthOk =
+      least(col("a.len"), col("b.len")) >=
+        ceilTau(greatest(col("a.len"), col("b.len")))
+    val posOk =
+      positionalBound(col("a.len"), col("a.p"), col("b.len"), col("b.p")) >=
+        alpha(col("a.len"), col("b.len"))
+    pref.as("a")
+      .join(pref.as("b"),
+        col("a.w") === col("b.w") && col("a.pid") < col("b.pid") &&
+          lengthOk && (if (positional) posOk else lit(true)))
+      .select(col("a.pid").as("id1"), col("b.pid").as("id2"))
+      .distinct()
+  }
+
   /** All pairs (id1 < id2, jac) with round(Jaccard, 6) ≥ τ over
     * `items(id, toks)`. Exact — the DuckDB oracle recomputes the same
-    * pair set from an exhaustive token join. */
+    * pair set from an exhaustive token join. Candidates are pruned by
+    * the length filter AND the PPJoin positional filter, both inside
+    * the join condition (before the exchange materialises them). */
   def similarPairs(
       items: DataFrame,
       tau: Double,
       id: String = "item_id",
       toks: String = "toks"): DataFrame = {
-    require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
-    val ceilTau = ceilTauFn(tau)
     val base = items
       .select(col(id).as("pid"), array_distinct(col(toks)).as("ts"))
       .where(size(col("ts")) > 0)
-    val ordered = rareFirst(base, freqOf(base))
-    val pref = ordered.select(
-      col("pid"), col("len"),
-      explode(slice(col("ots"), lit(1),
-        greatest(lit(1), col("len") - ceilTau(col("len")) + 1))).as("w"))
-    val a = pref.as("a"); val b = pref.as("b")
-    val cand = a
-      .join(b,
-        col("a.w") === col("b.w") && col("a.pid") < col("b.pid") &&
-          least(col("a.len"), col("b.len")) >=
-            ceilTau(greatest(col("a.len"), col("b.len"))))
-      .select(col("a.pid").as("id1"), col("b.pid").as("id2"))
-      .distinct()
+    val cand = selfCandidates(items, tau, id, toks)
     cand
       .join(base.select(col("pid").as("id1"), col("ts").as("ta")), Seq("id1"))
       .join(base.select(col("pid").as("id2"), col("ts").as("tb")), Seq("id2"))
@@ -142,15 +207,18 @@ object SetSimJoin {
       .select(col(id).as("pid"), array_distinct(col(toks)).as("ts"))
       .where(size(col("ts")) > 0)
     val ordered = rareFirst(base, freqOf(base))
-    val aPref = ordered.select(
-      col("pid"), col("len"),
-      explode(slice(col("ots"), lit(1),
-        greatest(lit(1), col("len") - ceilTau(col("len")) + 1))).as("w"))
-    val bAll = ordered.select(col("pid"), col("len"), explode(col("ots")).as("w"))
+    val aPref = prefixed(ordered, ceilTau)
+    val bAll = ordered.select(
+      col("pid"), col("len"), posexplode(col("ots")).as(Seq("p", "w")))
+    // containment's minimum overlap is ⌈τ·|A|⌉ outright; the positional
+    // bound argument is unchanged (both sides rank under ONE order, and
+    // a true pair's first shared token carries a valid bound)
     val cand = aPref.as("a")
       .join(bAll.as("b"),
         col("a.w") === col("b.w") && col("a.pid") =!= col("b.pid") &&
-          col("b.len") >= ceilTau(col("a.len")))
+          col("b.len") >= ceilTau(col("a.len")) &&
+          positionalBound(col("a.len"), col("a.p"), col("b.len"), col("b.p")) >=
+            ceilTau(col("a.len")))
       .select(col("a.pid").as("id_sub"), col("b.pid").as("id_sup"))
       .distinct()
     cand
@@ -205,15 +273,15 @@ object SetSimJoin {
     val cBase = baseOf(corpus)
     // the shared total order: corpus df ascending, token tie-break
     val freq = freqOf(cBase)
-    def prefixed(b: DataFrame) = rareFirst(b, freq).select(
-      col("pid"), col("len"),
-      explode(slice(col("ots"), lit(1),
-        greatest(lit(1), col("len") - ceilTau(col("len")) + 1))).as("w"))
-    val cand = prefixed(pBase).as("a")
-      .join(prefixed(cBase).as("b"),
+    val alpha = alphaFn(tau)
+    def prefOf(b: DataFrame) = prefixed(rareFirst(b, freq), ceilTau)
+    val cand = prefOf(pBase).as("a")
+      .join(prefOf(cBase).as("b"),
         col("a.w") === col("b.w") &&
           least(col("a.len"), col("b.len")) >=
-            ceilTau(greatest(col("a.len"), col("b.len"))))
+            ceilTau(greatest(col("a.len"), col("b.len"))) &&
+          positionalBound(col("a.len"), col("a.p"), col("b.len"), col("b.p")) >=
+            alpha(col("a.len"), col("b.len")))
       .select(col("a.pid").as("probe_id"), col("b.pid").as("corpus_id"))
       .distinct()
     cand

@@ -125,6 +125,14 @@ object Plans {
     val s15 = p15.queryExecution.executedPlan.toString
     println(s"setsim exchanges: ${"Exchange".r.findAllIn(s15).size}")
     println(s"setsim reused: ${"Reused".r.findAllIn(s15).size}")
+    // PPJoin positional filter audit: candidates reaching verification
+    // with the filter off vs on (same inputs, same tau)
+    val candLoose = SetSimJoin
+      .selfCandidates(items15, tau = 0.8, positional = false).count()
+    val candTight = SetSimJoin
+      .selfCandidates(items15, tau = 0.8, positional = true).count()
+    println(s"setsim candidates loose/positional: $candLoose / $candTight" +
+      f" (${100.0 * (candLoose - candTight) / math.max(candLoose, 1L)}%.1f%% pruned)")
 
     println("=== PLAN 16: NB scoring (broadcast model; no doc-side shuffle before the per-doc agg) ===")
     val labeled16 = docs.select((col("doc_id") % 2).cast("int").as("label"), col("text"))

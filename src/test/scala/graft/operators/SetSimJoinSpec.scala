@@ -161,4 +161,38 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((2L, 3L, 1.0)))
     intercept[IllegalArgumentException] { SetSimJoin.similarPairs(items, 0.0) }
   }
+
+  test("positional filter tightens candidates and loses no true pair") {
+    import spark.implicits._
+    // adversarial for the PLAIN prefix filter: every item carries 2
+    // unique tokens (df 1 — they head the rare-first order, positions
+    // 0-1) plus the same 14 common tokens, so each prefix (len 16,
+    // tau 0.8 -> 4 tokens) ends with the 2 lowest common tokens at
+    // positions 2-3. All C(40,2) pairs collide there, but overlap is 14
+    // and J = 14/18 < 0.8 — none is true. The positional bound at
+    // positions (2..3, 2..3) is 1 + min(13,12) = 13..14 < alpha = 15,
+    // so the positional filter drops every one BEFORE verification.
+    // Two appended identical items (shared tokens at position 0) must
+    // survive it.
+    val common = (0 until 14).map(k => s"c$k")
+    val sets: Map[Long, Set[String]] =
+      (0L until 40L).map { id =>
+        id -> (common ++ Seq(s"u${id}a", s"u${id}b")).toSet
+      }.toMap ++ Map(
+        100L -> (common ++ Seq("twin1", "twin2")).toSet,
+        101L -> (common ++ Seq("twin1", "twin2")).toSet)
+    val items = sets.toSeq.map { case (i, s) => (i, s.toSeq) }
+      .toDF("item_id", "toks")
+    val loose = SetSimJoin
+      .selfCandidates(items, 0.8, positional = false).count()
+    val tight = SetSimJoin
+      .selfCandidates(items, 0.8, positional = true).count()
+    assert(tight < loose,
+      s"positional filter must prune candidates: $tight !< $loose")
+    // exactness: the verified pair set is the brute-force truth at two
+    // thresholds (the identical twins are the only 0.8-pair)
+    assert(run(sets, 0.8) == brute(sets, 0.8))
+    assert(run(sets, 0.8).contains((100L, 101L, 1.0)))
+    assert(run(sets, 0.5) == brute(sets, 0.5))
+  }
 }
