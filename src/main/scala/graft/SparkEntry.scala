@@ -1146,6 +1146,20 @@ object SparkEntry {
     "q_semdedup" -> ((s, dir) =>
       Similarity.semDedup(plantedEmbeddings(s, dir, toDouble = true), k = 8, tau = 0.8)),
 
+    // ---- SemDeDup end-to-end from RAW TEXT (no embeddings fixture) ----
+    // planted exact-copy docs (%20==0, +1000000) embed identically
+    // (hashing trick is a pure function of text) -> cosine 1 -> the
+    // higher id of each pair deletes; the oracle recomputes embedding,
+    // assignment, and deletion rule from the documents table alone
+    "q_semdedup_text" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val d = d0.unionByName(d0.where(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val emb = TextEmbed.hashedEmbedding(d, dim = 64, seed = 7L)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      Similarity.semDedup(emb, k = 8, tau = 0.95)
+    }),
+
     // ---- text -> embedding (hashing trick), exploded for the oracle ----
     // signed md5-bucketed token counts: the projection that lets the
     // ANN/SemDeDup/cosine tier run end-to-end from raw pages; doubles
@@ -2716,6 +2730,52 @@ object SparkEntry {
     // mirrors q_text_embed: same md5 bucket/sign draws, zero-filled
     // dense grid via the dim-row cross join
     "q_text_embed" -> TextEmbed.oracleSql(dim = 64, seed = 7L),
+
+    // mirrors q_semdedup_text: the q_text_embed construction over the
+    // planted-copy corpus, then the q_semdedup assignment + deletion
+    // rule — end-to-end semantic dedup from raw text, fully replayed
+    "q_semdedup_text" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 20 = 0),
+        |tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |    x -> x <> '')) AS w FROM d),
+        |h AS (SELECT doc_id,
+        |  CAST('0x' || substring(md5(w || ':7'), 1, 6) AS INTEGER) % 64
+        |    AS bucket,
+        |  1 - 2 * (CAST('0x' || substring(md5(w || ':7'), 7, 6) AS INTEGER) % 2)
+        |    AS c
+        |  FROM tok),
+        |b AS (SELECT doc_id, bucket, sum(c) AS v FROM h GROUP BY 1, 2),
+        |g AS (SELECT d2.doc_id, i.i AS i, CAST(coalesce(b.v, 0) AS DOUBLE) AS v
+        |  FROM (SELECT DISTINCT doc_id FROM d) d2
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+        |  LEFT JOIN b ON b.doc_id = d2.doc_id AND b.bucket = i.i),
+        |e AS (SELECT doc_id AS vec_id, list(v ORDER BY i) AS emb
+        |  FROM g GROUP BY doc_id),
+        |c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+        |  ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT vec_id, emb, centroid_id, cos_c FROM (
+        |  SELECT e.vec_id, e.emb, c.centroid_id,
+        |    list_dot_product(e.emb, c.cemb) /
+        |      (sqrt(list_dot_product(e.emb, e.emb)) *
+        |       sqrt(list_dot_product(c.cemb, c.cemb))) AS cos_c,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.emb, c.cemb) /
+        |        (sqrt(list_dot_product(e.emb, e.emb)) *
+        |         sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+        |      c.centroid_id) AS rnk
+        |  FROM e CROSS JOIN c) WHERE rnk = 1),
+        |del AS (SELECT DISTINCT y.vec_id
+        |  FROM a x JOIN a y ON x.centroid_id = y.centroid_id
+        |    AND x.vec_id < y.vec_id
+        |  WHERE list_dot_product(x.emb, y.emb) /
+        |    (sqrt(list_dot_product(x.emb, x.emb)) *
+        |     sqrt(list_dot_product(y.emb, y.emb))) >= 0.95)
+        |SELECT a.vec_id, a.centroid_id, round(a.cos_c, 6) AS cos_c,
+        |  (del.vec_id IS NOT NULL) AS deleted
+        |FROM a LEFT JOIN del ON a.vec_id = del.vec_id""".stripMargin,
     "q_quality" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
         |  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 6)
