@@ -1443,6 +1443,28 @@ object SparkEntry {
       SetSimJoin.keepNovel(p, SetSimJoin.similarPairsAcross(p, c, tau = 0.8))
     }),
 
+    // ---- exact edit-distance join (Ed-Join-style q-gram prefix filter) ----
+    // k=2 over synthetic urls ∪ three planted edit slices (sub/del/2×ins);
+    // the natural truth is urls differing in one or two doc_id digits. The
+    // oracle is the EXHAUSTIVE length-filtered levenshtein self-join —
+    // zero-miss exactness is the contract under test.
+    "q_edit_pairs" -> ((s, dir) =>
+      EditSimJoin.editPairs(editItems(docs(s, dir)), k = 2)),
+
+    "q_edit_keep" -> ((s, dir) => {
+      val items = editItems(docs(s, dir))
+      SetSimJoin.keepEarliest(items, EditSimJoin.editPairs(items, k = 2))
+    }),
+
+    // ---- WEIGHTED (tf) Jaccard set-similarity join ----
+    // τ=0.8 over whole-doc token BAGS (doc_id%4==2 slice); %16==2 items
+    // get a copy with its first two tokens REPEATED — set-Jaccard calls
+    // the twins identical (J=1.0), only the multiset semantics scores
+    // them n/(n+2). Oracle: exhaustive pairwise Σmin/Σmax.
+    "q_setsim_weighted" -> ((s, dir) =>
+      SetSimJoin.similarPairs(
+        SetSimJoin.multisetItems(setsimWeightedItems(docs(s, dir))), tau = 0.8)),
+
     // ---- multimodal: REAL JDK decode (ImageIO / WAV-PCM); rows-only ----
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, docs(s, dir))
@@ -1737,6 +1759,40 @@ object SparkEntry {
           concat(col("toks"), array(lit("zzzextra1"), lit("zzzextra2")))))
   }
 
+  /** Weighted-Jaccard fixture: token BAGS (duplicates kept) of the %4==2
+    * slice; %16==2 items get a copy (id+7500000) with the first two
+    * tokens REPEATED — weighted J = n/(n+2) vs set-J 1.0, so only the
+    * multiset semantics separates copy from original. Mirrored verbatim
+    * in [[setsimWeightedCte]]. */
+  private def setsimWeightedItems(d: DataFrame): DataFrame = {
+    val base = d.where(col("doc_id") % 4 === 2)
+      .select(col("doc_id").as("item_id"),
+        SetSimJoin.tokenBag(col("text")).as("toks"))
+    base.unionByName(
+      base.where(col("item_id") % 16 === 2)
+        .withColumn("item_id", col("item_id") + lit(7500000L))
+        .withColumn("toks", concat(col("toks"), slice(col("toks"), 1, 2))))
+  }
+
+  /** Edit-join fixture: every doc's synthetic url ∪ three planted edit
+    * slices — substituted first char (%25==3, id+8e6), dropped first char
+    * (%25==11, id+8.5e6), two appended chars (%25==17, id+9e6). Natural
+    * near-pairs (urls differing in one or two doc_id digits, same source)
+    * make the bulk of the truth; the plants pin one of each edit type.
+    * Mirrored verbatim in [[editPairsCte]]. */
+  private def editItems(d: DataFrame): DataFrame = {
+    val u = d.select(col("doc_id").as("item_id"), urlCol.as("s"))
+    u.unionByName(u.where(col("item_id") % 25 === 3).select(
+        (col("item_id") + 8000000L).as("item_id"),
+        concat(lit("x"), col("s").substr(lit(2), length(col("s")))).as("s")))
+      .unionByName(u.where(col("item_id") % 25 === 11).select(
+        (col("item_id") + 8500000L).as("item_id"),
+        col("s").substr(lit(2), length(col("s"))).as("s")))
+      .unionByName(u.where(col("item_id") % 25 === 17).select(
+        (col("item_id") + 9000000L).as("item_id"),
+        concat(col("s"), lit("zq")).as("s")))
+  }
+
   /** The q_near_dup_clusters configuration, shared with the keep-best
     * election query: length≥200 docs plus planted one-word-appended copies
     * (%25==7, id+3000000) through the full LSH → verify → CC path.
@@ -1864,6 +1920,55 @@ object SparkEntry {
       |  GROUP BY 1, 2, 3, 4),
       |pr AS (SELECT id1, id2,
       |  round(CAST(ov AS DOUBLE) / (na + nb - ov), 6) AS jac FROM o)""".stripMargin
+
+  /** Mirror of [[setsimWeightedItems]] + the exhaustive pairwise weighted
+    * (multiset) Jaccard truth: Σ_w min(cntA, cntB) / Σ_w max — the
+    * occurrence-token join must reproduce it exactly. */
+  private lazy val setsimWeightedCte: String =
+    """WITH b0 AS (SELECT doc_id AS item_id,
+      |  list_filter(string_split_regex(lower(text),
+      |    '[ \t\n\f\r]+'), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id % 4 = 2),
+      |b AS MATERIALIZED (SELECT item_id, toks FROM b0
+      |  UNION ALL
+      |  SELECT item_id + 7500000, list_concat(toks, toks[1:2])
+      |  FROM b0 WHERE item_id % 16 = 2),
+      |tc AS MATERIALIZED (SELECT item_id, w, count(*) AS c FROM (
+      |  SELECT item_id, unnest(toks) AS w FROM b) GROUP BY 1, 2),
+      |sz AS (SELECT item_id, len(toks) AS n FROM b),
+      |o AS (SELECT a.item_id AS id1, c2.item_id AS id2,
+      |  sum(least(a.c, c2.c)) AS ov
+      |  FROM tc a JOIN tc c2 ON a.w = c2.w AND a.item_id < c2.item_id
+      |  GROUP BY 1, 2),
+      |pr AS (SELECT id1, id2,
+      |  round(CAST(ov AS DOUBLE) / (na.n + nb.n - ov), 6) AS jac
+      |  FROM o JOIN sz na ON o.id1 = na.item_id
+      |         JOIN sz nb ON o.id2 = nb.item_id)""".stripMargin
+
+  /** Mirror of [[editItems]] + the exhaustive length-filtered levenshtein
+    * truth at k=2 (the q-gram prefix filter must lose nothing). */
+  private lazy val editPairsCte: String =
+    s"""WITH u AS MATERIALIZED (
+      |  SELECT doc_id AS item_id, $urlSql AS s FROM documents),
+      |it AS MATERIALIZED (
+      |  SELECT item_id, s FROM u
+      |  UNION ALL
+      |  SELECT item_id + 8000000, 'x' || substr(s, 2) FROM u
+      |  WHERE item_id % 25 = 3
+      |  UNION ALL
+      |  SELECT item_id + 8500000, substr(s, 2) FROM u
+      |  WHERE item_id % 25 = 11
+      |  UNION ALL
+      |  SELECT item_id + 9000000, s || 'zq' FROM u
+      |  WHERE item_id % 25 = 17),
+      |pr AS MATERIALIZED (
+      |  SELECT id1, id2, dist FROM (
+      |    SELECT a.item_id AS id1, b.item_id AS id2,
+      |      CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      |    FROM it a JOIN it b
+      |      ON a.item_id < b.item_id
+      |      AND abs(length(a.s) - length(b.s)) <= 2)
+      |  WHERE dist <= 2)""".stripMargin
 
   private def oracleSqlBase: Map[String, String] = Map(
     // mirrors q_domain_split: host → public-suffix-aware registered
@@ -2211,6 +2316,19 @@ object SparkEntry {
       s"""$setsimCte
         |SELECT b.item_id, b.item_id NOT IN (
         |  SELECT id2 FROM pr WHERE jac >= 0.8) AS kept FROM b""".stripMargin,
+
+    "q_setsim_weighted" ->
+      s"""$setsimWeightedCte
+        |SELECT id1, id2, jac FROM pr WHERE jac >= 0.8""".stripMargin,
+
+    "q_edit_pairs" ->
+      s"""$editPairsCte
+        |SELECT id1, id2, dist FROM pr""".stripMargin,
+
+    "q_edit_keep" ->
+      s"""$editPairsCte
+        |SELECT it.item_id, it.item_id NOT IN (
+        |  SELECT id2 FROM pr) AS kept FROM it""".stripMargin,
 
     "q_setsim_across" ->
       s"""$setsimAcrossCte

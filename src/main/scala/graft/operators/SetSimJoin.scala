@@ -49,6 +49,42 @@ object SetSimJoin {
   def tokenSet(text: Column): Column =
     array_distinct(filter(split(lower(text), "[ \\t\\n\\f\\r]+"), w => w =!= ""))
 
+  /** Raw (multiset) tokenisation — same split, duplicates KEPT; feeds
+    * [[multisetItems]]. */
+  def tokenBag(text: Column): Column =
+    filter(split(lower(text), "[ \\t\\n\\f\\r]+"), w => w =!= "")
+
+  /** Rewrites `items(id, toks)` token BAGS into occurrence-indexed token
+    * SETS (`word ++ \u0000 ++ occurrenceIndex`), turning every set
+    * operator downstream into its MULTISET counterpart: for occurrence
+    * sets OA, OB of bags A, B,
+    *   |OA ∩ OB| = Σ_w min(cntA(w), cntB(w))  and  |OA ∪ OB| = Σ_w max,
+    * so set-Jaccard over occurrence tokens IS the weighted (tf) Jaccard —
+    * [[similarPairs]] composed with this helper is an EXACT weighted
+    * set-similarity join, where plain token sets are blind to repetition
+    * (a doc and its tokens-repeated-twice twin have set-J 1.0 but
+    * weighted J 0.5 — exactly the near-dup boilerplate signal repetition
+    * carries).
+    *
+    * Scale shape: posexplode → occurrence rank over (id, word) — a
+    * window whose partitions are single-word-within-one-doc sized, never
+    * hot — → re-collect per id. Linear in corpus tokens, two narrow
+    * exchanges, text never shuffles (only (id, word) rows). */
+  def multisetItems(
+      items: DataFrame,
+      id: String = "item_id",
+      toks: String = "toks"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pid"), col("w")).orderBy(col("p"))
+    items
+      .select(col(id).as("pid"), posexplode(col(toks)).as(Seq("p", "w")))
+      .withColumn("occ", row_number().over(w) - 1)
+      .groupBy(col("pid"))
+      .agg(collect_list(
+        concat(col("w"), lit("\u0000"), col("occ").cast("string"))).as(toks))
+      .withColumnRenamed("pid", id)
+  }
+
   // ⌈τ·n⌉ in exact integer arithmetic (τ as parts-per-million): a bare
   // ceil(n * τ) is an IEEE trap — 5 * 0.8 = 4.000000000000000222, whose
   // ceil is 5, silently shrinking the prefix and BREAKING the exactness

@@ -67,6 +67,34 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(kept == Map(1L -> true, 2L -> false, 3L -> false, 9L -> true))
   }
 
+  test("multisetItems: weighted Jaccard exact vs brute force; repetition separates set-identical twins") {
+    import spark.implicits._
+    val bags = Map(
+      1L -> Seq("a", "b", "c", "d", "e", "f", "g", "h"),
+      2L -> Seq("a", "b", "c", "d", "e", "f", "g", "h", "a", "b"), // Σmin/Σmax = 8/10
+      3L -> Seq("a", "a", "a", "b"),
+      4L -> Seq("a", "b", "b", "b")) // set-J(3,4)=1.0 but weighted 2/6
+    val items = bags.toSeq.toDF("item_id", "toks")
+    val got = SetSimJoin
+      .similarPairs(SetSimJoin.multisetItems(items), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def wj(a: Seq[String], b: Seq[String]): Double = {
+      val ca = a.groupBy(identity).map { case (k, v) => k -> v.size }
+      val cb = b.groupBy(identity).map { case (k, v) => k -> v.size }
+      val keys = ca.keySet ++ cb.keySet
+      val mn = keys.toSeq.map(k => math.min(ca.getOrElse(k, 0), cb.getOrElse(k, 0))).sum
+      val mx = keys.toSeq.map(k => math.max(ca.getOrElse(k, 0), cb.getOrElse(k, 0))).sum
+      round6(mn.toDouble / mx)
+    }
+    val want = (for {
+      (i, a) <- bags.toSeq; (j, b) <- bags.toSeq if i < j
+      v = wj(a, b) if v >= 0.8
+    } yield (i, j, v)).toSet
+    assert(got == want)
+    // the tau-boundary twin survives; the set-identical (3,4) pair must NOT
+    assert(want == Set((1L, 2L, 0.8)))
+  }
+
   private def bruteCont(sets: Map[Long, Set[String]], tau: Double): Set[(Long, Long, Double)] =
     (for {
       (i, a) <- sets.toSeq; (j, b) <- sets.toSeq if i != j
