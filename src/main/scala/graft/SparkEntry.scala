@@ -1465,6 +1465,21 @@ object SparkEntry {
       SetSimJoin.similarPairs(
         SetSimJoin.multisetItems(setsimWeightedItems(docs(s, dir))), tau = 0.8)),
 
+    // ---- heavy hitters: Misra–Gries sketch pass + exact recount ----
+    // items = tokens, with the %5!=0 slice suffixed per-doc into a 9k-item
+    // unique tail (so the cap-256 sketch genuinely compresses; N=27k →
+    // certified max undercount ≤ 105 < minCount 120). The recount makes
+    // the output EXACT, so the oracle is a plain GROUP BY ... HAVING.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val items = docs(s, dir)
+        .select(col("doc_id"),
+          explode(SetSimJoin.tokenBag(col("text"))).as("tok"))
+        .select(when(col("doc_id") % 5 === 0, col("tok"))
+          .otherwise(concat(col("tok"), lit("#"), col("doc_id").cast("string")))
+          .as("item"))
+      HeavyHitters.frequentItems(items, "item", cap = 256, minCount = 120)
+    }),
+
     // ---- multimodal: REAL JDK decode (ImageIO / WAV-PCM); rows-only ----
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, docs(s, dir))
@@ -2320,6 +2335,17 @@ object SparkEntry {
     "q_setsim_weighted" ->
       s"""$setsimWeightedCte
         |SELECT id1, id2, jac FROM pr WHERE jac >= 0.8""".stripMargin,
+
+    // mirrors q_heavy_hitters: the sketch+recount output is EXACT, so the
+    // truth is the plain frequency query the sketch avoids running at scale
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text),
+        |    '[ \t\n\f\r]+'), x -> x <> '')) AS tok FROM documents),
+        |i AS (SELECT CASE WHEN doc_id % 5 = 0 THEN tok
+        |  ELSE tok || '#' || CAST(doc_id AS VARCHAR) END AS item FROM t)
+        |SELECT item, count(*) AS cnt FROM i
+        |GROUP BY 1 HAVING count(*) >= 120""".stripMargin,
 
     "q_edit_pairs" ->
       s"""$editPairsCte

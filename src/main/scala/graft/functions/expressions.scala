@@ -357,6 +357,8 @@ object gf {
     col(VecSimHash(expr(c), bits, seed))
   def bounded_topk(nkp: Column, id: Column, sim: Column, cap: Int): Column =
     col(BoundedTopK(expr(nkp), expr(id), expr(sim), cap).toAggregateExpression())
+  def misra_gries(item: Column, cap: Int): Column =
+    col(MisraGries(expr(item), cap).toAggregateExpression())
   def unicode_norm(c: Column, form: String = "NFC"): Column =
     col(UnicodeNorm(expr(c), form))
 }

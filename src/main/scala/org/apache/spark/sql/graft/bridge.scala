@@ -27,3 +27,11 @@ trait AllLongInputTypes
   override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
     children.map(_ => org.apache.spark.sql.types.LongType)
 }
+
+/** String-input twin of [[AllLongInputTypes]] — same rationale. */
+trait AllStringInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  self: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    children.map(_ => org.apache.spark.sql.types.StringType)
+}
