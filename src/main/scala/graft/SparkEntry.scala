@@ -1480,6 +1480,66 @@ object SparkEntry {
       HeavyHitters.frequentItems(items, "item", cap = 256, minCount = 120)
     }),
 
+    // ---- host-graph centrality: exact integer PageRank ----
+    // hosts = doc_id % 40 residues; edges per residue r < 37 (h37..h39
+    // are dangling sinks): r→(7r+3)%40, r→(13r+5)%40, plus a hub edge
+    // r→h0 when r%4==0 (in-degree skew). 10 synchronous rounds of the
+    // pure-integer recurrence; the oracle replays every round as a CTE.
+    "q_pagerank" -> ((s, dir) => {
+      val res = docs(s, dir).select((col("doc_id") % 40).as("r")).distinct()
+      def h(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), c.cast("string"))
+      val nodes = res.select(h(col("r")).as("host"))
+      val live = res.where(col("r") < 37)
+      val edges = live.select(h(col("r")).as("src"),
+          h((col("r") * 7 + 3) % 40).as("dst"))
+        .union(live.select(h(col("r")).as("src"),
+          h((col("r") * 13 + 5) % 40).as("dst")))
+        .union(live.where(col("r") % 4 === 0)
+          .select(h(col("r")).as("src"), lit("h0").as("dst")))
+      LinkGraph.pageRank(nodes, edges, rounds = 10)
+    }),
+
+    // ---- Stupid Backoff word-trigram LM (Brants et al. 2007) ----
+    // train slice = %11==4 (planted with the target phrase); %11==8 docs
+    // carry the SAME phrase outside the slice — their trigrams hit the
+    // model and they must outscore their unplanted peers. Integer
+    // micro-nat sums: the oracle retrains and rescores bit-identically.
+    "q_ngram_lm" -> ((s, dir) => {
+      val planted = docs(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 11 === 4 || col("doc_id") % 11 === 8,
+          concat(lit(dsirTargetFix), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      NgramLm.score(planted,
+        NgramLm.train(planted.where(col("doc_id") % 11 === 4)))
+    }),
+
+    // ---- link discovery from raw html (host-grain edge list) ----
+    // pages synthesized deterministically from documents: every page at
+    // host h(r) links to h((7r+3)%40) (double-quoted href), h((13r+5)%40)
+    // (single-quoted), and one relative link that must be dropped
+    "q_linkgraph_html" -> ((s, dir) => {
+      val r = col("doc_id") % 40
+      val pages = docs(s, dir).select(
+        concat(lit("http://h"), r.cast("string"), lit(".example/p"),
+          col("doc_id").cast("string")).as("url"),
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p><a href=\"http://h"), ((r * 7 + 3) % 40).cast("string"),
+          lit(".example/x\">t</a><a href='http://h"),
+          ((r * 13 + 5) % 40).cast("string"),
+          lit(".example/y'>u</a><a href=\"/rel\">v</a></body></html>"))
+          .as("html"))
+      LinkGraph.hostEdges(pages)
+    }),
+
+    // ---- exact distributed quantiles (integer permille ranks) ----
+    // corpus-derived gate thresholds: 8 levels over n_chars, answered
+    // from the value histogram, never a corpus sort
+    "q_quantiles" -> ((s, dir) =>
+      Quantiles.exactQuantiles(docs(s, dir), "n_chars",
+        Seq(10, 100, 250, 500, 750, 900, 990, 1000))),
+
     // ---- multimodal: REAL JDK decode (ImageIO / WAV-PCM); rows-only ----
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, docs(s, dir))
@@ -1985,6 +2045,47 @@ object SparkEntry {
       |      AND abs(length(a.s) - length(b.s)) <= 2)
       |  WHERE dist <= 2)""".stripMargin
 
+  /** q_pagerank truth: the same host/edge derivation, then every one of
+    * the 10 synchronous rounds as its own (materialized) CTE running the
+    * identical integer recurrence — rank'(v) = base + (85·(inflow +
+    * dangling//N))//100 in nano-units. Integer div + integer sums are
+    * order-independent, so DuckDB's replay is bit-exact. */
+  private lazy val pagerankOracle: String = {
+    val head =
+      """WITH res AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id % 40 AS r FROM documents),
+        |nodes AS MATERIALIZED (
+        |  SELECT 'h' || CAST(r AS VARCHAR) AS host FROM res),
+        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT 'h' || CAST(r AS VARCHAR) AS src,
+        |    'h' || CAST((r*7+3) % 40 AS VARCHAR) AS dst FROM res WHERE r < 37
+        |  UNION ALL SELECT 'h' || CAST(r AS VARCHAR),
+        |    'h' || CAST((r*13+5) % 40 AS VARCHAR) FROM res WHERE r < 37
+        |  UNION ALL SELECT 'h' || CAST(r AS VARCHAR), 'h0'
+        |    FROM res WHERE r < 37 AND r % 4 = 0)),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS MATERIALIZED (
+        |  SELECT host, CAST(1000000000 AS BIGINT) // n AS rank
+        |  FROM nodes, nn)""".stripMargin
+    val rounds = (1 to 10).map { k =>
+      s"""inf$k AS MATERIALIZED (SELECT e.dst AS host,
+         |    SUM(r.rank // d.deg) AS s
+         |  FROM e JOIN r${k - 1} r ON e.src = r.host
+         |  JOIN deg d ON d.src = e.src GROUP BY 1),
+         |dg$k AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(rank), 0) AS dang FROM r${k - 1}
+         |  WHERE host NOT IN (SELECT src FROM deg)),
+         |r$k AS MATERIALIZED (SELECT nodes.host,
+         |    ((15 * CAST(1000000000 AS BIGINT) // 100) // n)
+         |    + (85 * (COALESCE(inf$k.s, 0) + dang // n)) // 100 AS rank
+         |  FROM nodes CROSS JOIN nn CROSS JOIN dg$k
+         |  LEFT JOIN inf$k ON nodes.host = inf$k.host)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + rounds +
+      "\nSELECT host, CAST(rank AS BIGINT) AS rank_nano FROM r10"
+  }
+
   private def oracleSqlBase: Map[String, String] = Map(
     // mirrors q_domain_split: host → public-suffix-aware registered
     // domain (the interpolated CASE is PublicSuffix.registeredDomainCaseSql
@@ -2346,6 +2447,111 @@ object SparkEntry {
         |  ELSE tok || '#' || CAST(doc_id AS VARCHAR) END AS item FROM t)
         |SELECT item, count(*) AS cnt FROM i
         |GROUP BY 1 HAVING count(*) >= 120""".stripMargin,
+
+    // mirrors q_pagerank: replay all 10 integer power-iteration rounds as
+    // chained CTEs — pure integer div/sum, so the replay is bit-exact
+    "q_pagerank" -> pagerankOracle,
+
+    // mirrors q_ngram_lm: retrain the three gram tables on the %11==4
+    // slice and rescore every position through the same three-branch
+    // Stupid Backoff CASE with the same micro-nat quantization
+    "q_ngram_lm" ->
+      s"""WITH planted AS MATERIALIZED (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 4 OR doc_id % 11 = 8
+        |    THEN '$dsirTargetFix' || ' ' || text ELSE text END AS text
+        |  FROM documents),
+        |tok AS MATERIALIZED (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),
+        |    '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ws FROM planted),
+        |tr AS MATERIALIZED (SELECT ws FROM tok WHERE doc_id % 11 = 4),
+        |c1 AS MATERIALIZED (SELECT gram, count(*) AS cnt FROM (
+        |  SELECT unnest(ws) AS gram FROM tr) GROUP BY 1),
+        |c2 AS MATERIALIZED (SELECT gram, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS gram FROM tr) GROUP BY 1),
+        |c3 AS MATERIALIZED (SELECT gram, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |  FROM tr) GROUP BY 1),
+        |tot AS MATERIALIZED (SELECT
+        |  (SELECT COALESCE(SUM(len(ws)), 0) FROM tr) AS t,
+        |  (SELECT COUNT(*) FROM c1) AS v),
+        |pos AS MATERIALIZED (SELECT doc_id,
+        |    ws[i+1] AS b, ws[i+2] AS w,
+        |    ws[i] || ' ' || ws[i+1] AS g2ctx,
+        |    ws[i+1] || ' ' || ws[i+2] AS g2g,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g3g
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+        |    FROM tok)),
+        |sc AS MATERIALIZED (SELECT p.doc_id,
+        |    CASE WHEN t3.cnt IS NOT NULL AND x2.cnt IS NOT NULL
+        |      THEN CAST(round((ln(t3.cnt) - ln(x2.cnt)) * 1000000)
+        |        AS BIGINT)
+        |    WHEN n2.cnt IS NOT NULL AND x1.cnt IS NOT NULL
+        |      THEN CAST(round(ln(0.4) * 1000000) AS BIGINT)
+        |        + CAST(round((ln(n2.cnt) - ln(x1.cnt)) * 1000000)
+        |          AS BIGINT)
+        |    ELSE 2 * CAST(round(ln(0.4) * 1000000) AS BIGINT)
+        |      + CAST(round((ln(COALESCE(n1.cnt, 0) + 1) - ln(t + v))
+        |        * 1000000) AS BIGINT) END AS s
+        |  FROM pos p
+        |  LEFT JOIN c3 t3 ON t3.gram = p.g3g
+        |  LEFT JOIN c2 x2 ON x2.gram = p.g2ctx
+        |  LEFT JOIN c2 n2 ON n2.gram = p.g2g
+        |  LEFT JOIN c1 x1 ON x1.gram = p.b
+        |  LEFT JOIN c1 n1 ON n1.gram = p.w
+        |  CROSS JOIN tot),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_scored, SUM(s) AS lm_micro
+        |  FROM sc GROUP BY 1)
+        |SELECT p.doc_id,
+        |  CAST(COALESCE(a.n_scored, 0) AS BIGINT) AS n_scored,
+        |  CAST(COALESCE(a.lm_micro, 0) AS BIGINT) AS lm_micro,
+        |  CAST(CASE WHEN COALESCE(a.n_scored, 0) > 0
+        |    THEN -((-a.lm_micro) // a.n_scored) ELSE 0 END AS BIGINT)
+        |    AS avg_micro
+        |FROM planted p LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // mirrors q_linkgraph_html: same page synthesis, then the same href
+    // regex + host regex replayed by DuckDB
+    "q_linkgraph_html" ->
+      """WITH pages AS MATERIALIZED (SELECT
+        |  'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.example/p'
+        |    || CAST(doc_id AS VARCHAR) AS url,
+        |  '<html><body><p>' || text || '</p><a href="http://h'
+        |    || CAST(((doc_id % 40) * 7 + 3) % 40 AS VARCHAR)
+        |    || '.example/x">t</a><a href=''http://h'
+        |    || CAST(((doc_id % 40) * 13 + 5) % 40 AS VARCHAR)
+        |    || '.example/y''>u</a><a href="/rel">v</a></body></html>'
+        |    AS html FROM documents),
+        |lnk AS (SELECT
+        |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)
+        |    AS src,
+        |  unnest(regexp_extract_all(html, 'href=["'']([^"'']+)["'']', 1))
+        |    AS u2 FROM pages)
+        |SELECT DISTINCT src,
+        |  regexp_extract(u2, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)
+        |    AS dst
+        |FROM lnk WHERE src <> '' AND
+        |  regexp_extract(u2, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)
+        |    <> ''""".stripMargin,
+
+    // mirrors q_quantiles: same histogram + cumulative window + integer
+    // permille rank rule — rank = (p·N + 999) // 1000, value = min v with
+    // cum ≥ rank
+    "q_quantiles" ->
+      """WITH hist AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents
+        |  WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+        |tot AS (SELECT SUM(c) AS n FROM hist),
+        |lv AS (SELECT unnest([10,100,250,500,750,900,990,1000])
+        |  AS p_mille),
+        |lr AS (SELECT p_mille, (p_mille * n + 999) // 1000 AS rank, n
+        |  FROM lv, tot)
+        |SELECT CAST(p_mille AS INT) AS p_mille, MIN(v) AS value,
+        |  CAST(rank AS BIGINT) AS rank, CAST(n AS BIGINT) AS n
+        |FROM lr JOIN cum ON cum.cum >= lr.rank
+        |GROUP BY 1, 3, 4""".stripMargin,
 
     "q_edit_pairs" ->
       s"""$editPairsCte

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Host-graph centrality for crawl-quality weighting (Page et al. 1999;
+  * the role harmonic/PageRank centrality plays in Common-Crawl-derived
+  * corpora: rank the HOST graph once per crawl, then weight or gate pages
+  * by their host's score — the cheapest strong prior on page quality that
+  * needs no text model at all).
+  *
+  * Exactness discipline (shared with [[NaiveBayes]]/[[Dsir]]): ranks are
+  * integer nano-units (Σ ranks ≈ [[Scale]]) and every round is pure
+  * integer arithmetic — `div` truncating division, order-independent
+  * integer sums — so the DuckDB oracle replays all `rounds` power-
+  * iteration rounds bit-for-bit as chained CTEs. No IEEE accumulation
+  * order can leak in. Floor division sheds < 1 unit per edge per round;
+  * at nano scale that bias is ≤ |E|·rounds·10⁻⁹ of total mass —
+  * irrelevant for ranking, and the oracle sees the identical loss.
+  *
+  * Per synchronous round, with damping d/100 over N nodes:
+  * {{{
+  *   contrib(u→v) = rank(u) div outdeg(u)
+  *   dangling     = Σ rank(u) over nodes with outdeg 0
+  *   rank'(v)     = ((100−d)·Scale div 100) div N
+  *                + (d · (Σ contrib(·→v) + dangling div N)) div 100
+  * }}}
+  *
+  * Scale shape: the graph lives at HOST grain (~10⁸ rows for a full
+  * crawl, not 10¹² pages), so each round is one shuffle join
+  * (edges ⋈ ranks on src — edges can be pre-bucketed by src so only the
+  * slim ranks side exchanges) plus one map-side-combined groupBy(dst).
+  * Mega-host in-degree skew collapses in the partial aggregation —
+  * contributions are longs, never strings. The rank vector is
+  * `localCheckpoint`ed every round: power iteration is the textbook case
+  * where lineage must be truncated (10 rounds of join+agg otherwise
+  * nests the full plan 10 deep), the same justification as the
+  * [[ConnectedComponents]] loop; at cluster scale the per-round vector
+  * would land in the [[graft.plans.CheckpointIO]] manifest instead, and
+  * the loop resumes mid-run like every other stage.
+  *
+  * Reference anchor: the reference ranks duplicate-cluster members by a
+  * fixed source-priority list to elect the keep
+  * (`ViewModels/MainViewModel.cs:877-882`); host centrality is the
+  * corpus-side generalization — a data-derived priority over sources.
+  */
+object LinkGraph {
+
+  /** Rank fixed-point scale: 10⁹ nano-units of total mass. */
+  val Scale: Long = 1000000000L
+
+  /** Directed-edge cleanup: distinct (src, dst) pairs, nulls dropped.
+    * Self-loops are kept — a host linking to itself is a valid vote and
+    * the recurrence handles it like any other edge. */
+  def cleanEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+
+  /** Exact integer PageRank after `rounds` synchronous rounds.
+    *
+    * @param nodes one string column `host` (distinct)
+    * @param edges columns `src`, `dst` (deduped via [[cleanEdges]])
+    * @return (host, rank_nano) — one row per node, Σ ≈ [[Scale]]
+    */
+  def pageRank(
+      nodes: DataFrame,
+      edges: DataFrame,
+      rounds: Int = 10,
+      dampingPct: Int = 85): DataFrame = {
+    require(rounds >= 0 && rounds <= 64, s"rounds out of range: $rounds")
+    require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct: $dampingPct")
+
+    val e = cleanEdges(edges)
+    // outdeg is exact (post-distinct) and bounded by the node count; it is
+    // reused every round, so materialize it once.
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val n = nodes.select(col("host")).distinct().count()
+    require(n > 0, "pageRank needs at least one node")
+    val base = ((100L - dampingPct) * Scale / 100L) / n
+
+    var ranks = nodes.select(col("host")).distinct()
+      .select(col("host"), lit(Scale / n).as("rank_nano"))
+
+    for (_ <- 1 to rounds) {
+      val inflow = e
+        .join(ranks, e("src") === ranks("host"))
+        .join(deg, "src")
+        .select(col("dst").as("host"),
+          expr("rank_nano div deg").as("c"))
+        .groupBy(col("host"))
+        .agg(sum(col("c")).as("inflow"))
+      // dangling mass: nodes with no out-edges spray uniformly
+      val dangling = ranks
+        .join(deg.select(col("src").as("host")), Seq("host"), "left_anti")
+        .agg(coalesce(sum(col("rank_nano")), lit(0L)).as("dang"))
+      ranks = ranks.select(col("host"))
+        .join(inflow, Seq("host"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("host"),
+          (lit(base) + expr(
+            s"($dampingPct * (coalesce(inflow, 0L) + dang div ${n}L)) div 100"))
+            .as("rank_nano"))
+        .localCheckpoint()
+    }
+    deg.unpersist()
+    ranks
+  }
+
+  /** All quoted href values in an html string — the pragmatic regex tier
+    * (the reference's extractor is regex-shaped too); a DOM parse belongs
+    * in [[graft.functions.TextExtract]]'s lane, but link DISCOVERY only
+    * needs the attribute values. Codegen'd, no UDF. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("href=[\"']([^\"']+)[\"']"), lit(1))
+
+  /** Host part of an absolute URL ('' for relative/malformed — filtered
+    * by [[hostEdges]]). */
+  def hostOf(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+
+  /** Host-grain edge list straight from raw pages: (page host → linked
+    * host), relative links dropped, deduped. Feed [[pageRank]] with this
+    * and the distinct-host node table for centrality end-to-end from the
+    * crawl. Linear explode per page; edges dedup in the same exchange
+    * the groupBy(deg) needs anyway. */
+  def hostEdges(pages: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame =
+    pages.select(hostOf(col(urlCol)).as("src"),
+        explode(extractLinks(col(htmlCol))).as("u2"))
+      .select(col("src"), hostOf(col("u2")).as("dst"))
+      .where(col("src") =!= "" && col("dst") =!= "")
+      .distinct()
+
+  /** Page-grain quality weight: join every page's host against the rank
+    * table (broadcast when it fits — host tables usually do at per-crawl
+    * grain after a quality cut). Pages on unranked hosts get rank 0. */
+  def pageWeights(
+      pages: DataFrame,
+      ranks: DataFrame,
+      hostCol: String = "host"): DataFrame =
+    pages.join(ranks.withColumnRenamed("host", hostCol), Seq(hostCol), "left")
+      .withColumn("rank_nano", coalesce(col("rank_nano"), lit(0L)))
+}

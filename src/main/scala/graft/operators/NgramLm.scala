@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed word-trigram language model with Stupid Backoff (Brants
+  * et al. 2007, EMNLP — "Large Language Models in Machine Translation").
+  * Stupid Backoff exists BECAUSE of this setting: it scores with raw
+  * counts only,
+  * {{{
+  *   S(w | a b) = c(a b w)/c(a b)        if c(a b w) > 0
+  *              = 0.4 · S(w | b)         otherwise
+  *   S(w | b)   = c(b w)/c(b)            if c(b w) > 0
+  *              = 0.4 · S(w)             otherwise
+  *   S(w)       = (c(w) + 1)/(T + V)     (smoothed unigram base)
+  * }}}
+  * so training is NOTHING but n-gram counting — no normalization
+  * statistics, no discount estimation, no second pass. Brants et al.
+  * trained it on 2×10¹² tokens with exactly this shape; it is the LM a
+  * 100 TB curation pipeline can actually afford, where Kneser-Ney is not.
+  *
+  * Scale shape: training = one explode per order + map-side-combined
+  * groupBy on the gram string (`minCount` prunes hapax grams, the same
+  * cap CCNet applies); scoring = explode the doc's trigram positions and
+  * LEFT JOIN the three count tables on their gram keys — (id, gram) rows
+  * flow, document text never shuffles, and each join is a plain shuffle
+  * join at web scale (broadcast when the pruned model fits). Per-doc
+  * reduction is an integer SUM.
+  *
+  * Exactness discipline (the [[Dsir]] precedent): every per-position
+  * log-score is quantized to integer micro-nats — round(ln(·)·10⁶) —
+  * and the doc score is the order-independent integer sum of positions,
+  * so the DuckDB oracle retrains and rescores bit-identically. The
+  * backoff factor enters as ln(0.4) inside the same rounding.
+  *
+  * Reference anchor: like [[Perplexity]], model-based gating decides what
+  * enters dedup the way the reference's pre-filters decide which files
+  * enter comparison (`ViewModels/MainViewModel.cs:1056-1076`); this is
+  * the trained-at-scale variant of that gate.
+  */
+object NgramLm {
+
+  /** Backoff log-penalty in micro-nats: round(ln(0.4)·10⁶). */
+  val BackoffMicro: Long = math.round(math.log(0.4) * 1000000L)
+
+  private def tokens(text: Column): Column =
+    filter(split(lower(text), "[ \\t\\n\\f\\r]+"), w => w =!= "")
+
+  /** Word n-grams of `text` joined by single spaces (empty below n). */
+  def wordGrams(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    val cnt = size(ws)
+    when(cnt < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), cnt - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+  }
+
+  /** Count table for one order: (gram, cnt), hapax-pruned at `minCount`.
+    * One explode + one map-side-combined groupBy per order. */
+  def gramCounts(train: DataFrame, n: Int, textCol: String = "text",
+      minCount: Long = 0L): DataFrame =
+    train.select(explode(wordGrams(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+
+  /** The trained model: count tables for orders 1..3 plus the two corpus
+    * scalars the unigram base needs (T tokens, V distinct words). */
+  final case class Model(c1: DataFrame, c2: DataFrame, c3: DataFrame,
+      totals: DataFrame)
+
+  def train(train: DataFrame, textCol: String = "text",
+      minCount: Long = 0L): Model = {
+    val c1 = gramCounts(train, 1, textCol, minCount)
+    // T counts ALL token instances (pre-pruning), V the pruned vocab —
+    // the smoothing denominator must cover the mass pruning removed
+    val t = train
+      .select(size(tokens(col(textCol))).cast("long").as("k"))
+      .agg(coalesce(sum(col("k")), lit(0L)).as("t_tokens"))
+    val v = c1.agg(count(lit(1)).as("v_words"))
+    Model(
+      c1 = c1,
+      c2 = gramCounts(train, 2, textCol, minCount),
+      c3 = gramCounts(train, 3, textCol, minCount),
+      totals = t.crossJoin(v))
+  }
+
+  /** Per-position micro-nat score under Stupid Backoff, as a Column over
+    * the joined count columns (all nullable longs). */
+  private def positionScore(
+      c3: Column, ctx2: Column, c2: Column, ctx1: Column,
+      c1: Column, t: Column, v: Column): Column = {
+    val uni = round((log(coalesce(c1, lit(0L)) + lit(1L)) -
+      log(t + v)) * 1000000L).cast("long")
+    when(c3.isNotNull && ctx2.isNotNull,
+      round((log(c3) - log(ctx2)) * 1000000L).cast("long"))
+      .when(c2.isNotNull && ctx1.isNotNull,
+        lit(BackoffMicro) +
+          round((log(c2) - log(ctx1)) * 1000000L).cast("long"))
+      .otherwise(lit(2L * BackoffMicro) + uni)
+  }
+
+  /** Scores (idCol, n_scored, lm_micro, avg_micro) for every doc: the
+    * integer sum of per-trigram-position micro-nat scores (positions =
+    * token index 3..len; docs shorter than 3 tokens score 0 over 0
+    * positions). avg_micro = lm_micro div n_scored — higher (closer to
+    * zero) means more like the training slice. */
+  def score(docs: DataFrame, model: Model, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val pos = docs
+      .select(id, explode(wordGrams(col(textCol), 3)).as("g3"))
+      .withColumn("g2ctx", regexp_extract(col("g3"), "^(\\S+ \\S+) \\S+$", 1))
+      .withColumn("g2", regexp_extract(col("g3"), "^\\S+ (\\S+ \\S+)$", 1))
+      .withColumn("g1ctx", regexp_extract(col("g3"), "^\\S+ (\\S+) \\S+$", 1))
+      .withColumn("g1", regexp_extract(col("g3"), "\\S+$", 0))
+    val joined = pos
+      .join(model.c3.select(col("gram").as("g3"), col("cnt").as("n3")),
+        Seq("g3"), "left")
+      .join(model.c2.select(col("gram").as("g2ctx"), col("cnt").as("x2")),
+        Seq("g2ctx"), "left")
+      .join(model.c2.select(col("gram").as("g2"), col("cnt").as("n2")),
+        Seq("g2"), "left")
+      .join(model.c1.select(col("gram").as("g1ctx"), col("cnt").as("x1")),
+        Seq("g1ctx"), "left")
+      .join(model.c1.select(col("gram").as("g1"), col("cnt").as("n1")),
+        Seq("g1"), "left")
+      .crossJoin(broadcast(model.totals))
+    val scored = joined
+      .select(id, positionScore(col("n3"), col("x2"), col("n2"),
+        col("x1"), col("n1"), col("t_tokens"), col("v_words")).as("s"))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_scored"), sum(col("s")).as("lm_micro"))
+    docs.select(id).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
+      // lm_micro ≤ 0 always (every branch is a log of a probability);
+      // divide by positive magnitude so the semantics are engine-
+      // unambiguous: Spark `div`/Scala `/` truncate toward zero while
+      // DuckDB `//` floors — on the negated positive value all agree
+      .withColumn("avg_micro",
+        when(col("n_scored") > 0, -expr("(-lm_micro) div n_scored"))
+          .otherwise(lit(0L)))
+  }
+}
