@@ -38,7 +38,10 @@ object Bench {
     "q_gopher_repetition",
     // late round-4: host-scoped boilerplate strip, epoch-weighted mix,
     // NFC normalization ahead of hashing
-    "q_host_boilerplate", "q_epoch_mix", "q_unicode_dedup")
+    "q_host_boilerplate", "q_epoch_mix", "q_unicode_dedup",
+    // round-5 operators: sketch-based heavy hitters, host-graph
+    // centrality, Stupid Backoff LM scoring, histogram quantiles
+    "q_heavy_hitters", "q_pagerank", "q_ngram_lm", "q_quantiles")
 
   private def session(cpus: Int): SparkSession = {
     val s = GraftSession.build(cpus, "graft-bench")

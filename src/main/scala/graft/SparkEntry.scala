@@ -1466,10 +1466,13 @@ object SparkEntry {
         SetSimJoin.multisetItems(setsimWeightedItems(docs(s, dir))), tau = 0.8)),
 
     // ---- heavy hitters: Misra–Gries sketch pass + exact recount ----
-    // items = tokens, with the %5!=0 slice suffixed per-doc into a 9k-item
-    // unique tail (so the cap-256 sketch genuinely compresses; N=27k →
-    // certified max undercount ≤ 105 < minCount 120). The recount makes
-    // the output EXACT, so the oracle is a plain GROUP BY ... HAVING.
+    // items = tokens, with the %5!=0 slice suffixed per-doc into a
+    // unique tail growing with the corpus (so the sketch genuinely
+    // compresses at every SF). cap=4096 certifies minCount=120 at any
+    // corpus this driver runs: worst-case max_err ≤ N/(cap+1) — 66 even
+    // at the sf0.1 bench corpus (N=271k), 7 at the sf0.01 gate. The
+    // recount makes the output EXACT, so the oracle is a plain
+    // GROUP BY ... HAVING.
     "q_heavy_hitters" -> ((s, dir) => {
       val items = docs(s, dir)
         .select(col("doc_id"),
@@ -1477,7 +1480,7 @@ object SparkEntry {
         .select(when(col("doc_id") % 5 === 0, col("tok"))
           .otherwise(concat(col("tok"), lit("#"), col("doc_id").cast("string")))
           .as("item"))
-      HeavyHitters.frequentItems(items, "item", cap = 256, minCount = 120)
+      HeavyHitters.frequentItems(items, "item", cap = 4096, minCount = 120)
     }),
 
     // ---- host-graph centrality: exact integer PageRank ----

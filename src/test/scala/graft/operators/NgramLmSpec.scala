@@ -97,6 +97,24 @@ class NgramLmSpec extends AnyFunSuite {
     assert(run(2L, 5) == want)
   }
 
+  test("plan: document text never crosses an Exchange (only gram keys shuffle)") {
+    import spark.implicits._
+    // parquet round-trip so ConvertToLocalRelation can't fold the claim away
+    val dir = java.nio.file.Files.createTempDirectory("ngramlm").toString
+    scoreDocs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/d")
+    trainTexts.toDF("text").write.mode("overwrite").parquet(s"$dir/t")
+    val out = NgramLm.score(spark.read.parquet(s"$dir/d"),
+      NgramLm.train(spark.read.parquet(s"$dir/t")))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, s"expected shuffles in:\n$plan")
+    val textAttrs = "text#\\d+".r.findAllIn(plan).toSet
+    assert(textAttrs.nonEmpty, s"no text attr found:\n$plan")
+    assert(exchanges.forall(l => textAttrs.forall(a => !l.contains(a))),
+      s"doc text crossed an Exchange:\n$plan")
+  }
+
   test("training-slice lookalikes outscore non-lookalikes") {
     import spark.implicits._
     val train = (0 until 20).map(i => s"alpha beta gamma delta run $i").toDF("text")
