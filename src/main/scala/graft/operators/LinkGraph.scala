@@ -73,7 +73,8 @@ object LinkGraph {
       nodes: DataFrame,
       edges: DataFrame,
       rounds: Int = 10,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85,
+      checkpointRounds: Boolean = true): DataFrame = {
     require(rounds >= 0 && rounds <= 64, s"rounds out of range: $rounds")
     require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct: $dampingPct")
 
@@ -100,14 +101,17 @@ object LinkGraph {
       val dangling = ranks
         .join(deg.select(col("src").as("host")), Seq("host"), "left_anti")
         .agg(coalesce(sum(col("rank_nano")), lit(0L)).as("dang"))
-      ranks = ranks.select(col("host"))
+      val next = ranks.select(col("host"))
         .join(inflow, Seq("host"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("host"),
           (lit(base) + expr(
             s"($dampingPct * (coalesce(inflow, 0L) + dang div ${n}L)) div 100"))
             .as("rank_nano"))
-        .localCheckpoint()
+      // checkpointRounds=false keeps the round composition lazy — for
+      // plan audits and few-round small graphs only; production keeps
+      // the eager per-round truncation (see scaladoc)
+      ranks = if (checkpointRounds) next.localCheckpoint() else next
     }
     deg.unpersist()
     ranks

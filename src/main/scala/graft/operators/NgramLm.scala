@@ -109,12 +109,24 @@ object NgramLm {
   def score(docs: DataFrame, model: Model, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val id = col(idCol)
+    // all five probe keys come straight off the token array in one
+    // projection (single-element slices: tokens are space-free by
+    // construction, so array_join(slice(ws,·,1), "") IS the token)
     val pos = docs
-      .select(id, explode(wordGrams(col(textCol), 3)).as("g3"))
-      .withColumn("g2ctx", regexp_extract(col("g3"), "^(\\S+ \\S+) \\S+$", 1))
-      .withColumn("g2", regexp_extract(col("g3"), "^\\S+ (\\S+ \\S+)$", 1))
-      .withColumn("g1ctx", regexp_extract(col("g3"), "^\\S+ (\\S+) \\S+$", 1))
-      .withColumn("g1", regexp_extract(col("g3"), "\\S+$", 0))
+      .select(id, tokens(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= 3)
+      .select(id, explode(transform(
+        sequence(lit(1), size(col("__ws")) - 2),
+        i => struct(
+          array_join(slice(col("__ws"), i, lit(3)), " ").as("g3"),
+          array_join(slice(col("__ws"), i, lit(2)), " ").as("g2ctx"),
+          array_join(slice(col("__ws"), i + 1, lit(2)), " ").as("g2"),
+          array_join(slice(col("__ws"), i + 1, lit(1)), "").as("g1ctx"),
+          array_join(slice(col("__ws"), i + 2, lit(1)), "").as("g1"))))
+        .as("p"))
+      .select(id, col("p.g3").as("g3"), col("p.g2ctx").as("g2ctx"),
+        col("p.g2").as("g2"), col("p.g1ctx").as("g1ctx"),
+        col("p.g1").as("g1"))
     val joined = pos
       .join(model.c3.select(col("gram").as("g3"), col("cnt").as("n3")),
         Seq("g3"), "left")

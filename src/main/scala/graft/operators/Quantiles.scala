@@ -56,7 +56,9 @@ object Quantiles {
     val cum = hist.withColumn("cum",
       sum(col("c")).over(Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = hist.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    // N = the last cumulative count — same subtree as `cum`, so the scan
+    // and histogram exchanges are reused instead of re-aggregated
+    val tot = cum.agg(coalesce(max(col("cum")), lit(0L)).as("n"))
     val levels = pMilles.distinct.sorted.toDF("p_mille")
       .crossJoin(broadcast(tot))
       .withColumn("rank", expr("(p_mille * n + 999) div 1000"))

@@ -235,6 +235,45 @@ object Plans {
     println(s"domainQuality broadcast join: ${s23b.contains("BroadcastHashJoin")}")
     println(s"domainQuality exchanges with text: ${
       s23b.linesIterator.exists(l => l.contains("Exchange") && l.contains("text"))}")
+
+    println("=== PLAN 24: Misra-Gries heavy hitters (partial sketch before exchange) ===")
+    // wants: ObjectHashAggregate with partial_misra_gries BELOW the
+    // single-row exchange (per-partition summaries, not per-item rows),
+    // and the recount pass keyed on <= cap values only.
+    val items24 = docs.select(col("doc_id"),
+      explode(SetSimJoin.tokenBag(col("text"))).as("tok"))
+      .select(when(col("doc_id") % 5 === 0, col("tok"))
+        .otherwise(concat(col("tok"), lit("#"), col("doc_id"))).as("item"))
+    val p24 = items24.agg(gf.misra_gries(col("item"), 4096).as("sk"))
+    p24.collect()
+    val s24 = p24.queryExecution.executedPlan.toString
+    println(s"sketch partial agg before exchange: ${
+      s24.contains("partial_misra_gries")}")
+    s24.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+      println(s"  exchange: ${l.trim.take(110)}"))
+
+    println("=== PLAN 25: integer PageRank round (edges join + partial-agg inflow) ===")
+    // ONE round with checkpointing off so the round plan is visible
+    // (production checkpoints each round, which hides it behind an RDD
+    // scan): wants one shuffle join edges-to-ranks, a map-side-combined
+    // partial_sum on dst, and the dangling scalar as a BroadcastExchange
+    // — never a corpus-wide exchange of anything but (host, long) rows.
+    val res25 = docs.select((col("doc_id") % 40).as("r")).distinct()
+    val nodes25 = res25.select(concat(lit("h"), col("r")).as("host"))
+    val edges25 = res25.where(col("r") < 37)
+      .select(concat(lit("h"), col("r")).as("src"),
+        concat(lit("h"), (col("r") * 7 + 3) % 40).as("dst"))
+    LinkGraph.pageRank(nodes25, edges25, rounds = 1,
+      checkpointRounds = false).explain("formatted")
+
+    println("=== PLAN 26: Stupid Backoff LM scoring (text pruned before every exchange) ===")
+    SparkEntry.queries("q_ngram_lm")(spark, sf).explain("formatted")
+
+    println("=== PLAN 27: exact quantiles (histogram window, not corpus sort) ===")
+    // wants: partial count agg -> exchange on value -> ONE single-partition
+    // window over the (value,count) HISTOGRAM rows; no global Sort of docs.
+    SparkEntry.queries("q_quantiles")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
