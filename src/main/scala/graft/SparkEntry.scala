@@ -65,6 +65,53 @@ object SparkEntry {
     "'https://' || source || '.example/d' || CAST(doc_id % 5 AS VARCHAR)" +
       " || '/doc' || CAST(doc_id AS VARCHAR) || '.html'"
 
+  /** Three-snapshot capture history synthesized from documents for the
+    * [[SnapshotDelta]] queries — snap 1: every url; snap 2: every url
+    * with %3==1 texts re-written; snap 3: even-doc urls only, %6==4
+    * re-written again (note 4 ≡ 1 mod 3, so those urls changed at BOTH
+    * re-crawls). SQL mirror: [[snapshotCte]]. */
+  private def snapshotPages(d: DataFrame): DataFrame = {
+    val base = d.select(urlCol.as("url"), col("doc_id"), col("text"))
+    base.select(col("url"), lit(1L).as("ts_s"), col("text"), col("doc_id"))
+      .unionByName(base.select(col("url"), lit(2L).as("ts_s"),
+        when(col("doc_id") % 3 === 1, concat(lit("v2 "), col("text")))
+          .otherwise(col("text")).as("text"), col("doc_id")))
+      .unionByName(base.where(col("doc_id") % 2 === 0)
+        .select(col("url"), lit(3L).as("ts_s"),
+          when(col("doc_id") % 6 === 4, concat(lit("v3 "), col("text")))
+            .when(col("doc_id") % 3 === 1, concat(lit("v2 "), col("text")))
+            .otherwise(col("text")).as("text"), col("doc_id")))
+      // late arrivals: urls first captured at snapshot 3 (status `new`
+      // mid-history, not just at the epoch)
+      .unionByName(base.where(col("doc_id") % 10 === 7)
+        .select(concat(col("url"), lit("?late")).as("url"),
+          lit(3L).as("ts_s"), col("text"), col("doc_id")))
+      .drop("doc_id")
+  }
+
+  /** The oracle-SQL mirror of [[snapshotPages]] + lag-classify: statuses
+    * via lag(text) — digest equality and text equality agree. */
+  private val snapshotCte: String =
+    s"""WITH caps AS (
+      |  SELECT $urlSql AS url, CAST(1 AS BIGINT) AS ts_s, text FROM documents
+      |  UNION ALL
+      |  SELECT $urlSql AS url, CAST(2 AS BIGINT) AS ts_s,
+      |    CASE WHEN doc_id % 3 = 1 THEN 'v2 ' || text ELSE text END
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT $urlSql AS url, CAST(3 AS BIGINT) AS ts_s,
+      |    CASE WHEN doc_id % 6 = 4 THEN 'v3 ' || text
+      |         WHEN doc_id % 3 = 1 THEN 'v2 ' || text ELSE text END
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT $urlSql || '?late' AS url, CAST(3 AS BIGINT) AS ts_s, text
+      |  FROM documents WHERE doc_id % 10 = 7),
+      |st AS (SELECT url, ts_s, text,
+      |  CASE WHEN lag(text) OVER w IS NULL THEN 'new'
+      |       WHEN lag(text) OVER w = text THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |  FROM caps WINDOW w AS (PARTITION BY url ORDER BY ts_s))""".stripMargin
+
   /** documents-shaped frame → input_hint-shaped pages (url, warc_ts, html,
     * text, lang); texts here are plain words so the html wrap round-trips
     * the canonical extractor exactly. */
@@ -1543,6 +1590,25 @@ object SparkEntry {
       Quantiles.exactQuantiles(docs(s, dir), "n_chars",
         Seq(10, 100, 250, 500, 750, 900, 990, 1000))),
 
+    // ---- cross-snapshot (re-crawl) delta: WARC revisit-record rule ----
+    // three synthetic snapshots from documents: snap 1 = every url; snap 2
+    // = every url, %3==1 texts re-written; snap 3 = even urls only, %6==4
+    // re-written again. Exercises all three statuses plus urls missing
+    // from later snapshots.
+    "q_snapshot_delta" -> ((s, dir) =>
+      SnapshotDelta.classify(snapshotPages(docs(s, dir)))),
+
+    // revisit-record retention end-to-end: unchanged captures drop, kept
+    // rows carry payload + status
+    "q_recrawl_dedup" -> ((s, dir) =>
+      SnapshotDelta.changedOnly(snapshotPages(docs(s, dir)))
+        .select(col("url"), col("ts_s"), length(col("text")).as("len"),
+          col("status"))),
+
+    // per-snapshot churn rollup (the crawl-over-crawl datacard row)
+    "q_snapshot_stats" -> ((s, dir) =>
+      SnapshotDelta.deltaStats(snapshotPages(docs(s, dir)))),
+
     // ---- multimodal: REAL JDK decode (ImageIO / WAV-PCM); rows-only ----
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, docs(s, dir))
@@ -2090,6 +2156,22 @@ object SparkEntry {
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
+    // mirrors q_snapshot_delta: the shared three-snapshot CTE + lag-text
+    // classification (engine compares xxhash64 digests; equality agrees)
+    "q_snapshot_delta" ->
+      s"""$snapshotCte
+        |SELECT url, ts_s, status FROM st""".stripMargin,
+    // mirrors q_recrawl_dedup: the WARC revisit-record retention rule —
+    // unchanged captures drop, kept rows carry payload length + status
+    "q_recrawl_dedup" ->
+      s"""$snapshotCte
+        |SELECT url, ts_s, length(text) AS len, status
+        |FROM st WHERE status <> 'unchanged'""".stripMargin,
+    // mirrors q_snapshot_stats: per-snapshot churn rollup
+    "q_snapshot_stats" ->
+      s"""$snapshotCte
+        |SELECT ts_s, status, count(*) AS n FROM st
+        |GROUP BY ts_s, status""".stripMargin,
     // mirrors q_domain_split: host → public-suffix-aware registered
     // domain (the interpolated CASE is PublicSuffix.registeredDomainCaseSql
     // — the SAME snapshot the engine probes) → md5 draw; hex thresholds
