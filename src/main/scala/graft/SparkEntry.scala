@@ -1583,6 +1583,29 @@ object SparkEntry {
       LinkGraph.hostEdges(pages)
     }),
 
+    // ---- anchor-text corpus (per-target rollup from raw html) ----
+    // pages synthesized from documents: one anchor whose text varies by
+    // doc_id%3 (with case/space mess the normalizer must collapse), one
+    // host-indexed anchor, one relative link (drops), one empty-text
+    // anchor (drops)
+    "q_anchor_text" -> ((s, dir) => {
+      val r = col("doc_id") % 40
+      val anchor = when(col("doc_id") % 3 === 0, lit(" Read  More "))
+        .when(col("doc_id") % 3 === 1, lit("Click HERE"))
+        .otherwise(lit("details"))
+      val pages = docs(s, dir).select(
+        concat(lit("http://h"), r.cast("string"), lit(".example/p"),
+          col("doc_id").cast("string")).as("url"),
+        concat(lit("<html><p>x</p><a href=\"http://h"),
+          ((r * 7 + 3) % 40).cast("string"), lit(".example/x\">"), anchor,
+          lit("</a><a href='http://h"), ((r * 13 + 5) % 40).cast("string"),
+          lit(".example/y'>site "), r.cast("string"),
+          lit("</a><a href=\"/rel\">v</a><a href=\"http://h"),
+          ((r + 1) % 40).cast("string"), lit(".example/z\">  </a></html>"))
+          .as("html"))
+      LinkGraph.anchorSummary(LinkGraph.anchorEdges(pages))
+    }),
+
     // ---- exact distributed quantiles (integer permille ranks) ----
     // corpus-derived gate thresholds: 8 levels over n_chars, answered
     // from the value histogram, never a corpus sort
@@ -2172,6 +2195,45 @@ object SparkEntry {
       s"""$snapshotCte
         |SELECT ts_s, status, count(*) AS n FROM st
         |GROUP BY ts_s, status""".stripMargin,
+    // mirrors q_anchor_text: same page synthesis, same <a href> pair
+    // pattern (LinkGraph.AnchorPat), positional zip, same normalization
+    // and plurality election (cnt DESC, anchor DESC == max(struct))
+    "q_anchor_text" ->
+      s"""WITH p AS (SELECT
+        |  '<html><p>x</p><a href="http://h' ||
+        |    CAST((doc_id % 40 * 7 + 3) % 40 AS VARCHAR) || '.example/x">' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' Read  More '
+        |         WHEN doc_id % 3 = 1 THEN 'Click HERE'
+        |         ELSE 'details' END ||
+        |    '</a><a href=''http://h' ||
+        |    CAST((doc_id % 40 * 13 + 5) % 40 AS VARCHAR) ||
+        |    '.example/y''>site ' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    '</a><a href="/rel">v</a><a href="http://h' ||
+        |    CAST((doc_id % 40 + 1) % 40 AS VARCHAR) ||
+        |    '.example/z">  </a></html>' AS html
+        |  FROM documents),
+        |z AS (SELECT
+        |  regexp_extract_all(html,
+        |    '<a [^>]*href=["'']([^"'']+)["''][^>]*>([^<]*)</a>', 1) AS ds,
+        |  regexp_extract_all(html,
+        |    '<a [^>]*href=["'']([^"'']+)["''][^>]*>([^<]*)</a>', 2) AS ts
+        |  FROM p),
+        |e0 AS (SELECT unnest(list_zip(ds, ts)) AS pr FROM z),
+        |e AS (SELECT
+        |  regexp_extract(pr[1], '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)
+        |    AS dst,
+        |  trim(regexp_replace(lower(pr[2]), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+        |    AS anchor
+        |  FROM e0),
+        |pa AS (SELECT dst, anchor, count(*) AS cnt FROM e
+        |  WHERE dst <> '' AND anchor <> '' GROUP BY dst, anchor),
+        |rk AS (SELECT dst, anchor, cnt,
+        |  row_number() OVER (PARTITION BY dst
+        |    ORDER BY cnt DESC, anchor DESC) AS rn,
+        |  CAST(sum(cnt) OVER (PARTITION BY dst) AS BIGINT) AS n_refs,
+        |  count(*) OVER (PARTITION BY dst) AS n_anchors FROM pa)
+        |SELECT dst, n_refs, n_anchors, anchor AS top_anchor, cnt AS top_cnt
+        |FROM rk WHERE rn = 1""".stripMargin,
     // mirrors q_domain_split: host → public-suffix-aware registered
     // domain (the interpolated CASE is PublicSuffix.registeredDomainCaseSql
     // — the SAME snapshot the engine probes) → md5 draw; hex thresholds

@@ -142,6 +142,57 @@ object LinkGraph {
       .where(col("src") =!= "" && col("dst") =!= "")
       .distinct()
 
+  /** The `<a href>` pair pattern shared by [[anchorEdges]] and its oracle:
+    * group 1 = the quoted href value, group 2 = the tag's immediate text
+    * (up to the first `<` — nested markup inside an anchor is out of the
+    * regex tier's scope, documented). `[^>]`/`[^<]` classes keep Java and
+    * RE2 byte-agreed (no backtracking divergence). */
+  val AnchorPat = "<a [^>]*href=[\"']([^\"']+)[\"'][^>]*>([^<]*)</a>"
+
+  /** Normalized anchor text: lowercase, whitespace collapsed (explicit
+    * class — Java `\s` ≠ RE2 `\s` on VT), trimmed. */
+  def normAnchor(c: Column): Column =
+    trim(regexp_replace(lower(c), "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+  /** Host-grain anchor-text edges from raw pages: (src, dst, anchor) for
+    * every absolute-target anchor tag with non-empty text. The anchor-text
+    * corpus is the classic web-scale byproduct (every search engine and
+    * the early web-LM corpora mined it): what OTHER pages call a url is a
+    * high-precision description of it, and at host grain it is the
+    * cheapest queryable summary of a site's role in the crawl.
+    *
+    * Scale shape: one linear explode per page (two `regexp_extract_all`
+    * passes zip positionally — same match set by construction, same
+    * pattern), relative targets and empty anchors drop before anything
+    * shuffles. No exchange of its own; downstream rollups group on
+    * (dst, anchor) — narrow strings, payload html never leaves the scan. */
+  def anchorEdges(pages: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame =
+    pages.select(hostOf(col(urlCol)).as("src"),
+        explode(arrays_zip(
+          regexp_extract_all(col(htmlCol), lit(AnchorPat), lit(1)).as("u2"),
+          regexp_extract_all(col(htmlCol), lit(AnchorPat), lit(2)).as("t2")))
+          .as("p"))
+      .select(col("src"), hostOf(col("p.u2")).as("dst"),
+        normAnchor(col("p.t2")).as("anchor"))
+      .where(col("src") =!= "" && col("dst") =!= "" && col("anchor") =!= "")
+
+  /** Per-target anchor rollup: total references, distinct anchor texts,
+    * and the plurality anchor (most frequent; ties broken by lexicographic
+    * max — `max(struct(cnt, anchor))`, deterministic). Two map-side-
+    * combined groupBys on (dst, anchor) then dst; the biggest target host
+    * collapses in the partial aggregation, so mega-host in-link skew never
+    * concentrates rows on one reducer. */
+  def anchorSummary(edges: DataFrame): DataFrame =
+    edges.groupBy(col("dst"), col("anchor"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("dst"))
+      .agg(sum(col("cnt")).as("n_refs"),
+        count(lit(1)).as("n_anchors"),
+        max(struct(col("cnt"), col("anchor"))).as("top"))
+      .select(col("dst"), col("n_refs"), col("n_anchors"),
+        col("top.anchor").as("top_anchor"), col("top.cnt").as("top_cnt"))
+
   /** Page-grain quality weight: join every page's host against the rank
     * table (broadcast when it fits — host tables usually do at per-crawl
     * grain after a quality cut). Pages on unranked hosts get rank 0. */

@@ -117,4 +117,40 @@ class LinkGraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 700L, 2L -> 300L, 3L -> 0L))
   }
+
+  test("anchorEdges: href+text pairs zip positionally, normalization and drops") {
+    import spark.implicits._
+    val pages = Seq(
+      ("http://a.example/p",
+        "<a href=\"http://b.example/x\"> Click  HERE </a>" +       // normalize
+          "<a href='http://c.example/y'>details</a>" +             // single quote
+          "<a href=\"/rel\">rel target drops</a>" +                // relative
+          "<a href=\"http://d.example/z\">   </a>" +               // empty anchor
+          "<a class=\"k\" href=\"http://b.example/w\">again</a>"), // attr before
+      ("notaurl", "<a href=\"http://b.example/q\">src drops</a>")) // bad src
+      .toDF("url", "html")
+    val got = LinkGraph.anchorEdges(pages)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == Set(
+      ("a.example", "b.example", "click here"),
+      ("a.example", "c.example", "details"),
+      ("a.example", "b.example", "again")))
+  }
+
+  test("anchorSummary: plurality anchor with deterministic tie-break") {
+    import spark.implicits._
+    val edges = Seq(
+      ("s1", "t", "alpha"), ("s2", "t", "alpha"), ("s3", "t", "beta"),
+      ("s1", "t", "beta"), ("s4", "t", "gamma"),        // alpha=2 beta=2 γ=1
+      ("s1", "u", "only"))
+      .toDF("src", "dst", "anchor")
+    val got = LinkGraph.anchorSummary(edges).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    // tie at cnt=2: struct max picks the lexicographically larger anchor
+    assert(got == Map(
+      "t" -> ((5L, 3L, "beta", 2L)),
+      "u" -> ((1L, 1L, "only", 1L))))
+  }
 }
