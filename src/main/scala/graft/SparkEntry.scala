@@ -1606,6 +1606,10 @@ object SparkEntry {
       LinkGraph.anchorSummary(LinkGraph.anchorEdges(pages))
     }),
 
+    // ---- per-doc distinctive terms (tf·idf, integer micro-nats) ----
+    "q_tfidf" -> ((s, dir) =>
+      operators.TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3)),
+
     // ---- exact distributed quantiles (integer permille ranks) ----
     // corpus-derived gate thresholds: 8 levels over n_chars, answered
     // from the value histogram, never a corpus sort
@@ -2195,6 +2199,26 @@ object SparkEntry {
       s"""$snapshotCte
         |SELECT ts_s, status, count(*) AS n FROM st
         |GROUP BY ts_s, status""".stripMargin,
+    // mirrors q_tfidf: same whitespace class, df from the per-doc tf
+    // table, idf_micro = round((ln N − ln df)·10⁶) — integer scores, so
+    // the rank replays bit-identically (ties: score DESC, token ASC)
+    "q_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |    x -> x <> '')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |  tf.tf * CAST(round((ln(nn.n) - ln(df.df)) * 1000000) AS BIGINT)
+        |    AS score_micro
+        |  FROM tf JOIN df USING (token) CROSS JOIN nn),
+        |r AS (SELECT doc_id, token, tf, df, score_micro,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, token) AS INTEGER) AS rk FROM sc)
+        |SELECT doc_id, token, tf, df, score_micro, rk FROM r
+        |WHERE rk <= 3""".stripMargin,
     // mirrors q_anchor_text: same page synthesis, same <a href> pair
     // pattern (LinkGraph.AnchorPat), positional zip, same normalization
     // and plurality election (cnt DESC, anchor DESC == max(struct))

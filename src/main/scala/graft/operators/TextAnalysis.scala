@@ -302,6 +302,49 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top-k DISTINCTIVE terms per document by tf·idf — the per-doc keyword
+    * table a corpus datacard and topic-mix audit read (what is this page
+    * about, without a topic model). idf is quantized to integer micro-nats
+    * (the [[NgramLm]] discipline): `idf_micro = round((ln N − ln df)·10⁶)`
+    * and `score_micro = tf · idf_micro`, so ranking is pure integer
+    * arithmetic and the DuckDB oracle recomputes it bit-identically —
+    * no IEEE accumulation order can leak in. Ties break (score DESC,
+    * token ASC), deterministic.
+    *
+    * Scale shape: one explode → map-side-combined groupBy (doc, token)
+    * for tf; token-grain groupBy for df (corpus-bounded, broadcastable
+    * after hapax pruning at real scale); one join on token; per-doc top-k
+    * as a rank window — Spark plans WindowGroupLimit, so each map task
+    * forwards at most k rows per doc into the exchange. Document text
+    * never shuffles; N is one count job like [[LinkGraph.pageRank]]'s. */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      k: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.select(col(idCol)).distinct().count()
+    require(n > 0, "tfidfTopTerms needs at least one document")
+    val tok = docs.select(
+      col(idCol).as("__d"),
+      explode(filter(split(col(textCol), "[ \\t\\n\\f\\r]+"),
+        w => w =!= "")).as("token"))
+    val tf = tok.groupBy(col("__d"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "token")
+      .withColumn("idf_micro",
+        round((log(lit(n.toDouble)) - log(col("df"))) * 1000000d)
+          .cast("long"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+    val w = Window.partitionBy(col("__d"))
+      .orderBy(col("score_micro").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("__d").as(idCol), col("token"), col("tf"), col("df"),
+        col("score_micro"), col("rk"))
+  }
+
   // ---- fingerprinting -------------------------------------------------------
 
   /** Cheap 64-bit content fingerprint (xxhash64 of the text). */

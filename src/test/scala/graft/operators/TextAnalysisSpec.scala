@@ -127,4 +127,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     // Hello , world ! 42 times → 6 BPE-ish pieces
     assert(r.getInt(1) == 6)
   }
+
+  test("tfidfTopTerms matches the hand-computed integer ranking") {
+    import spark.implicits._
+    // N=4; "common" in all 4 (idf 0), "pair" in 2, "solo*" in 1 each
+    val d = Seq(
+      (1L, "common pair solo1 solo1 solo1"),
+      (2L, "common pair"),
+      (3L, "common solo3"),
+      (4L, "common common"))
+      .toDF("doc_id", "text")
+    def idf(df: Long) = math.round((math.log(4d) - math.log(df.toDouble)) * 1e6)
+    val got = TextAnalysis.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == Map(
+      (1L, 1) -> (("solo1", 3L, 1L, 3 * idf(1))),
+      (1L, 2) -> (("pair", 1L, 2L, idf(2))),
+      (2L, 1) -> (("pair", 1L, 2L, idf(2))),
+      (2L, 2) -> (("common", 1L, 4L, 0L)),
+      (3L, 1) -> (("solo3", 1L, 1L, idf(1))),
+      (3L, 2) -> (("common", 1L, 4L, 0L)),
+      (4L, 1) -> (("common", 2L, 4L, 0L))))
+  }
+
+  test("tfidfTopTerms plans a WindowGroupLimit (map-side top-k before the exchange)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfidf").toString
+    (1L to 50L).map(i => (i, s"w$i x y z")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val plan = TextAnalysis.tfidfTopTerms(spark.read.parquet(dir), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
 }
