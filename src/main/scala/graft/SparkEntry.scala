@@ -1606,6 +1606,28 @@ object SparkEntry {
       LinkGraph.anchorSummary(LinkGraph.anchorEdges(pages))
     }),
 
+    // ---- meta-robots noindex gate (crawl politeness) ----
+    // %7==2 name-first noindex, %7==5 content-first UPPERCASE noindex,
+    // %7==3 nofollow only (no gate), %7==1 "noindex" under another meta
+    // name (no gate)
+    "q_noindex" -> ((s, dir) => {
+      val meta = when(col("doc_id") % 7 === 2,
+        lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(col("doc_id") % 7 === 5,
+          lit("<meta content='NOINDEX' name='robots'>"))
+        .when(col("doc_id") % 7 === 3,
+          lit("<meta name=\"robots\" content=\"nofollow\">"))
+        .when(col("doc_id") % 7 === 1,
+          lit("<meta name=\"keywords\" content=\"noindex discussion\">"))
+        .otherwise(lit(""))
+      docs(s, dir).select(
+        urlCol.as("url"),
+        concat(lit("<html><head>"), meta, lit("</head><body>"),
+          col("text"), lit("</body></html>")).as("html"))
+        .select(col("url"),
+          WebNormalize.noindexFlag(col("html")).as("noindex"))
+    }),
+
     // ---- per-doc distinctive terms (tf·idf, integer micro-nats) ----
     "q_tfidf" -> ((s, dir) =>
       operators.TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3)),
@@ -2199,6 +2221,29 @@ object SparkEntry {
       s"""$snapshotCte
         |SELECT ts_s, status, count(*) AS n FROM st
         |GROUP BY ts_s, status""".stripMargin,
+    // mirrors q_noindex: same meta synthesis, same two attribute-order
+    // patterns over lower(html)
+    "q_noindex" ->
+      s"""WITH p AS (SELECT $urlSql AS url,
+        |  '<html><head>' ||
+        |  CASE WHEN doc_id % 7 = 2
+        |    THEN '<meta name="robots" content="noindex, nofollow">'
+        |    WHEN doc_id % 7 = 5
+        |    THEN '<meta content=''NOINDEX'' name=''robots''>'
+        |    WHEN doc_id % 7 = 3
+        |    THEN '<meta name="robots" content="nofollow">'
+        |    WHEN doc_id % 7 = 1
+        |    THEN '<meta name="keywords" content="noindex discussion">'
+        |    ELSE '' END ||
+        |  '</head><body>' || text || '</body></html>' AS html
+        |  FROM documents)
+        |SELECT url,
+        |  regexp_matches(lower(html),
+        |    '<meta [^>]*name=["'']robots["''][^>]*content=["''][^"'']*noindex')
+        |  OR regexp_matches(lower(html),
+        |    '<meta [^>]*content=["''][^"'']*noindex[^"'']*["''][^>]*name=["'']robots["'']')
+        |  AS noindex
+        |FROM p""".stripMargin,
     // mirrors q_tfidf: same whitespace class, df from the per-doc tf
     // table, idf_micro = round((ln N − ln df)·10⁶) — integer scores, so
     // the rank replays bit-identically (ties: score DESC, token ASC)

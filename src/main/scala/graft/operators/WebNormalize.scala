@@ -48,6 +48,22 @@ object WebNormalize {
       regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>")
 
+  /** True when the page declares a robots `noindex` directive in a meta
+    * tag — the politeness gate a crawl-derived corpus applies before
+    * anything else (the page's author explicitly opted out of indexing;
+    * responsible corpus builders honor it for training data too, cf. the
+    * robots.txt/meta-robots opt-out discussion in public corpus datacards).
+    * Both attribute orders are matched (`name=… content=…` and the
+    * reverse); the tag is detected case-insensitively via `lower()` so
+    * `NOINDEX`/`Robots` variants gate identically. `[^>]`/`[^"']` classes
+    * keep Java and RE2 byte-agreed for the oracle. Pure projection: rides
+    * the scan, nothing shuffles. */
+  def noindexFlag(html: Column): Column = {
+    val h = lower(html)
+    h.rlike("<meta [^>]*name=[\"']robots[\"'][^>]*content=[\"'][^\"']*noindex") ||
+      h.rlike("<meta [^>]*content=[\"'][^\"']*noindex[^\"']*[\"'][^>]*name=[\"']robots[\"']")
+  }
+
   /** Canonical url: fragment dropped, `utm_*` params dropped (with `?`/`&`
     * separators tidied), scheme+authority lowercased, path/query case
     * preserved. The utm match is anchored to a `?`/`&` parameter boundary

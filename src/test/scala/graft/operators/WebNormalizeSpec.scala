@@ -67,4 +67,20 @@ class WebNormalizeSpec extends AnyFunSuite {
       one(WebNormalize.canonUrl(lit("http://a.b/p?utm_a=1&q=2&utm_z")))
         == "http://a.b/p?q=2")
   }
+
+  test("noindexFlag: both attribute orders, case-insensitive, no false hits") {
+    def flag(h: String): Boolean =
+      spark.range(1).select(WebNormalize.noindexFlag(lit(h)))
+        .head().getBoolean(0)
+    // name-first, content-first, case variants
+    assert(flag("<html><meta name=\"robots\" content=\"noindex, nofollow\"></html>"))
+    assert(flag("<meta content='NOINDEX' name='robots'>"))
+    assert(flag("<META NAME='Robots' CONTENT='noarchive,noindex'>"))
+    // nofollow alone is not noindex; other meta names never gate; the
+    // directive can't be assembled across two tags ([^>] stops at >)
+    assert(!flag("<meta name=\"robots\" content=\"nofollow\">"))
+    assert(!flag("<meta name=\"keywords\" content=\"noindex discussion\">"))
+    assert(!flag("<meta name=\"robots\"><meta content=\"noindex\">"))
+    assert(!flag("<html><body>robots noindex prose</body></html>"))
+  }
 }
