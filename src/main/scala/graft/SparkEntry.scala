@@ -1628,6 +1628,31 @@ object SparkEntry {
           WebNormalize.noindexFlag(col("html")).as("noindex"))
     }),
 
+    // ---- robots.txt exclusion gate (RFC 9309 star-agent subset) ----
+    // hosts h{r}: r%4==0 star group /private (+ a bot-only group that
+    // must not leak), r%4==1 bot-only (nothing applies), r%4==2 multi-UA
+    // group naming *, r%4==3 no robots at all; page paths rotate
+    // /private, /secret, /public by doc_id%3
+    "q_robots_gate" -> ((s, dir) => {
+      val r = col("doc_id") % 40
+      val pages = docs(s, dir).select(
+        concat(lit("http://h"), r.cast("string"), lit(".example"),
+          when(col("doc_id") % 3 === 0, lit("/private/p"))
+            .when(col("doc_id") % 3 === 1, lit("/secret/p"))
+            .otherwise(lit("/public/p")),
+          col("doc_id").cast("string")).as("url"))
+      val hosts = docs(s, dir).select((col("doc_id") % 40).as("r")).distinct()
+      val robots = hosts.where(col("r") % 4 =!= 3).select(
+        concat(lit("h"), col("r").cast("string"), lit(".example")).as("host"),
+        when(col("r") % 4 === 0, lit(
+          "User-agent: *\nDisallow: /private\n\nUser-agent: bot\nDisallow: /"))
+          .when(col("r") % 4 === 1, lit("User-agent: bot\nDisallow: /"))
+          .otherwise(lit(
+            "User-agent: bot\nUser-agent: *\nDisallow: /secret"))
+          .as("robots_txt"))
+      RobotsTxt.gate(pages, RobotsTxt.rules(robots))
+    }),
+
     // ---- per-doc distinctive terms (tf·idf, integer micro-nats) ----
     "q_tfidf" -> ((s, dir) =>
       operators.TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3)),
@@ -2221,6 +2246,57 @@ object SparkEntry {
       s"""$snapshotCte
         |SELECT ts_s, status, count(*) AS n FROM st
         |GROUP BY ts_s, status""".stripMargin,
+    // mirrors q_robots_gate: full parse replay — same line split, blank-
+    // line group ids, star-group membership, empty-Disallow drop, literal
+    // prefix gate (the Spark parser's ScalaTest covers grammar corners;
+    // this oracle re-derives rules from the raw text, not the arithmetic)
+    "q_robots_gate" ->
+      """WITH robots AS (
+        |  SELECT 'h' || CAST(r AS VARCHAR) || '.example' AS host,
+        |    CASE WHEN r % 4 = 0 THEN 'User-agent: *' || chr(10) ||
+        |        'Disallow: /private' || chr(10) || chr(10) ||
+        |        'User-agent: bot' || chr(10) || 'Disallow: /'
+        |      WHEN r % 4 = 1 THEN 'User-agent: bot' || chr(10) ||
+        |        'Disallow: /'
+        |      ELSE 'User-agent: bot' || chr(10) || 'User-agent: *' ||
+        |        chr(10) || 'Disallow: /secret' END AS txt
+        |  FROM (SELECT DISTINCT doc_id % 40 AS r FROM documents)
+        |  WHERE r % 4 <> 3),
+        |ln0 AS (SELECT host, unnest(list_zip(string_split(txt, chr(10)),
+        |    range(1, len(string_split(txt, chr(10))) + 1))) AS pr
+        |  FROM robots),
+        |ln AS (SELECT host, CAST(pr[2] AS BIGINT) AS pos, trim(pr[1]) AS line
+        |  FROM ln0),
+        |tag AS (SELECT host, pos, line,
+        |  sum(CASE WHEN line = '' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY host ORDER BY pos) AS grp,
+        |  CASE WHEN regexp_matches(lower(line), '^user-agent[ \t]*:')
+        |    THEN trim(regexp_replace(line, '(?i)^user-agent[ \t]*:', ''))
+        |    END AS ua,
+        |  CASE WHEN regexp_matches(lower(line), '^disallow[ \t]*:')
+        |    THEN trim(regexp_replace(line, '(?i)^disallow[ \t]*:', ''))
+        |    END AS dis
+        |  FROM ln),
+        |star AS (SELECT DISTINCT host, grp FROM tag WHERE ua = '*'),
+        |rules AS (SELECT DISTINCT t.host, t.dis AS prefix FROM tag t
+        |  JOIN star s ON t.host = s.host AND t.grp = s.grp
+        |  WHERE t.dis IS NOT NULL AND t.dis <> ''),
+        |pages AS (SELECT 'http://h' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    '.example' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '/private/p'
+        |         WHEN doc_id % 3 = 1 THEN '/secret/p'
+        |         ELSE '/public/p' END || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |hp AS (SELECT url,
+        |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)
+        |    AS host,
+        |  regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '')
+        |    AS path
+        |  FROM pages)
+        |SELECT hp.url, coalesce(bool_or(starts_with(hp.path, r.prefix)),
+        |    false) AS blocked
+        |FROM hp LEFT JOIN rules r ON hp.host = r.host
+        |GROUP BY hp.url""".stripMargin,
     // mirrors q_noindex: same meta synthesis, same two attribute-order
     // patterns over lower(html)
     "q_noindex" ->
