@@ -1628,6 +1628,22 @@ object SparkEntry {
           WebNormalize.noindexFlag(col("html")).as("noindex"))
     }),
 
+    // ---- jusText-style paragraph link density from raw html ----
+    // par 0: the doc text (content, link-free); par 1: anchor length
+    // varies by doc_id%2 so the 50% flag flips across docs; par 2: pure
+    // nav chrome (always boiler)
+    "q_link_density" -> ((s, dir) => {
+      val anchor = when(col("doc_id") % 2 === 0, lit("ok"))
+        .otherwise(lit("a much longer anchor text segment"))
+      val pages = docs(s, dir).select(
+        urlCol.as("url"),
+        concat(lit("<html><p>"), col("text"),
+          lit("</p><p>see <a href=\"/x\">"), anchor,
+          lit("</a> tail words</p><p class=\"nav\"><a href=\"/a\">Home</a>"),
+          lit("<a href=\"/b\">About</a></p></html>")).as("html"))
+      QualityFilters.paragraphLinkDensity(pages)
+    }),
+
     // ---- robots.txt exclusion gate (RFC 9309 star-agent subset) ----
     // hosts h{r}: r%4==0 star group /private (+ a bot-only group that
     // must not leak), r%4==1 bot-only (nothing applies), r%4==2 multi-UA
@@ -2246,6 +2262,32 @@ object SparkEntry {
       s"""$snapshotCte
         |SELECT ts_s, status, count(*) AS n FROM st
         |GROUP BY ts_s, status""".stripMargin,
+    // mirrors q_link_density: same paragraph/anchor patterns ((?s) lazy,
+    // portable Java/RE2 subset), integer flag rule, 0-based positions
+    "q_link_density" ->
+      s"""WITH p AS (SELECT $urlSql AS url,
+        |  '<html><p>' || text || '</p><p>see <a href="/x">' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ok'
+        |       ELSE 'a much longer anchor text segment' END ||
+        |  '</a> tail words</p><p class="nav"><a href="/a">Home</a>' ||
+        |  '<a href="/b">About</a></p></html>' AS html
+        |  FROM documents),
+        |pars0 AS (SELECT url, unnest(list_zip(
+        |    regexp_extract_all(html, '(?s)<p[^>]*>(.*?)</p>', 1),
+        |    range(0, len(regexp_extract_all(html, '(?s)<p[^>]*>(.*?)</p>', 1)))))
+        |    AS pr FROM p),
+        |pars AS (SELECT url, CAST(pr[2] AS INTEGER) AS pos, pr[1] AS par
+        |  FROM pars0),
+        |m AS (SELECT url, pos,
+        |  CAST(len(trim(regexp_replace(par, '<[^>]*>', '', 'g'))) AS BIGINT)
+        |    AS total_len,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    regexp_extract_all(par, '(?s)<a [^>]*>(.*?)</a>', 1),
+        |    x -> len(x))), 0) AS BIGINT) AS link_len
+        |  FROM pars)
+        |SELECT url, pos, total_len, link_len,
+        |  (100 * link_len > 50 * total_len OR total_len = 0) AS boiler
+        |FROM m""".stripMargin,
     // mirrors q_robots_gate: full parse replay — same line split, blank-
     // line group ids, star-group membership, empty-Disallow drop, literal
     // prefix gate (the Spark parser's ScalaTest covers grammar corners;

@@ -256,4 +256,42 @@ object QualityFilters {
     withDom.join(stats, Seq("domain"))
       .withColumn("low_quality_domain", col("domain_mean") < minMean)
   }
+
+  /** Paragraph-grain link density from raw html — the jusText/boilerplate
+    * heuristic (Pomikálek 2011): a paragraph whose visible characters are
+    * mostly anchor text is navigation chrome, not content. Per `<p>`
+    * block: `total_len` = visible chars (tags stripped, trimmed),
+    * `link_len` = visible chars inside `<a>` tags, and
+    * `boiler = 100·link_len > maxPct·total_len OR total_len = 0` —
+    * integer arithmetic only, so the DuckDB oracle replays the flag
+    * bit-identically (no IEEE ratio anywhere). `(?s)` + lazy `.*?` are
+    * the portable Java/RE2 subset; nested block structure is out of the
+    * regex tier's scope (same contract as [[LinkGraph.AnchorPat]]).
+    *
+    * Scale shape: one linear `posexplode` per page, everything else is a
+    * codegen'd projection on the paragraph row — no shuffle at all; the
+    * (url, pos) key is carried so callers can reassemble kept paragraphs
+    * or roll up per page with one narrow groupBy. */
+  def paragraphLinkDensity(
+      pages: DataFrame,
+      maxPct: Int = 50,
+      urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame = {
+    require(maxPct >= 0 && maxPct <= 100, s"maxPct out of range: $maxPct")
+    val parPat = "(?s)<p[^>]*>(.*?)</p>"
+    val aPat = "(?s)<a [^>]*>(.*?)</a>"
+    pages.select(col(urlCol),
+        posexplode(regexp_extract_all(col(htmlCol), lit(parPat), lit(1)))
+          .as(Seq("pos", "par")))
+      .select(col(urlCol), col("pos"),
+        length(trim(regexp_replace(col("par"), "<[^>]*>", "")))
+          .cast("long").as("total_len"),
+        aggregate(
+          transform(regexp_extract_all(col("par"), lit(aPat), lit(1)),
+            x => length(x)),
+          lit(0), (a, x) => a + x).cast("long").as("link_len"))
+      .withColumn("boiler",
+        lit(100L) * col("link_len") > lit(maxPct.toLong) * col("total_len")
+          || col("total_len") === 0L)
+  }
 }

@@ -226,4 +226,27 @@ class QualityFiltersSpec extends AnyFunSuite {
       QualityFilters.blocklistFlag(docs, words = Seq.empty)
     }
   }
+
+  test("paragraphLinkDensity: hand-computed lengths, flag boundary, empty par") {
+    import spark.implicits._
+    val pages = Seq(("u1",
+      "<html><p>plain text here</p>" +                                // 15, 0
+        "<p>see <a href=\"/x\">this link</a> and <a href=\"/y\">that</a> ok</p>" + // 25, 13
+        "<p class=\"nav\"><a href=\"/a\">Home</a><a href=\"/b\">About</a></p>" +  // 9, 9
+        "<p>  </p></html>"))                                          // 0, 0
+      .toDF("url", "html")
+    val got = QualityFilters.paragraphLinkDensity(pages).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got == Map(
+      0 -> ((15L, 0L, false)),
+      1 -> ((25L, 13L, true)),   // 1300 > 1250: just over 50%
+      2 -> ((9L, 9L, true)),
+      3 -> ((0L, 0L, true))))    // nothing visible → boiler
+    // exactly 50% stays (strict >): 10 visible, 5 linked
+    val edge = Seq(("u2", "<p>abcde<a href=\"/z\">fghij</a></p>"))
+      .toDF("url", "html")
+    val e = QualityFilters.paragraphLinkDensity(edge).head()
+    assert((e.getLong(2), e.getLong(3), e.getBoolean(4)) == ((10L, 5L, false)))
+  }
 }
