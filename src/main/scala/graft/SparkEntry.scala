@@ -1628,6 +1628,31 @@ object SparkEntry {
           WebNormalize.noindexFlag(col("html")).as("noindex"))
     }),
 
+    // ---- host-grain crawl datacard (Datacard.byKey) ----
+    "q_host_datacard" -> ((s, dir) =>
+      Datacard.byKey(
+        docs(s, dir).select(
+          concat(lit("h"), (col("doc_id") % 40).cast("string"),
+            lit(".example")).as("host"),
+          col("text")),
+        Seq("host"))),
+
+    // ---- link reciprocity (link-farm signal) ----
+    // deterministic host graph: r → (7r+3)%40 and (13r+5)%40; the %5==0
+    // slice plants reverse edges so reciprocated pairs exist
+    "q_reciprocity" -> ((s, dir) => {
+      def h(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), c.cast("string"))
+      val base = docs(s, dir).select((col("doc_id") % 40).as("r")).distinct()
+      val edges = base
+        .select(h(col("r")).as("src"), h((col("r") * 7 + 3) % 40).as("dst"))
+        .unionByName(base.select(h(col("r")).as("src"),
+          h((col("r") * 13 + 5) % 40).as("dst")))
+        .unionByName(base.where(col("r") % 5 === 0)
+          .select(h((col("r") * 7 + 3) % 40).as("src"), h(col("r")).as("dst")))
+      LinkGraph.reciprocity(edges)
+    }),
+
     // ---- jusText-style paragraph link density from raw html ----
     // par 0: the doc text (content, link-free); par 1: anchor length
     // varies by doc_id%2 so the 50% flag flips across docs; par 2: pure
@@ -2262,6 +2287,40 @@ object SparkEntry {
       s"""$snapshotCte
         |SELECT ts_s, status, count(*) AS n FROM st
         |GROUP BY ts_s, status""".stripMargin,
+    // mirrors q_host_datacard: the q_datacard aggregate body at host grain
+    "q_host_datacard" ->
+      """WITH d AS (SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    '.example' AS host, text FROM documents),
+        |c AS (SELECT host, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  avg(length(text)) AS mean_chars,
+        |  count(DISTINCT sha256(text)) AS n_distinct
+        |  FROM d GROUP BY host)
+        |SELECT host, n_docs, n_tokens, n_chars, mean_chars, n_distinct,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_docs AS dup_rate,
+        |  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share
+        |FROM c""".stripMargin,
+    // mirrors q_reciprocity: same planted graph, distinct directed edges
+    // minus self-loops, reverse-edge membership per out-neighbor
+    "q_reciprocity" ->
+      """WITH rr AS (SELECT DISTINCT doc_id % 40 AS r FROM documents),
+        |e0 AS (SELECT 'h' || CAST(r AS VARCHAR) AS src,
+        |    'h' || CAST((r * 7 + 3) % 40 AS VARCHAR) AS dst FROM rr
+        |  UNION ALL
+        |  SELECT 'h' || CAST(r AS VARCHAR),
+        |    'h' || CAST((r * 13 + 5) % 40 AS VARCHAR) FROM rr
+        |  UNION ALL
+        |  SELECT 'h' || CAST((r * 7 + 3) % 40 AS VARCHAR),
+        |    'h' || CAST(r AS VARCHAR) FROM rr WHERE r % 5 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |rc AS (SELECT a.src, a.dst FROM e a JOIN e b
+        |  ON a.src = b.dst AND a.dst = b.src)
+        |SELECT e.src AS host, count(*) AS n_out,
+        |  CAST(coalesce(sum(CASE WHEN rc.src IS NOT NULL THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) AS n_recip
+        |FROM e LEFT JOIN rc ON e.src = rc.src AND e.dst = rc.dst
+        |GROUP BY e.src""".stripMargin,
     // mirrors q_link_density: same paragraph/anchor patterns ((?s) lazy,
     // portable Java/RE2 subset), integer flag rule, 0-based positions
     "q_link_density" ->

@@ -26,11 +26,21 @@ object Datacard {
     * @return one row per (lang, source): n_docs, n_tokens (whitespace),
     *         n_chars, mean_chars, n_distinct (exact-digest), dup_rate,
     *         token_share of the whole corpus. */
-  def composition(docs: DataFrame): DataFrame = {
+  def composition(docs: DataFrame): DataFrame =
+    byKey(docs, Seq("lang", "source"))
+
+  /** [[composition]] over an arbitrary grouping key — the host-grain
+    * variant is the crawl datacard (pages / token mass / within-host dup
+    * rate per site), the first place crawl pathologies (mirror hosts,
+    * calendar-page explosions, template farms) become visible. Same
+    * one-pass scale shape; output is O(|key cardinality|) rows, so keep
+    * the key at host/domain/source grain, not url grain. */
+  def byKey(docs: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "byKey needs at least one grouping column")
     val tok = when(length(trim(col("text"))) === 0, lit(0))
       .otherwise(size(split(trim(col("text")), "\\s+")))
     val cells = docs
-      .groupBy(col("lang"), col("source"))
+      .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),
         sum(tok).cast("long").as("n_tokens"),

@@ -193,6 +193,29 @@ object LinkGraph {
       .select(col("dst"), col("n_refs"), col("n_anchors"),
         col("top.anchor").as("top_anchor"), col("top.cnt").as("top_cnt"))
 
+  /** Per-host link reciprocity: of a host's distinct out-neighbors, how
+    * many link back — the classic link-farm signal (organic links are
+    * mostly one-way; mutual-admiration rings reciprocate almost fully,
+    * cf. the link-spam literature around TrustRank, Gyöngyi et al. 2004).
+    * Integer counts only (`n_out`, `n_recip`) so thresholding is the
+    * caller's policy and the oracle replays exactly. Self-loops are
+    * excluded (trivially reciprocal, pure noise for the signal).
+    *
+    * Scale shape: the edge list joins its own reverse on (src, dst) —
+    * one semi-join at host grain (the graph is ~10⁸ edges for a full
+    * crawl, far below page grain) — then two map-side-combined groupBys.
+    * Nothing here touches page payloads. */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = cleanEdges(edges).where(col("src") =!= col("dst"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = e.join(rev, Seq("src", "dst"), "left_semi")
+    e.groupBy(col("src")).agg(count(lit(1)).as("n_out"))
+      .join(recip.groupBy(col("src")).agg(count(lit(1)).as("n_recip")),
+        Seq("src"), "left")
+      .select(col("src").as("host"), col("n_out"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"))
+  }
+
   /** Page-grain quality weight: join every page's host against the rank
     * table (broadcast when it fits — host tables usually do at per-crawl
     * grain after a quality cut). Pages on unranked hosts get rank 0. */

@@ -138,6 +138,22 @@ class LinkGraphSpec extends AnyFunSuite {
       ("a.example", "b.example", "again")))
   }
 
+  test("reciprocity: mutual edges counted once per direction, self-loops out") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("b", "a"),            // mutual pair
+      ("a", "c"),                        // one-way
+      ("c", "c"),                        // self-loop: excluded entirely
+      ("d", "a"), ("a", "d"), ("d", "b") // d: 2 out, 1 reciprocated
+    ).toDF("src", "dst")
+    val got = LinkGraph.reciprocity(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 2L)),   // b,c,d out; b and d link back
+      "b" -> ((1L, 1L)),
+      "d" -> ((2L, 1L))))
+  }
+
   test("anchorSummary: plurality anchor with deterministic tie-break") {
     import spark.implicits._
     val edges = Seq(
