@@ -72,22 +72,29 @@ object RobotsTxt {
 
   /** Pages (urlCol) + rules → pages with a `blocked` flag: true iff the
     * url's path starts with any disallowed prefix of the url's host.
-    * Left join keyed on host (broadcast when rules fit), `startswith`
-    * per candidate rule, any-match semi-aggregation on the page key. */
+    *
+    * Rules first collapse to ONE row per host (host, array of prefixes) —
+    * robots files carry a handful of rules, so the arrays are tiny — and
+    * that table left-joins the pages on host with the any-prefix test as
+    * a row-local `exists(…, startswith)`. The page side is never
+    * duplicated per rule, never re-aggregated, and never exchanged: the
+    * host-grain rule table is the small side (|hosts| ≪ |pages|), so the
+    * optimizer broadcasts it and the whole gate rides the page scan. */
   def gate(
       pages: DataFrame,
       rulesDf: DataFrame,
       urlCol: String = "url"): DataFrame = {
-    val withHp = pages.withColumn("__host", LinkGraph.hostOf(col(urlCol)))
+    val ruleSets = rulesDf.groupBy(col("host"))
+      .agg(collect_list(col("prefix")).as("__prefixes"))
+      .withColumnRenamed("host", "__host")
+    pages.withColumn("__host", LinkGraph.hostOf(col(urlCol)))
       .withColumn("__path",
         regexp_replace(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""))
-    val hits = withHp.select(col(urlCol), col("__host"), col("__path"))
-      .join(rulesDf.withColumnRenamed("host", "__host"), Seq("__host"))
-      .where(col("__path").startsWith(col("prefix")))
-      .select(col(urlCol)).distinct()
-      .withColumn("blocked", lit(true))
-    withHp.drop("__host", "__path")
-      .join(hits, Seq(urlCol), "left")
-      .withColumn("blocked", coalesce(col("blocked"), lit(false)))
+      .join(ruleSets, Seq("__host"), "left")
+      .withColumn("blocked",
+        coalesce(
+          exists(col("__prefixes"), p => col("__path").startsWith(p)),
+          lit(false)))
+      .drop("__host", "__path", "__prefixes")
   }
 }

@@ -274,6 +274,23 @@ object Plans {
     // window over the (value,count) HISTOGRAM rows; no global Sort of docs.
     SparkEntry.queries("q_quantiles")(spark, sf).explain("formatted")
 
+    println("=== PLAN 28: snapshot-delta classify (digest below the url exchange) ===")
+    // wants: xxhash64 projected map-side (below the Exchange), window over
+    // (url, ts, dig) only — payload text absent past the scan projection.
+    SparkEntry.queries("q_snapshot_delta")(spark, sf).explain("formatted")
+
+    println("=== PLAN 29: anchor rollup (two partial-agg groupBys, html never shuffles) ===")
+    SparkEntry.queries("q_anchor_text")(spark, sf).explain("formatted")
+
+    println("=== PLAN 30: tf-idf top-k (WindowGroupLimit before the doc exchange) ===")
+    SparkEntry.queries("q_tfidf")(spark, sf).explain("formatted")
+
+    println("=== PLAN 31: robots gate (rules side broadcast, page side unshuffled) ===")
+    SparkEntry.queries("q_robots_gate")(spark, sf).explain("formatted")
+
+    println("=== PLAN 32: link density (pure projection — zero exchanges) ===")
+    SparkEntry.queries("q_link_density")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
