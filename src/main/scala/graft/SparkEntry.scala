@@ -301,6 +301,42 @@ object SparkEntry {
     // and identical sets ⇒ identical min labels.
     "q_near_dup_clusters" -> ((s, dir) => nearDupClusterLabels(s, dir)._1),
 
+    // ---- dup-pair recall scoreboard (the north-rule acceptance metric) ----
+    // The planted base↔copy pairs ARE the ground truth, so the pipeline can
+    // grade itself: join each truth pair against the LSH→verify→CC labels
+    // and report (n_truth, n_hit, n_cluster_pairs, recall_permille) as ONE
+    // row. n_cluster_pairs (Σ C(n,2) over clusters) is the denominator a
+    // precision read uses — together the two numbers say "found everything,
+    // invented nothing". Integer permille, so the oracle replays it exactly;
+    // the oracle's clusters come from the exhaustive-Jaccard recursive-CTE
+    // truth, so a recall_permille match PROVES the engine's recall is the
+    // exact graph's recall (=1000 at fixture scale). At 100 TB this runs
+    // over any labeled audit slice: two broadcastable joins on the tiny
+    // truth table + one label-grain groupBy — the corpus never re-shuffles.
+    "q_dup_recall" -> ((s, dir) => {
+      val (labels, _) = nearDupClusterLabels(s, dir)
+      val planted = docs(s, dir)
+        .where(length(col("text")) >= 200 && col("doc_id") % 25 === 7)
+        .withColumn("cid", col("doc_id") + lit(3000000L))
+      val truth = planted.select(
+        urlCol.as("a"),
+        concat(lit("https://"), col("source"), lit(".example/d"),
+          pmod(col("cid"), lit(5)), lit("/doc"), col("cid"),
+          lit(".html")).as("b"))
+      val la = labels.select(col("url").as("a"), col("cluster").as("ca"))
+      val lb = labels.select(col("url").as("b"), col("cluster").as("cb"))
+      val hits = truth.join(la, "a").join(lb, "b")
+        .where(col("ca") === col("cb"))
+      val pairMass = labels.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L))
+          .as("n_cluster_pairs"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(pairMass)
+        .withColumn("recall_permille", expr("(n_hit * 1000) div n_truth"))
+    }),
+
     // ---- keep-best copy per NEAR-dup cluster (FineWeb keep policy) ----
     // The bestPerKey election applied to LSH→verify→CC clusters instead
     // of exact-digest groups: per cluster keep the copy with the MOST
@@ -401,6 +437,10 @@ object SparkEntry {
     // ---- corpus vocabulary head (tokenizer-prep statistics) ----
     "q_vocab_topk" -> ((s, dir) =>
       operators.TextAnalysis.vocabTopK(docs(s, dir), k = 50)),
+
+    // ---- vocabulary coverage curve (tokenizer-budget statistic) ----
+    "q_vocab_coverage" -> ((s, dir) =>
+      operators.TextAnalysis.vocabCoverage(docs(s, dir), k = 50)),
 
     // ---- per-doc n-gram novelty (inverse of duplicated mass) ----
     // planted exact copies (%31==4, id+9000000) must read novel_frac 0 on
@@ -1637,6 +1677,120 @@ object SparkEntry {
           col("text")),
         Seq("host"))),
 
+    // ---- cross-host mirror detection (Mirrors.hostOverlap) ----
+    // hosts h{r}.example carry the docs; every %9==5 doc is re-planted on
+    // a dedicated mirror host m{r}.example, so (h{r}, m{r}) pairs must
+    // surface with near-1000 containment; natural cross-host exact dups
+    // add organic pairs; digests on > 8 hosts are cap-dropped (mirrored
+    // in the oracle)
+    "q_mirror_hosts" -> ((s, dir) => {
+      def hostOf(p: String) = concat(lit(p),
+        (col("doc_id") % 40).cast("string"), lit(".example"))
+      val base = docs(s, dir).select(hostOf("h").as("host"), col("text"))
+      val planted = base.unionByName(
+        docs(s, dir).where(col("doc_id") % 9 === 5)
+          .select(hostOf("m").as("host"), col("text")))
+      Mirrors.hostOverlap(planted, maxHostsPerDigest = 8, minShared = 2)
+    }),
+
+    // ---- encoding-damage (mojibake) gate ----
+    // %11==3 docs get a damaged tail: one U+FFFD, two C0 controls, two
+    // UTF-8-as-Latin-1 pairs (Ã¯, Ã�) = 5 damage chars; the 2-permille
+    // rule then flags exactly the short planted docs (len < 2500), so the
+    // fixture exercises both verdicts
+    "q_mojibake" -> ((s, dir) => {
+      val tail = " caf\uFFFD menu \u0001\u0002 na\u00C3\u00AFve stra\u00C3\u009Fe"
+      QualityFilters.mojibake(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 11 === 3, concat(col("text"), lit(tail)))
+            .otherwise(col("text")).as("text")))
+    }),
+
+    // ---- title-blocking dedup (syndication pre-filter) ----
+    // pages carry a <title> built from the text's first five words; %13==6
+    // docs are re-planted with an APPENDED body (different digest, same
+    // title), so (source, normalized-title) blocks surface the syndicated
+    // copies that exact dedup misses; natural first-5-word collisions in
+    // the prose join them — the oracle replays both
+    "q_title_dedup" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val planted = base.unionByName(
+        base.where(col("doc_id") % 13 === 6)
+          .withColumn("doc_id", col("doc_id") + lit(8000000L))
+          .withColumn("text", concat(col("text"), lit(" republished today"))))
+      val pages = planted.select(col("doc_id"), col("source"),
+        concat(lit("<html><head><title> "),
+          array_join(slice(split(col("text"), " "), 1, 5), " "),
+          lit(" </title></head><body>"), col("text"),
+          lit("</body></html>")).as("html"))
+      pages
+        .select(col("doc_id"), col("source"),
+          WebNormalize.titleOf(col("html")).as("title"))
+        .withColumn("tkey", WebNormalize.normalText(col("title")))
+        .groupBy(col("source"), col("tkey"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep_id"))
+        .where(col("n") > 1)
+    }),
+
+    // ---- soft-404 gate (error shells served as HTTP 200) ----
+    // %17==5 docs BECOME short error shells (flagged); %17==6 docs merely
+    // DISCUSS a 404 at full length (pattern hits, word floor saves them);
+    // everything else is clean prose
+    "q_soft404" -> ((s, dir) => {
+      val t = when(col("doc_id") % 17 === 5,
+          lit("Error 404 - page not found. The requested document " +
+            "is not available."))
+        .when(col("doc_id") % 17 === 6,
+          concat(lit("404 discussion: "), col("text")))
+        .otherwise(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        WebNormalize.soft404Flag(t).as("soft404"))
+    }),
+
+    // ---- crawl-trap families (calendar/pagination url explosions) ----
+    // every doc keeps its normal template url; %6==2 docs add a calendar
+    // url with year/month/item/fragment digits — both families collapse
+    // onto digit-free trap keys whose member counts the groupBy reports
+    "q_crawl_traps" -> ((s, dir) => {
+      val cal = docs(s, dir).where(col("doc_id") % 6 === 2).select(
+        concat(lit("https://"), col("source"), lit(".example/cal/"),
+          (lit(2000) + col("doc_id") % 5).cast("string"), lit("/"),
+          (col("doc_id") % 12).cast("string"), lit("/item"),
+          col("doc_id").cast("string"), lit("#frag"),
+          col("doc_id").cast("string")).as("url"))
+      docs(s, dir).select(urlCol.as("url")).unionByName(cal)
+        .withColumn("trap_key", WebNormalize.urlTrapKey(col("url")))
+        .groupBy(col("trap_key"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_distinct"))
+        .where(col("n_urls") >= 5)
+    }),
+
+    // ---- host language purity (mixed-language site detection) ----
+    // doc_id%40 hosts × the fixture's 5 langs: the majority-language share
+    // per host, deterministic majority election (count DESC, lang ASC).
+    // Low purity flags hosts whose langid labels disagree — usually a
+    // mis-crawled or machine-translated site a lang-filtered corpus wants
+    // reviewed at host grain, not page grain
+    "q_host_lang_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cell = docs(s, dir)
+        .select(concat(lit("h"), (col("doc_id") % 40).cast("string"),
+          lit(".example")).as("host"), col("lang"))
+        .groupBy(col("host"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      cell
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("host"))
+            .orderBy(col("n").desc, col("lang"))))
+        .withColumn("n_docs",
+          sum(col("n")).over(Window.partitionBy(col("host"))))
+        .where(col("rk") === 1)
+        .withColumn("purity_permille", expr("(n * 1000) div n_docs"))
+        .select(col("host"), col("lang").as("major_lang"),
+          col("n").as("n_major"), col("n_docs"), col("purity_permille"))
+    }),
+
     // ---- link reciprocity (link-farm signal) ----
     // deterministic host graph: r → (7r+3)%40 and (13r+5)%40; the %5==0
     // slice plants reverse edges so reciprocated pairs exist
@@ -1670,23 +1824,26 @@ object SparkEntry {
     }),
 
     // ---- robots.txt exclusion gate (RFC 9309 star-agent subset) ----
-    // hosts h{r}: r%4==0 star group /private (+ a bot-only group that
-    // must not leak), r%4==1 bot-only (nothing applies), r%4==2 multi-UA
-    // group naming *, r%4==3 no robots at all; page paths rotate
-    // /private, /secret, /public by doc_id%3
+    // hosts h{r}: r%4==0 star group Disallow /private + Allow
+    // /private/pub carve-out (+ a bot-only group that must not leak),
+    // r%4==1 bot-only (nothing applies), r%4==2 multi-UA group naming *,
+    // r%4==3 no robots at all; page paths rotate /private, /private/pub,
+    // /secret by doc_id%3 (gcd(3,40)=1, so every host class sees every
+    // path — including the Allow-precedence carve-out on class-0 hosts)
     "q_robots_gate" -> ((s, dir) => {
       val r = col("doc_id") % 40
       val pages = docs(s, dir).select(
         concat(lit("http://h"), r.cast("string"), lit(".example"),
           when(col("doc_id") % 3 === 0, lit("/private/p"))
-            .when(col("doc_id") % 3 === 1, lit("/secret/p"))
-            .otherwise(lit("/public/p")),
+            .when(col("doc_id") % 3 === 1, lit("/private/pub/p"))
+            .otherwise(lit("/secret/p")),
           col("doc_id").cast("string")).as("url"))
       val hosts = docs(s, dir).select((col("doc_id") % 40).as("r")).distinct()
       val robots = hosts.where(col("r") % 4 =!= 3).select(
         concat(lit("h"), col("r").cast("string"), lit(".example")).as("host"),
         when(col("r") % 4 === 0, lit(
-          "User-agent: *\nDisallow: /private\n\nUser-agent: bot\nDisallow: /"))
+          "User-agent: *\nDisallow: /private\nAllow: /private/pub\n\n" +
+            "User-agent: bot\nDisallow: /"))
           .when(col("r") % 4 === 1, lit("User-agent: bot\nDisallow: /"))
           .otherwise(lit(
             "User-agent: bot\nUser-agent: *\nDisallow: /secret"))
@@ -2301,6 +2458,127 @@ object SparkEntry {
         |  1.0 - CAST(n_distinct AS DOUBLE) / n_docs AS dup_rate,
         |  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share
         |FROM c""".stripMargin,
+    // mirrors q_mirror_hosts: same host assignment + mirror plant; the
+    // digest key is replayed as the raw text (distinct-count equivalent —
+    // the digest never reaches the output), fan-out cap 8, pure integer
+    // containment permille
+    "q_mirror_hosts" ->
+      """WITH p AS (
+        |  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS host,
+        |    text FROM documents
+        |  UNION ALL
+        |  SELECT 'm' || CAST(doc_id % 40 AS VARCHAR) || '.example', text
+        |  FROM documents WHERE doc_id % 9 = 5),
+        |dh AS (SELECT DISTINCT text AS h, host FROM p),
+        |sz AS (SELECT host, count(*) AS n FROM dh GROUP BY 1),
+        |fan AS (SELECT h FROM (SELECT h, count(*) AS nh FROM dh GROUP BY 1)
+        |  WHERE nh <= 8),
+        |k AS (SELECT dh.h, dh.host FROM dh JOIN fan USING (h)),
+        |pr AS (SELECT a.host AS host_a, b.host AS host_b,
+        |    count(*) AS n_shared
+        |  FROM k a JOIN k b ON a.h = b.h AND a.host < b.host
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.host_a, pr.host_b, CAST(pr.n_shared AS BIGINT) AS n_shared,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |  (pr.n_shared * 1000) // least(sa.n, sb.n) AS overlap_permille
+        |FROM pr
+        |JOIN sz sa ON pr.host_a = sa.host
+        |JOIN sz sb ON pr.host_b = sb.host""".stripMargin,
+    // mirrors q_mojibake: same planted tail via chr() codepoints, the same
+    // three RE2-portable damage classes, integer permille rule (lateral
+    // alias references avoided via a subquery)
+    "q_mojibake" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 3 THEN text || ' caf' || chr(65533) ||
+        |    ' menu ' || chr(1) || chr(2) || ' na' || chr(195) || chr(175) ||
+        |    've stra' || chr(195) || chr(159) || 'e' ELSE text END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(length(t) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT) AS n_repl,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[\x00-\x08\x0E-\x1F\x7F]')) AS BIGINT) AS n_ctrl,
+        |  CAST(len(regexp_extract_all(t, '[' || chr(194) || chr(195) ||
+        |    '][' || chr(128) || '-' || chr(191) || ']')) AS BIGINT) AS n_dbl
+        |  FROM d)
+        |SELECT doc_id, n_chars, n_repl, n_ctrl, n_dbl,
+        |  (n_repl + n_ctrl + n_dbl) * 1000 > n_chars * 2 AS mojibake
+        |FROM c""".stripMargin,
+    // mirrors q_title_dedup: same plant, the titleOf regex, the
+    // normalText canonicalization, (source, title-key) blocks with > 1
+    // members
+    "q_title_dedup" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 8000000, source, text || ' republished today'
+        |  FROM documents WHERE doc_id % 13 = 6),
+        |p AS (SELECT doc_id, source,
+        |  '<html><head><title> ' ||
+        |  array_to_string((string_split(text, ' '))[1:5], ' ') ||
+        |  ' </title></head><body>' || text || '</body></html>' AS html
+        |  FROM d),
+        |t AS (SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_extract(html,
+        |    '(?is)<title[^>]*>(.*?)</title>', 1),
+        |    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS title
+        |  FROM p),
+        |k AS (SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(title),
+        |    '[!-/:-@\[-`{-~]+', ' ', 'g'),
+        |    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS tkey
+        |  FROM t)
+        |SELECT source, tkey, count(*) AS n, min(doc_id) AS rep_id
+        |FROM k GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+    // mirrors q_soft404: same plant, same error-phrase alternation over
+    // lowercased text, same strict-< 30-word floor
+    "q_soft404" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 5 THEN
+        |    'Error 404 - page not found. The requested document ' ||
+        |    'is not available.'
+        |  WHEN doc_id % 17 = 6 THEN '404 discussion: ' || text
+        |  ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (regexp_matches(lower(t),
+        |    '(404|page not found|file not found|access denied|' ||
+        |    'not available|forbidden|server error)')
+        |   AND (CASE WHEN length(trim(t)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(t), '\s+')) END) < 30)
+        |    AS soft404
+        |FROM d""".stripMargin,
+    // mirrors q_crawl_traps: same url builders, digits→N then
+    // fragment-drop (the engine's nesting order), key-grain counts
+    "q_crawl_traps" ->
+      s"""WITH u AS (
+        |  SELECT $urlSql AS url FROM documents
+        |  UNION ALL
+        |  SELECT 'https://' || source || '.example/cal/' ||
+        |    CAST(2000 + doc_id % 5 AS VARCHAR) || '/' ||
+        |    CAST(doc_id % 12 AS VARCHAR) || '/item' ||
+        |    CAST(doc_id AS VARCHAR) || '#frag' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 6 = 2),
+        |k AS (SELECT url, regexp_replace(regexp_replace(url,
+        |    '[0-9]+', 'N', 'g'), '#.*', '') AS trap_key FROM u)
+        |SELECT trap_key, count(*) AS n_urls,
+        |  count(DISTINCT url) AS n_distinct
+        |FROM k GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    // mirrors q_host_lang_mix: same host cells, rank-1 majority election
+    // with the same (count DESC, lang ASC) tie order, integer permille
+    "q_host_lang_mix" ->
+      """WITH c AS (SELECT
+        |  'h' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS host,
+        |  lang, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT host, lang, n,
+        |  row_number() OVER (PARTITION BY host ORDER BY n DESC, lang)
+        |    AS rk,
+        |  sum(n) OVER (PARTITION BY host) AS n_docs
+        |  FROM c)
+        |SELECT host, lang AS major_lang, n AS n_major,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  (n * 1000) // CAST(n_docs AS BIGINT) AS purity_permille
+        |FROM r WHERE rk = 1""".stripMargin,
     // mirrors q_reciprocity: same planted graph, distinct directed edges
     // minus self-loops, reverse-edge membership per out-neighbor
     "q_reciprocity" ->
@@ -2348,14 +2626,17 @@ object SparkEntry {
         |  (100 * link_len > 50 * total_len OR total_len = 0) AS boiler
         |FROM m""".stripMargin,
     // mirrors q_robots_gate: full parse replay — same line split, blank-
-    // line group ids, star-group membership, empty-Disallow drop, literal
-    // prefix gate (the Spark parser's ScalaTest covers grammar corners;
-    // this oracle re-derives rules from the raw text, not the arithmetic)
+    // line group ids, star-group membership, empty-rule drop, literal
+    // prefix match, and RFC 9309 §2.2.2 precedence (longest prefix wins,
+    // Allow wins exact-length ties) re-derived from the raw text via a
+    // per-url window over matching rules (the Spark side folds the same
+    // order row-locally; the ScalaTest covers grammar corners)
     "q_robots_gate" ->
       """WITH robots AS (
         |  SELECT 'h' || CAST(r AS VARCHAR) || '.example' AS host,
         |    CASE WHEN r % 4 = 0 THEN 'User-agent: *' || chr(10) ||
-        |        'Disallow: /private' || chr(10) || chr(10) ||
+        |        'Disallow: /private' || chr(10) ||
+        |        'Allow: /private/pub' || chr(10) || chr(10) ||
         |        'User-agent: bot' || chr(10) || 'Disallow: /'
         |      WHEN r % 4 = 1 THEN 'User-agent: bot' || chr(10) ||
         |        'Disallow: /'
@@ -2376,28 +2657,39 @@ object SparkEntry {
         |    END AS ua,
         |  CASE WHEN regexp_matches(lower(line), '^disallow[ \t]*:')
         |    THEN trim(regexp_replace(line, '(?i)^disallow[ \t]*:', ''))
-        |    END AS dis
+        |    END AS dis,
+        |  CASE WHEN regexp_matches(lower(line), '^allow[ \t]*:')
+        |    THEN trim(regexp_replace(line, '(?i)^allow[ \t]*:', ''))
+        |    END AS al
         |  FROM ln),
         |star AS (SELECT DISTINCT host, grp FROM tag WHERE ua = '*'),
-        |rules AS (SELECT DISTINCT t.host, t.dis AS prefix FROM tag t
+        |rules AS (SELECT DISTINCT t.host,
+        |    coalesce(t.dis, t.al) AS prefix,
+        |    (t.al IS NOT NULL) AS allow
+        |  FROM tag t
         |  JOIN star s ON t.host = s.host AND t.grp = s.grp
-        |  WHERE t.dis IS NOT NULL AND t.dis <> ''),
+        |  WHERE coalesce(t.dis, t.al) IS NOT NULL
+        |    AND coalesce(t.dis, t.al) <> ''),
         |pages AS (SELECT 'http://h' || CAST(doc_id % 40 AS VARCHAR) ||
         |    '.example' ||
         |    CASE WHEN doc_id % 3 = 0 THEN '/private/p'
-        |         WHEN doc_id % 3 = 1 THEN '/secret/p'
-        |         ELSE '/public/p' END || CAST(doc_id AS VARCHAR) AS url
+        |         WHEN doc_id % 3 = 1 THEN '/private/pub/p'
+        |         ELSE '/secret/p' END || CAST(doc_id AS VARCHAR) AS url
         |  FROM documents),
         |hp AS (SELECT url,
         |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)
         |    AS host,
         |  regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '')
         |    AS path
-        |  FROM pages)
-        |SELECT hp.url, coalesce(bool_or(starts_with(hp.path, r.prefix)),
-        |    false) AS blocked
-        |FROM hp LEFT JOIN rules r ON hp.host = r.host
-        |GROUP BY hp.url""".stripMargin,
+        |  FROM pages),
+        |m AS (SELECT hp.url, r.prefix, r.allow
+        |  FROM hp JOIN rules r ON hp.host = r.host
+        |    AND starts_with(hp.path, r.prefix)),
+        |best AS (SELECT url, allow, row_number() OVER (PARTITION BY url
+        |    ORDER BY len(prefix) DESC, allow DESC) AS rn FROM m)
+        |SELECT hp.url, coalesce(NOT b.allow, false) AS blocked
+        |FROM hp LEFT JOIN (SELECT url, allow FROM best WHERE rn = 1) b
+        |  ON hp.url = b.url""".stripMargin,
     // mirrors q_noindex: same meta synthesis, same two attribute-order
     // patterns over lower(html)
     "q_noindex" ->
@@ -3007,6 +3299,30 @@ object SparkEntry {
     "q_near_dup_clusters" ->
       s"""$nearDupClusterCte
         |SELECT un AS url, min(r) AS cluster FROM reach GROUP BY un""".stripMargin,
+    // mirrors q_dup_recall: the SAME planted truth pairs graded against the
+    // exhaustive-Jaccard recursive-CTE clusters — matching permille proves
+    // the engine's LSH recall equals the exact graph's
+    "q_dup_recall" ->
+      s"""$nearDupClusterCte,
+        |lab AS (SELECT un AS url, min(r) AS cluster FROM reach GROUP BY un),
+        |tr AS (SELECT $urlSql AS a,
+        |    'https://' || source || '.example/d' ||
+        |    CAST((doc_id + 3000000) % 5 AS VARCHAR) || '/doc' ||
+        |    CAST(doc_id + 3000000 AS VARCHAR) || '.html' AS b
+        |  FROM base WHERE doc_id % 25 = 7),
+        |hit AS (SELECT count(*) AS n_hit FROM tr
+        |  JOIN lab la ON tr.a = la.url
+        |  JOIN lab lb ON tr.b = lb.url
+        |  WHERE la.cluster = lb.cluster),
+        |cp AS (SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+        |    AS n_cluster_pairs
+        |  FROM (SELECT count(*) AS n FROM lab GROUP BY cluster)),
+        |nt AS (SELECT count(*) AS n_truth FROM tr)
+        |SELECT CAST(nt.n_truth AS BIGINT) AS n_truth,
+        |  CAST(hit.n_hit AS BIGINT) AS n_hit,
+        |  cp.n_cluster_pairs,
+        |  (hit.n_hit * 1000) // nt.n_truth AS recall_permille
+        |FROM nt, hit, cp""".stripMargin,
     // mirrors q_cluster_keep_best: the same cluster truth + a keep-best
     // rank window (max whitespace-token count, ties toward the min url)
     "q_cluster_keep_best" ->
@@ -3628,6 +3944,26 @@ object SparkEntry {
         |    x -> x <> '')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM t GROUP BY 1 ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+    // mirrors q_vocab_coverage: same tf-desc-then-token order; cumulative
+    // window over the 50-row head only; pure integer permille (// is
+    // DuckDB integer division, matching Spark's `div`)
+    "q_vocab_coverage" ->
+      """WITH t AS (SELECT
+        |  unnest(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |    x -> x <> '')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS tf FROM t GROUP BY 1),
+        |tot AS (SELECT sum(tf) AS total_tf FROM c),
+        |head AS (SELECT token, tf FROM c ORDER BY tf DESC, token LIMIT 50),
+        |r AS (SELECT token, tf,
+        |  CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT)
+        |    AS rank,
+        |  CAST(sum(tf) OVER (ORDER BY tf DESC, token
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tf
+        |  FROM head)
+        |SELECT r.rank, r.token, r.tf, r.cum_tf,
+        |  CAST(tot.total_tf AS BIGINT) AS total_tf,
+        |  (r.cum_tf * 1000) // CAST(tot.total_tf AS BIGINT) AS cum_permille
+        |FROM r, tot""".stripMargin,
 
     // mirrors q_novelty: same plant, 8-word grams as STRINGS, per-doc
     // distinct, doc-frequency, exact integer counts

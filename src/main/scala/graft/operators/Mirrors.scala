@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-host mirror detection: host pairs whose page content overlaps
+  * heavily — the crawl pathology where one site republishes another
+  * (mirrors, CDNs under vanity domains, template/content farms, scraper
+  * sites). Host-grain dedup feedback reads this table to retire whole
+  * hosts instead of fighting their pages one digest at a time, which is
+  * how the big crawl curations (C4's host dedup, RefinedWeb's site-level
+  * pruning) actually spend their dedup budget at 100 TB.
+  *
+  * Semantics: a page contributes its exact content digest once per host
+  * (url multiplicity within a host is collapsed first); a digest shared
+  * by more hosts than `maxHostsPerDigest` is dropped from PAIR COUNTING
+  * (a boilerplate 404 page shared by half the web says nothing about
+  * mirroring and would explode quadratically) but still counts toward
+  * each host's size. `overlap_permille = ⌊1000·n_shared / min(n_a,n_b)⌋`
+  * is a containment ratio — a small mirror of a big site still reads
+  * ≈1000 — in pure integer arithmetic so the oracle replays it exactly.
+  *
+  * Scale shape: one (digest, host)-distinct aggregation; a digest-grain
+  * fan-out count that gates the self-join (the ONLY quadratic step, and
+  * it is quadratic per digest in |hosts-sharing-digest| ≤ cap, with the
+  * drop documented by the cap); the pair groupBy is host-pair grain —
+  * O(|mirrored site pairs|), tiny; host sizes broadcast back onto it.
+  * Page text never moves: only 32-byte digests and host strings shuffle.
+  *
+  * Reference anchor: the reference's cross-folder duplicate view is this
+  * exact question at folder grain — which SOURCES hold the same bytes
+  * (`ViewModels/MainViewModel.cs:586-596`, the per-folder blocking
+  * indexes feeding the shared-group report).
+  */
+object Mirrors {
+
+  /** @param pages (hostCol, textCol) page rows, any multiplicity
+    * @return (host_a, host_b, n_shared, n_a, n_b, overlap_permille) for
+    *         host pairs sharing ≥ minShared countable digests,
+    *         host_a < host_b, deterministic */
+  def hostOverlap(
+      pages: DataFrame,
+      hostCol: String = "host",
+      textCol: String = "text",
+      maxHostsPerDigest: Int = 32,
+      minShared: Long = 1L): DataFrame = {
+    require(maxHostsPerDigest >= 2,
+      s"maxHostsPerDigest must allow pairs: $maxHostsPerDigest")
+    require(minShared >= 1L, s"minShared must be positive: $minShared")
+    val dh = pages
+      .select(sha2(col(textCol), 256).as("__h"), col(hostCol).as("__host"))
+      .distinct()
+    val sizes = dh.groupBy(col("__host"))
+      .agg(count(lit(1)).as("__n"))
+    val fan = dh.groupBy(col("__h")).agg(count(lit(1)).as("__nh"))
+    val kept = dh.join(
+      fan.where(col("__nh") <= maxHostsPerDigest).select(col("__h")), "__h")
+    val a = kept.select(col("__h"), col("__host").as("host_a"))
+    val b = kept.select(col("__h"), col("__host").as("host_b"))
+    a.join(b, "__h")
+      .where(col("host_a") < col("host_b"))
+      .groupBy(col("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(sizes.select(col("__host").as("host_a"), col("__n").as("n_a")),
+        "host_a")
+      .join(sizes.select(col("__host").as("host_b"), col("__n").as("n_b")),
+        "host_b")
+      .withColumn("overlap_permille",
+        expr("(n_shared * 1000) div least(n_a, n_b)"))
+      .select(col("host_a"), col("host_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("overlap_permille"))
+  }
+}

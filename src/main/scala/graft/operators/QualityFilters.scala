@@ -134,6 +134,45 @@ object QualityFilters {
       (!col("__lorem") && size(kept) >= minLines).as("doc_kept"))
   }
 
+  /** Encoding-damage ("mojibake") detector: per doc, counts of
+    * U+FFFD replacement characters (a decoder already gave up), raw C0/DEL
+    * control characters outside the whitespace set (binary or charset
+    * damage), and the classic UTF-8-read-as-Latin-1 double-encoding pairs
+    * (U+00C2/U+00C3 followed by a U+0080–U+00BF continuation — "Ã©", "â€™"
+    * artifacts). Flags the doc when the damage density exceeds
+    * `thresholdPermille` of its characters, by the pure integer rule
+    * `(n_repl + n_ctrl + n_dbl) · 1000 > n_chars · threshold` so the
+    * DuckDB oracle replays the verdict exactly. Crawl corpora carry a
+    * steady trickle of mis-declared charsets; this is the standard cheap
+    * gate before any text operator trusts the bytes.
+    *
+    * One codegen'd projection (three `regexp_count` scans over the row) —
+    * linear, shuffle-free, rides the corpus scan at 100 TB. */
+  def mojibake(
+      df: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      thresholdPermille: Int = 2): DataFrame = {
+    require(thresholdPermille >= 0,
+      s"thresholdPermille must be non-negative: $thresholdPermille")
+    // the projection drops every caller column except `id`, so the only
+    // possible clash is the id column itself shadowing an output name
+    require(!Seq("n_chars", "n_repl", "n_ctrl", "n_dbl", "mojibake")
+        .exists(_.equalsIgnoreCase(id)),
+      s"mojibake: id column '$id' collides with an output column name")
+    df.select(
+        col(id),
+        length(col(text)).cast("long").as("n_chars"),
+        regexp_count(col(text), lit("\uFFFD")).cast("long").as("n_repl"),
+        regexp_count(col(text), lit("[\\x00-\\x08\\x0E-\\x1F\\x7F]"))
+          .cast("long").as("n_ctrl"),
+        regexp_count(col(text), lit("[\\u00C2\\u00C3][\\u0080-\\u00BF]"))
+          .cast("long").as("n_dbl"))
+      .withColumn("mojibake",
+        (col("n_repl") + col("n_ctrl") + col("n_dbl")) * 1000L >
+          col("n_chars") * thresholdPermille)
+  }
+
   /** The spam-term slice of the C4 badlist (Raffel et al. 2020 drop any
     * page containing a blocklist term; the published list is the LDNOOBW
     * set — this fixture carries innocuous spam stand-ins, the list is a

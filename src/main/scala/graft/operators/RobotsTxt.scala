@@ -1,13 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** robots.txt exclusion gate (RFC 9309 group semantics, the wildcard
-  * user-agent subset): parse each host's robots.txt into `Disallow`
-  * path-prefix rules belonging to a `User-agent: *` group, then gate
-  * crawled pages whose url path starts with a disallowed prefix. Together
+  * user-agent subset): parse each host's robots.txt into `Allow` /
+  * `Disallow` path-prefix rules belonging to a `User-agent: *` group,
+  * then gate crawled pages by the MOST SPECIFIC matching rule. Together
   * with [[WebNormalize.noindexFlag]] this is the politeness pair a
   * crawl-derived corpus applies before any content processing: both are
   * author opt-outs, not quality judgments.
@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions._
   * Grouping contract (RFC 9309 §2.2.1): groups are runs of non-blank
   * lines; a group may open with SEVERAL `User-agent:` lines, and its
   * rules bind to every named agent. We honor exactly that for the `*`
-  * agent: a `Disallow:` line applies iff its group names `*` among its
-  * user-agents. Lines are matched case-insensitively on the field name;
-  * values keep their case (paths are case-sensitive). `Disallow:` with an
-  * empty value allows everything (RFC: an empty pattern matches nothing).
-  * Wildcard patterns (`*`, `$`) inside paths are out of the regex-free
-  * tier's scope — treated as literal prefixes, documented; `Allow:`
-  * precedence is likewise future work (rare for the corpus-gate use).
+  * agent: an `Allow:`/`Disallow:` line applies iff its group names `*`
+  * among its user-agents. Lines are matched case-insensitively on the
+  * field name; values keep their case (paths are case-sensitive).
+  *
+  * Precedence contract (RFC 9309 §2.2.2): among the rules whose prefix
+  * matches the url path, the LONGEST prefix wins; on an exact length tie
+  * between an Allow and a Disallow, the least restrictive (Allow) wins.
+  * A rule with an empty value matches nothing, so empty `Disallow:`
+  * (the classic allow-all idiom) and empty `Allow:` lines both drop at
+  * parse time. Wildcard patterns (`*`, `$`) inside paths are out of the
+  * regex-free tier's scope — treated as literal prefixes, documented.
   *
   * Scale shape: parsing is one `posexplode` over robots lines (robots
   * files are KB-sized — the explode is bounded per host) + two windows
@@ -30,8 +34,9 @@ import org.apache.spark.sql.functions._
   * rules table is host-grain × rules-per-host — tiny next to the page
   * corpus — so [[gate]] broadcasts it when it fits and the page side
   * never shuffles at all; above the threshold the join degrades to a
-  * host-keyed shuffle of (url, host, path) rows. Prefix matching is
-  * per-row `startswith`, codegen'd.
+  * host-keyed shuffle of (url, host, path) rows. Rule selection is a
+  * row-local fold over the host's rule array (filter + aggregate higher-
+  * order functions — codegen'd, no per-rule row duplication, no window).
   *
   * Reference anchor: the reference's selected folder list decides which
   * sources enter the scan at all (`ViewModels/MainViewModel.cs:845-868`,
@@ -40,8 +45,8 @@ import org.apache.spark.sql.functions._
   */
 object RobotsTxt {
 
-  /** (host, prefix) disallow rules for the `*` agent from a frame of
-    * (host, robots_txt). Empty-value Disallow lines drop (allow-all). */
+  /** (host, prefix, allow) rules for the `*` agent from a frame of
+    * (host, robots_txt). Empty-value rules drop (they match nothing). */
   def rules(
       robots: DataFrame,
       hostCol: String = "host",
@@ -51,50 +56,66 @@ object RobotsTxt {
       .select(col("host"), col("pos"), trim(col("line")).as("line"))
     val wByPos = Window.partitionBy(col("host")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def field(name: String): Column =
+      when(lower(col("line")).rlike(s"^$name[ \\t]*:"),
+        trim(regexp_replace(col("line"), s"(?i)^$name[ \\t]*:", "")))
+        .otherwise(lit(null))
     val tagged = lines
       .withColumn("grp",
         sum(when(col("line") === "", 1).otherwise(0)).over(wByPos))
-      .withColumn("ua",
-        when(lower(col("line")).rlike("^user-agent[ \\t]*:"),
-          trim(regexp_replace(col("line"), "(?i)^user-agent[ \\t]*:", "")))
-          .otherwise(lit(null)))
-      .withColumn("dis",
-        when(lower(col("line")).rlike("^disallow[ \\t]*:"),
-          trim(regexp_replace(col("line"), "(?i)^disallow[ \\t]*:", "")))
-          .otherwise(lit(null)))
+      .withColumn("ua", field("user-agent"))
+      .withColumn("dis", field("disallow"))
+      .withColumn("al", field("allow"))
     val starGroups = tagged.where(col("ua") === "*")
       .select(col("host"), col("grp")).distinct()
-    tagged.where(col("dis").isNotNull && col("dis") =!= "")
+    tagged
+      .withColumn("prefix", coalesce(col("dis"), col("al")))
+      .withColumn("allow", col("al").isNotNull)
+      .where(col("prefix").isNotNull && col("prefix") =!= "")
       .join(starGroups, Seq("host", "grp"))
-      .select(col("host"), col("dis").as("prefix"))
+      .select(col("host"), col("prefix"), col("allow"))
       .distinct()
   }
 
   /** Pages (urlCol) + rules → pages with a `blocked` flag: true iff the
-    * url's path starts with any disallowed prefix of the url's host.
+    * most specific matching rule for the url's path on the url's host is
+    * a Disallow (longest prefix wins; Allow wins exact-length ties; no
+    * matching rule — or no robots at all — means allowed).
     *
-    * Rules first collapse to ONE row per host (host, array of prefixes) —
-    * robots files carry a handful of rules, so the arrays are tiny — and
-    * that table left-joins the pages on host with the any-prefix test as
-    * a row-local `exists(…, startswith)`. The page side is never
-    * duplicated per rule, never re-aggregated, and never exchanged: the
-    * host-grain rule table is the small side (|hosts| ≪ |pages|), so the
-    * optimizer broadcasts it and the whole gate rides the page scan. */
+    * Rules first collapse to ONE row per host (host, array of
+    * (prefix, allow) structs) — robots files carry a handful of rules,
+    * so the arrays are tiny — and that table left-joins the pages on
+    * host. Rule selection is a row-local `filter` (prefix matches) +
+    * `aggregate` fold keeping the best rule under the RFC order. The
+    * page side is never duplicated per rule, never re-aggregated, and
+    * never exchanged: the host-grain rule table is the small side
+    * (|hosts| ≪ |pages|), so the optimizer broadcasts it and the whole
+    * gate rides the page scan. */
   def gate(
       pages: DataFrame,
       rulesDf: DataFrame,
       urlCol: String = "url"): DataFrame = {
     val ruleSets = rulesDf.groupBy(col("host"))
-      .agg(collect_list(col("prefix")).as("__prefixes"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("__rules"))
       .withColumnRenamed("host", "__host")
+    // best = fold over matching rules: longer prefix wins; equal-length
+    // Allow beats Disallow (RFC 9309 §2.2.2 "least restrictive rule").
+    def better(acc: Column, r: Column): Column =
+      acc.isNull
+        .or(length(r("prefix")) > length(acc("prefix")))
+        .or(length(r("prefix")) === length(acc("prefix"))
+          && r("allow") && !acc("allow"))
     pages.withColumn("__host", LinkGraph.hostOf(col(urlCol)))
       .withColumn("__path",
         regexp_replace(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""))
       .join(ruleSets, Seq("__host"), "left")
-      .withColumn("blocked",
-        coalesce(
-          exists(col("__prefixes"), p => col("__path").startsWith(p)),
-          lit(false)))
-      .drop("__host", "__path", "__prefixes")
+      .withColumn("__m",
+        filter(col("__rules"), r => col("__path").startsWith(r("prefix"))))
+      .withColumn("__best",
+        aggregate(col("__m"),
+          lit(null).cast("struct<prefix:string,allow:boolean>"),
+          (acc, r) => when(better(acc, r), r).otherwise(acc)))
+      .withColumn("blocked", coalesce(!col("__best")("allow"), lit(false)))
+      .drop("__host", "__path", "__rules", "__m", "__best")
   }
 }

@@ -302,6 +302,46 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Vocabulary coverage curve: for each rank r ≤ k of the tf-ordered
+    * vocabulary head, the cumulative share of the corpus TOKEN STREAM the
+    * top-r types cover — the statistic a tokenizer-budget decision reads
+    * ("the top 32k types cover 97.3 % of occurrences; the tail is OOV").
+    * Emits (rank, token, tf, cum_tf, total_tf, cum_permille) with
+    * `cum_permille = ⌊1000·cum_tf/total_tf⌋` in pure integer arithmetic so
+    * the DuckDB oracle replays it bit-for-bit. Ties order (tf DESC, token
+    * ASC) like [[vocabTopK]], deterministic.
+    *
+    * Scale shape: one map-side-combined token groupBy (the same exchange
+    * [[vocabTopK]] pays), a scalar sum for the total stream mass, and a
+    * TakeOrdered(k) head. The ONLY window runs over the k-row head after
+    * the limit — bounded by construction at any corpus size — and the
+    * 1-row total joins back by broadcast. Text never leaves the scan. */
+  def vocabCoverage(
+      docs: DataFrame,
+      k: Int = 50,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(
+        explode(filter(split(col(textCol), "[ \\t\\n\\f\\r]+"),
+          w => w =!= "")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum(col("tf")).as("total_tf"))
+    val head = counts.orderBy(col("tf").desc, col("token")).limit(k)
+    val w = Window.orderBy(col("tf").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    head
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tf", sum(col("tf")).over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_permille",
+        expr("(cum_tf * 1000L) div total_tf"))
+      .select(col("rank"), col("token"), col("tf"), col("cum_tf"),
+        col("total_tf"), col("cum_permille"))
+  }
+
   /** Top-k DISTINCTIVE terms per document by tf·idf — the per-doc keyword
     * table a corpus datacard and topic-mix audit read (what is this page
     * about, without a topic model). idf is quantized to integer micro-nats

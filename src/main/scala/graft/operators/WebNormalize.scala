@@ -64,6 +64,44 @@ object WebNormalize {
       h.rlike("<meta [^>]*content=[\"'][^\"']*noindex[^\"']*[\"'][^>]*name=[\"']robots[\"']")
   }
 
+  /** Page title: the first `<title>…</title>` body, whitespace-collapsed
+    * and trimmed (empty string when the tag is absent or empty). Titles
+    * are the cheapest near-dup BLOCKING key the web offers — syndicated
+    * articles and template pages share titles long before their bodies
+    * hash equal — and the (host, normalized title) pair is a standard
+    * crawl-dedup pre-filter. `(?is)` keeps the match case-insensitive and
+    * dot-all in BOTH Java and RE2, the lazy body stops at the first close
+    * tag, and `[^>]*` tolerates attributes on the open tag. Pure
+    * projection: rides the scan. */
+  def titleOf(html: Column): Column =
+    trim(regexp_replace(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+  /** Crawl-trap key: the url with its fragment dropped and every digit
+    * run collapsed to a single `N` — urls that differ only in dates, page
+    * numbers, numeric session ids or offsets share one key. Grouping
+    * a host's urls by this key exposes the classic infinite-crawl traps
+    * (calendar pages, `?page=12345` pagination, faceted-search
+    * explosions): a key with thousands of members is a template being
+    * enumerated, not content. Pure projection — the groupBy that reads it
+    * is key-grain, far smaller than the url table. */
+  def urlTrapKey(c: Column): Column =
+    regexp_replace(regexp_replace(c, "[0-9]+", "N"), "#.*", "")
+
+  /** Soft-404 flag: the page SAYS it is an error (404/not-found/denied
+    * phrasing in its extracted text) and is short enough (< `maxWords`
+    * whitespace words) to be the error shell rather than an article ABOUT
+    * errors. Crawls are full of these — servers answering 200 with an
+    * error body — and they form giant near-dup clusters of worthless
+    * text; the standard move is to gate them before dedup spends effort
+    * on them. Integer word bound + portable regex ⇒ oracle-exact. */
+  def soft404Flag(text: Column, maxWords: Int = 30): Column =
+    lower(text).rlike(
+      "(404|page not found|file not found|access denied|" +
+        "not available|forbidden|server error)") &&
+      TextAnalysis.tokenCountWs(text) < maxWords
+
   /** Canonical url: fragment dropped, `utm_*` params dropped (with `?`/`&`
     * separators tidied), scheme+authority lowercased, path/query case
     * preserved. The utm match is anchored to a `?`/`&` parameter boundary

@@ -249,4 +249,36 @@ class QualityFiltersSpec extends AnyFunSuite {
     val e = QualityFilters.paragraphLinkDensity(edge).head()
     assert((e.getLong(2), e.getLong(3), e.getBoolean(4)) == ((10L, 5L, false)))
   }
+
+  test("mojibake: three damage classes counted, integer threshold rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean prose with nothing wrong at all"),
+      // 1 repl + 2 ctrl + 2 double-encoding pairs = 5 damage chars
+      (2L, "x \uFFFD y \u0001\u0002 a\u00C3\u00A9b c\u00C2\u0080d tail"),
+      // tab/newline/CR are NOT control damage
+      (3L, "a\tb\nc\rd"),
+      // C3 followed by a non-continuation char is not a pair
+      (4L, "stra\u00C3ze plain"))
+      .toDF("doc_id", "text")
+    val got = QualityFilters.mojibake(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))))
+      .toMap
+    assert(got(1L)._5 == false && got(1L)._2 == 0 && got(1L)._3 == 0)
+    val (n2, repl2, ctrl2, dbl2, flag2) = got(2L)
+    assert((repl2, ctrl2, dbl2) == ((1L, 2L, 2L)), s"doc2: ${got(2L)}")
+    assert(flag2 == (5000L > n2 * 2), "threshold rule replays")
+    assert(got(3L) == ((7L, 0L, 0L, 0L, false)))
+    assert(got(4L)._4 == 0L, "C3 + ASCII is not a double-encoding pair")
+  }
+
+  test("mojibake rejects colliding id column names") {
+    import spark.implicits._
+    val docs = Seq(("a", "t")).toDF("n_chars", "text")
+    intercept[IllegalArgumentException] {
+      QualityFilters.mojibake(docs, id = "n_chars")
+    }
+  }
 }

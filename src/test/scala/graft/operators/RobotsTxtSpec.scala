@@ -17,17 +17,23 @@ class RobotsTxtSpec extends AnyFunSuite {
       // bot-only: nothing applies to *
       ("h3", "User-agent: crawler\nDisallow: /"),
       // empty Disallow value = allow everything; case-insensitive field names
-      ("h4", "USER-AGENT: *\nDISALLOW:\ndisallow: /x"))
+      ("h4", "USER-AGENT: *\nDISALLOW:\ndisallow: /x"),
+      // Allow carve-out inside a disallowed subtree (longest match wins)
+      ("h5", "User-agent: *\nDisallow: /private\nAllow: /private/pub"),
+      // exact-length tie: Allow wins (least restrictive, RFC 9309 §2.2.2)
+      ("h6", "User-agent: *\nDisallow: /dir\nALLOW: /dir\nAllow:"))
       .toDF("host", "robots_txt")
   }
 
   test("rules: star-group extraction honors groups, multi-UA, case, empty values") {
     val got = RobotsTxt.rules(robots).collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
     assert(got == Set(
-      ("h1", "/private"), ("h1", "/tmp"),
-      ("h2", "/secret"),
-      ("h4", "/x")))
+      ("h1", "/private", false), ("h1", "/tmp", false),
+      ("h2", "/secret", false),
+      ("h4", "/x", false),
+      ("h5", "/private", false), ("h5", "/private/pub", true),
+      ("h6", "/dir", false), ("h6", "/dir", true)))
   }
 
   test("gate: path-prefix blocking per host, non-matching hosts untouched") {
@@ -39,7 +45,7 @@ class RobotsTxtSpec extends AnyFunSuite {
       "http://h2/secret",       // blocked (exact prefix)
       "http://h3/anything",     // kept: h3 has no * rules
       "http://h4/x/y",          // blocked
-      "http://h5/private/a")    // kept: no robots for h5
+      "http://h7/private/a")    // kept: no robots for h7
       .toDF("url")
     val got = RobotsTxt.gate(pages, RobotsTxt.rules(robots)).collect()
       .map(r => r.getString(0) -> r.getBoolean(1)).toMap
@@ -47,13 +53,34 @@ class RobotsTxtSpec extends AnyFunSuite {
       "http://h1/private/a" -> true, "http://h1/privateer" -> true,
       "http://h1/public/a" -> false, "http://h2/secret" -> true,
       "http://h3/anything" -> false, "http://h4/x/y" -> true,
-      "http://h5/private/a" -> false))
+      "http://h7/private/a" -> false))
+  }
+
+  test("gate: Allow precedence — longest match wins, Allow wins length ties") {
+    import spark.implicits._
+    val pages = Seq(
+      "http://h5/private/a",     // Disallow /private is the only match
+      "http://h5/private/pub/x", // Allow /private/pub is longer → kept
+      "http://h5/private/pubz",  // literal prefix: Allow still longest
+      "http://h5/public",        // no match → kept
+      "http://h6/dir/a",         // tie /dir vs /dir → Allow wins
+      "http://h6/other")         // no match
+      .toDF("url")
+    val got = RobotsTxt.gate(pages, RobotsTxt.rules(robots)).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(
+      "http://h5/private/a" -> true,
+      "http://h5/private/pub/x" -> false,
+      "http://h5/private/pubz" -> false,
+      "http://h5/public" -> false,
+      "http://h6/dir/a" -> false,
+      "http://h6/other" -> false))
   }
 
   test("parsing is partitioning-invariant") {
     for (parts <- Seq(1, 4)) {
       val got = RobotsTxt.rules(robots.repartition(parts)).count()
-      assert(got == 4L, s"parts=$parts")
+      assert(got == 8L, s"parts=$parts")
     }
   }
 }

@@ -116,6 +116,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(all.length == 3 && all.last.getString(0) == "c")
   }
 
+  test("vocabCoverage: cumulative stream share in integer permille, k cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b b a"),
+      (2L, "a c\tb"),
+      (3L, "c a"))
+      .toDF("doc_id", "text")
+    // stream mass 8: a tf 3, b tf 3, c tf 2; order a, b, c
+    val got = TextAnalysis.vocabCoverage(docs, k = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1, "a", 3L, 3L, 8L, 375L),    // 3000/8 = 375
+      (2, "b", 3L, 6L, 8L, 750L)),   // 6000/8 = 750
+      s"got ${got.toSeq}")
+    val all = TextAnalysis.vocabCoverage(docs, k = 10).collect()
+    assert(all.length == 3 && all.last.getLong(5) == 1000L,
+      "full head covers the whole stream (permille 1000)")
+  }
+
   test("token counts: whitespace and BPE-ish") {
     import spark.implicits._
     val r = Seq("Hello, world! 42 times").toDF("text")

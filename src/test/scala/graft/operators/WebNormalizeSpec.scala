@@ -83,4 +83,44 @@ class WebNormalizeSpec extends AnyFunSuite {
     assert(!flag("<meta name=\"robots\"><meta content=\"noindex\">"))
     assert(!flag("<html><body>robots noindex prose</body></html>"))
   }
+
+  test("urlTrapKey: digit runs collapse, fragments drop, distinct templates stay apart") {
+    def k(u: String): String =
+      spark.range(1).select(WebNormalize.urlTrapKey(lit(u)))
+        .head().getString(0)
+    assert(k("https://a.b/cal/2021/03/item42#frag7")
+      == "https://a.b/cal/N/N/itemN")
+    assert(k("https://a.b/cal/1999/12/item7")
+      == "https://a.b/cal/N/N/itemN")
+    assert(k("https://a.b/about") == "https://a.b/about")
+    assert(k("https://a.b/cal/2021/03/item42")
+      != k("https://a.b/news/2021/03/item42"))
+  }
+
+  test("soft404Flag: phrase + word floor together, neither alone") {
+    def f(t: String): Boolean =
+      spark.range(1).select(WebNormalize.soft404Flag(lit(t)))
+        .head().getBoolean(0)
+    assert(f("Error 404 - page not found."))
+    assert(f("Access Denied"))
+    // the phrase inside a long article does not flag
+    val long = "all about http status codes like 404 " +
+      Seq.fill(30)("word").mkString(" ")
+    assert(!f(long))
+    // short but clean text does not flag
+    assert(!f("a perfectly fine short page"))
+  }
+
+  test("titleOf: first tag wins, attributes tolerated, whitespace collapsed, absent = empty") {
+    def t(h: String): String =
+      spark.range(1).select(WebNormalize.titleOf(lit(h)))
+        .head().getString(0)
+    assert(t("<html><head><title>Hello  World</title></head></html>")
+      == "Hello World")
+    assert(t("<TITLE lang=\"en\">\n  Spaced\tOut \n</TITLE>") == "Spaced Out")
+    // lazy body: stops at the FIRST close tag; later titles ignored
+    assert(t("<title>first</title><title>second</title>") == "first")
+    assert(t("<html><body>no title here</body></html>") == "")
+    assert(t("<title></title>") == "")
+  }
 }
