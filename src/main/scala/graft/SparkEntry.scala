@@ -1791,6 +1791,48 @@ object SparkEntry {
           col("n").as("n_major"), col("n_docs"), col("purity_permille"))
     }),
 
+    // ---- dedup cluster-size histogram (run-audit report) ----
+    // Engine-emitted: the exact-only DedupPipeline decisions rolled up to
+    // (cluster_size → n_clusters, n_docs) over live docs — the first
+    // chart a dedup run report shows (how much mass sits in big clusters)
+    "q_cluster_histogram" -> ((s, dir) => {
+      val pages = pagesFrom(docsPlanted(s, dir))
+      DedupPipeline.run(
+        s, pages,
+        DedupConfig(minLen = 60, enableNear = false, enableSubstr = false),
+        fromHtml = true)
+        .decisions
+        .where(col("state") =!= "ignored")
+        .groupBy(col("cluster_size").cast("long").as("cluster_size"))
+        .agg(countDistinct(col("cluster")).as("n_clusters"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+    // ---- host crawl-budget scoreboard (crawler feedback composition) ----
+    // per host: docs, distinct content, soft-404 shells → integer
+    // unique/soft404 permilles and a priority = unique − soft404. The
+    // planted exact dups (+1M/+2M ids ≡ 0 mod 40 → SAME host) depress
+    // unique_permille; the %17==5 error shells depress priority — the
+    // table a crawl scheduler reads to spend its next epoch's fetches
+    "q_crawl_budget" -> ((s, dir) => {
+      val withShells = docsPlanted(s, dir).select(
+        concat(lit("h"), (col("doc_id") % 40).cast("string"),
+          lit(".example")).as("host"),
+        when(col("doc_id") % 17 === 5,
+          lit("Error 404 - page not found. The requested document " +
+            "is not available."))
+          .otherwise(col("text")).as("text"))
+      withShells.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          sum(when(WebNormalize.soft404Flag(col("text")), 1L)
+            .otherwise(0L)).as("n_soft404"))
+        .withColumn("unique_permille", expr("(n_distinct * 1000) div n_docs"))
+        .withColumn("soft404_permille", expr("(n_soft404 * 1000) div n_docs"))
+        .withColumn("priority_permille",
+          col("unique_permille") - col("soft404_permille"))
+    }),
+
     // ---- link reciprocity (link-farm signal) ----
     // deterministic host graph: r → (7r+3)%40 and (13r+5)%40; the %5==0
     // slice plants reverse edges so reciprocated pairs exist
@@ -2563,6 +2605,41 @@ object SparkEntry {
         |SELECT trap_key, count(*) AS n_urls,
         |  count(DISTINCT url) AS n_distinct
         |FROM k GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    // mirrors q_cluster_histogram: block sizes from the same planted
+    // corpus + minLen floor, rolled to (size → clusters, docs)
+    "q_cluster_histogram" ->
+      s"""$plantedCte,
+        |live AS (SELECT md5(text) AS h, count(*) AS n FROM docs
+        |  WHERE length(text) >= 60 GROUP BY 1)
+        |SELECT CAST(n AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(n) AS BIGINT) AS n_docs
+        |FROM live GROUP BY 1""".stripMargin,
+    // mirrors q_crawl_budget: same plant + shells, digest distinct via
+    // md5, the q_soft404 flag rule, integer permilles
+    "q_crawl_budget" ->
+      s"""$plantedCte,
+        |p AS (SELECT
+        |  'h' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS host,
+        |  CASE WHEN doc_id % 17 = 5 THEN
+        |    'Error 404 - page not found. The requested document ' ||
+        |    'is not available.' ELSE text END AS t
+        |  FROM docs),
+        |a AS (SELECT host, count(*) AS n_docs,
+        |  count(DISTINCT md5(t)) AS n_distinct,
+        |  CAST(sum(CASE WHEN regexp_matches(lower(t),
+        |      '(404|page not found|file not found|access denied|' ||
+        |      'not available|forbidden|server error)')
+        |    AND (CASE WHEN length(trim(t)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(t), '\\s+')) END) < 30
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_soft404
+        |  FROM p GROUP BY 1)
+        |SELECT host, n_docs, n_distinct, n_soft404,
+        |  (n_distinct * 1000) // n_docs AS unique_permille,
+        |  (n_soft404 * 1000) // n_docs AS soft404_permille,
+        |  (n_distinct * 1000) // n_docs - (n_soft404 * 1000) // n_docs
+        |    AS priority_permille
+        |FROM a""".stripMargin,
     // mirrors q_host_lang_mix: same host cells, rank-1 majority election
     // with the same (count DESC, lang ASC) tie order, integer permille
     "q_host_lang_mix" ->
