@@ -291,6 +291,12 @@ object Plans {
     println("=== PLAN 32: link density (pure projection — zero exchanges) ===")
     SparkEntry.queries("q_link_density")(spark, sf).explain("formatted")
 
+    println("=== PLAN 33: mirror hosts (digest-grain only; capped self-join) ===")
+    SparkEntry.queries("q_mirror_hosts")(spark, sf).explain("formatted")
+
+    println("=== PLAN 34: crawl budget (one map-side-combined host groupBy) ===")
+    SparkEntry.queries("q_crawl_budget")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
