@@ -1791,6 +1791,31 @@ object SparkEntry {
           col("n").as("n_major"), col("n_docs"), col("purity_permille"))
     }),
 
+    // ---- incremental NEAR-dup (batch vs corpus LSH probe) ----
+    // corpus = the %4==0 long-doc slice; batch = the %4==1 slice (mostly
+    // novel, minus natural cross-slice near-dups) + one-word-appended
+    // copies of every %16==0 corpus doc (J ≈ 0.97). Engine: band-bucket
+    // probe against the corpus index + exact-Jaccard verify + best-match
+    // election; oracle: EXHAUSTIVE batch×corpus shingle Jaccard — the
+    // banding recall argument (1 − 5·10⁻⁸ at J ≥ 0.8) is what makes them
+    // equal
+    "q_incremental_near" -> ((s, dir) => {
+      val base = docs(s, dir).where(length(col("text")) >= 200)
+      val corpus = base.where(col("doc_id") % 4 === 0)
+        .select(concat(lit("c"), col("doc_id").cast("string")).as("url"),
+          col("text"))
+      val batch = base.where(col("doc_id") % 4 === 1)
+        .select(concat(lit("b"), col("doc_id").cast("string")).as("url"),
+          col("text"))
+        .unionByName(
+          base.where(col("doc_id") % 16 === 0)
+            .select(
+              concat(lit("b"),
+                (col("doc_id") + lit(7100000L)).cast("string")).as("url"),
+              concat(col("text"), lit(" appended")).as("text")))
+      IncrementalNear.vsCorpus(s, batch, corpus)
+    }),
+
     // ---- dedup cluster-size histogram (run-audit report) ----
     // Engine-emitted: the exact-only DedupPipeline decisions rolled up to
     // (cluster_size → n_clusters, n_docs) over live docs — the first
@@ -2605,6 +2630,45 @@ object SparkEntry {
         |SELECT trap_key, count(*) AS n_urls,
         |  count(DISTINCT url) AS n_distinct
         |FROM k GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    // mirrors q_incremental_near: EXHAUSTIVE batch×corpus 5-word-shingle
+    // Jaccard via the token-unnest join (the setsim oracle shape — no
+    // quadratic list materialization), best match per batch url with the
+    // engine's (raw-jaccard DESC, corpus-url ASC) election, novels kept
+    // by the left join
+    "q_incremental_near" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 200),
+        |corp AS (SELECT 'c' || CAST(doc_id AS VARCHAR) AS url, text
+        |  FROM base WHERE doc_id % 4 = 0),
+        |bat AS (SELECT 'b' || CAST(doc_id AS VARCHAR) AS url, text
+        |  FROM base WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT 'b' || CAST(doc_id + 7100000 AS VARCHAR),
+        |    text || ' appended'
+        |  FROM base WHERE doc_id % 16 = 0),
+        |sb AS (SELECT url, list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 3),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))
+        |    AS s FROM bat),
+        |sc AS (SELECT url, list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 3),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))
+        |    AS s FROM corp),
+        |tb AS (SELECT url, len(s) AS n, unnest(s) AS w FROM sb),
+        |tc AS (SELECT url, len(s) AS n, unnest(s) AS w FROM sc),
+        |o AS (SELECT b.url AS url, c.url AS curl, b.n AS na, c.n AS nb,
+        |    count(*) AS ov
+        |  FROM tb b JOIN tc c ON b.w = c.w GROUP BY 1, 2, 3, 4),
+        |p AS (SELECT url, curl,
+        |    CAST(ov AS DOUBLE) / (na + nb - ov) AS jacraw FROM o
+        |  WHERE CAST(ov AS DOUBLE) / (na + nb - ov) >= 0.8),
+        |best AS (SELECT url, curl, jacraw,
+        |  row_number() OVER (PARTITION BY url
+        |    ORDER BY jacraw DESC, curl) AS rn FROM p)
+        |SELECT bat.url, b.curl AS dup_of, b.jaccard,
+        |  b.curl IS NULL AS is_novel
+        |FROM bat LEFT JOIN (SELECT url, curl, round(jacraw, 6) AS jaccard
+        |  FROM best WHERE rn = 1) b ON bat.url = b.url""".stripMargin,
     // mirrors q_cluster_histogram: block sizes from the same planted
     // corpus + minLen floor, rolled to (size → clusters, docs)
     "q_cluster_histogram" ->
