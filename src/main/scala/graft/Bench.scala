@@ -41,7 +41,10 @@ object Bench {
     "q_host_boilerplate", "q_epoch_mix", "q_unicode_dedup",
     // round-5 operators: sketch-based heavy hitters, host-graph
     // centrality, Stupid Backoff LM scoring, histogram quantiles
-    "q_heavy_hitters", "q_pagerank", "q_ngram_lm", "q_quantiles")
+    "q_heavy_hitters", "q_pagerank", "q_ngram_lm", "q_quantiles",
+    // late round-5: batch-vs-corpus incremental near-dup and cross-host
+    // mirror detection
+    "q_incremental_near", "q_mirror_hosts")
 
   private def session(cpus: Int): SparkSession = {
     val s = GraftSession.build(cpus, "graft-bench")

@@ -297,6 +297,9 @@ object Plans {
     println("=== PLAN 34: crawl budget (one map-side-combined host groupBy) ===")
     SparkEntry.queries("q_crawl_budget")(spark, sf).explain("formatted")
 
+    println("=== PLAN 35: incremental near-dup probe (batch-side exchanges only past the artifact) ===")
+    SparkEntry.queries("q_incremental_near")(spark, sf).explain("formatted")
+
     spark.stop()
   }
 }
