@@ -1791,6 +1791,22 @@ object SparkEntry {
           col("n").as("n_major"), col("n_docs"), col("purity_permille"))
     }),
 
+    // ---- end-to-end web-politeness + hygiene funnel ----
+    // the crawl-side twin of q_curation_chain: pages over docsPlanted get
+    // noindex metas (%31==6), soft-404 shells (%17==5), mojibake tails
+    // (%11==3), robots-gated paths (doc_id%3 over the q_robots_gate host
+    // classes) and titles from the text's first five words (exact-dup
+    // plants share titles → title_dup verdicts); ONE verdict per page
+    // from the ordered chain
+    "q_web_funnel" -> ((s, dir) => {
+      val (pages, robots) = webFunnelPages(s, dir)
+      WebFunnel.verdicts(pages, RobotsTxt.rules(robots))
+    }),
+    "q_web_funnel_stats" -> ((s, dir) => {
+      val (pages, robots) = webFunnelPages(s, dir)
+      WebFunnel.stats(pages, RobotsTxt.rules(robots))
+    }),
+
     // ---- incremental NEAR-dup (batch vs corpus LSH probe) ----
     // corpus = the %4==0 long-doc slice; batch = the %4==1 slice (mostly
     // novel, minus natural cross-slice near-dups) + one-word-appended
@@ -2276,6 +2292,157 @@ object SparkEntry {
         concat(col("s"), lit("zq")).as("s")))
   }
 
+  /** Shared fixture for the q_web_funnel queries: pages (url, text, html)
+    * over [[docsPlanted]] with planted noindex metas, soft-404 shells,
+    * mojibake tails and robots-gated paths, plus the q_robots_gate robots
+    * table. Mirrored verbatim in the q_web_funnel oracle. */
+  private def webFunnelPages(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docsPlanted(s, dir)
+    val url = concat(lit("http://h"), (col("doc_id") % 40).cast("string"),
+      lit(".example"),
+      when(col("doc_id") % 3 === 0, lit("/private/p"))
+        .when(col("doc_id") % 3 === 1, lit("/private/pub/p"))
+        .otherwise(lit("/secret/p")),
+      col("doc_id").cast("string"))
+    val t = when(col("doc_id") % 17 === 5,
+        lit("Error 404 - page not found. The requested document " +
+          "is not available."))
+      .when(col("doc_id") % 11 === 3,
+        concat(col("text"),
+          lit(" caf\uFFFD menu \u0001\u0002 na\u00C3\u00AFve stra\u00C3\u009Fe")))
+      .otherwise(col("text"))
+    val meta = when(col("doc_id") % 31 === 6,
+      lit("<meta name=\"robots\" content=\"noindex\">")).otherwise(lit(""))
+    val pages = d.select(url.as("url"), t.as("text"),
+      concat(lit("<html><head><title> "),
+        array_join(slice(split(t, " "), 1, 5), " "),
+        lit(" </title>"), meta, lit("</head><body>"), t,
+        lit("</body></html>")).as("html"))
+    val hosts = docs(s, dir).select((col("doc_id") % 40).as("r")).distinct()
+    val robots = hosts.where(col("r") % 4 =!= 3).select(
+      concat(lit("h"), col("r").cast("string"), lit(".example")).as("host"),
+      when(col("r") % 4 === 0, lit(
+        "User-agent: *\nDisallow: /private\nAllow: /private/pub\n\n" +
+          "User-agent: bot\nDisallow: /"))
+        .when(col("r") % 4 === 1, lit("User-agent: bot\nDisallow: /"))
+        .otherwise(lit(
+          "User-agent: bot\nUser-agent: *\nDisallow: /secret"))
+        .as("robots_txt"))
+    (pages, robots)
+  }
+
+  /** Shared CTE chain for the q_web_funnel oracles: [[webFunnelPages]]
+    * replayed — planted page builder, robots parse with Allow precedence
+    * (the q_robots_gate CTEs over the SAME host classes), the four
+    * row-local flags, the title key, and the survivors-first (host, tkey)
+    * window — ending at the `rk` CTE; callers append their final select. */
+  private def webFunnelOracle(finalSelect: String): String =
+    s"""$plantedCte,
+      |robots AS (
+      |  SELECT 'h' || CAST(r AS VARCHAR) || '.example' AS host,
+      |    CASE WHEN r % 4 = 0 THEN 'User-agent: *' || chr(10) ||
+      |        'Disallow: /private' || chr(10) ||
+      |        'Allow: /private/pub' || chr(10) || chr(10) ||
+      |        'User-agent: bot' || chr(10) || 'Disallow: /'
+      |      WHEN r % 4 = 1 THEN 'User-agent: bot' || chr(10) ||
+      |        'Disallow: /'
+      |      ELSE 'User-agent: bot' || chr(10) || 'User-agent: *' ||
+      |        chr(10) || 'Disallow: /secret' END AS txt
+      |  FROM (SELECT DISTINCT doc_id % 40 AS r FROM documents)
+      |  WHERE r % 4 <> 3),
+      |ln0 AS (SELECT host, unnest(list_zip(string_split(txt, chr(10)),
+      |    range(1, len(string_split(txt, chr(10))) + 1))) AS pr
+      |  FROM robots),
+      |ln AS (SELECT host, CAST(pr[2] AS BIGINT) AS pos, trim(pr[1]) AS line
+      |  FROM ln0),
+      |tag AS (SELECT host, pos, line,
+      |  sum(CASE WHEN line = '' THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY host ORDER BY pos) AS grp,
+      |  CASE WHEN regexp_matches(lower(line), '^user-agent[ \\t]*:')
+      |    THEN trim(regexp_replace(line, '(?i)^user-agent[ \\t]*:', ''))
+      |    END AS ua,
+      |  CASE WHEN regexp_matches(lower(line), '^disallow[ \\t]*:')
+      |    THEN trim(regexp_replace(line, '(?i)^disallow[ \\t]*:', ''))
+      |    END AS dis,
+      |  CASE WHEN regexp_matches(lower(line), '^allow[ \\t]*:')
+      |    THEN trim(regexp_replace(line, '(?i)^allow[ \\t]*:', ''))
+      |    END AS al
+      |  FROM ln),
+      |star AS (SELECT DISTINCT host, grp FROM tag WHERE ua = '*'),
+      |rules AS (SELECT DISTINCT t.host,
+      |    coalesce(t.dis, t.al) AS prefix,
+      |    (t.al IS NOT NULL) AS allow
+      |  FROM tag t
+      |  JOIN star st ON t.host = st.host AND t.grp = st.grp
+      |  WHERE coalesce(t.dis, t.al) IS NOT NULL
+      |    AND coalesce(t.dis, t.al) <> ''),
+      |pg AS (SELECT doc_id,
+      |  'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.example' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '/private/p'
+      |       WHEN doc_id % 3 = 1 THEN '/private/pub/p'
+      |       ELSE '/secret/p' END || CAST(doc_id AS VARCHAR) AS url,
+      |  CASE WHEN doc_id % 17 = 5 THEN
+      |    'Error 404 - page not found. The requested document ' ||
+      |    'is not available.'
+      |  WHEN doc_id % 11 = 3 THEN text || ' caf' || chr(65533) ||
+      |    ' menu ' || chr(1) || chr(2) || ' na' || chr(195) || chr(175) ||
+      |    've stra' || chr(195) || chr(159) || 'e'
+      |  ELSE text END AS t,
+      |  CASE WHEN doc_id % 31 = 6
+      |    THEN '<meta name="robots" content="noindex">'
+      |    ELSE '' END AS meta
+      |  FROM docs),
+      |ph AS (SELECT url, t,
+      |  '<html><head><title> ' ||
+      |  array_to_string((string_split(t, ' '))[1:5], ' ') ||
+      |  ' </title>' || meta || '</head><body>' || t ||
+      |  '</body></html>' AS html
+      |  FROM pg),
+      |hp AS (SELECT url, t, html,
+      |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)
+      |    AS host,
+      |  regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '')
+      |    AS path
+      |  FROM ph),
+      |mrule AS (SELECT hp.url, r.prefix, r.allow
+      |  FROM hp JOIN rules r ON hp.host = r.host
+      |    AND starts_with(hp.path, r.prefix)),
+      |bestr AS (SELECT url, allow, row_number() OVER (PARTITION BY url
+      |    ORDER BY len(prefix) DESC, allow DESC) AS rnr FROM mrule),
+      |fl AS (SELECT hp.url, hp.host,
+      |  (regexp_matches(lower(hp.html),
+      |    '<meta [^>]*name=["'']robots["''][^>]*content=["''][^"'']*noindex')
+      |   OR regexp_matches(lower(hp.html),
+      |    '<meta [^>]*content=["''][^"'']*noindex[^"'']*["''][^>]*name=["'']robots["'']'))
+      |    AS noindex,
+      |  coalesce(NOT b.allow, false) AS blocked,
+      |  (regexp_matches(lower(hp.t),
+      |    '(404|page not found|file not found|access denied|' ||
+      |    'not available|forbidden|server error)')
+      |   AND (CASE WHEN length(trim(hp.t)) = 0 THEN 0
+      |        ELSE len(string_split_regex(trim(hp.t), '\\s+')) END) < 30)
+      |    AS soft404,
+      |  ((len(regexp_extract_all(hp.t, chr(65533))) +
+      |    len(regexp_extract_all(hp.t, '[\\x00-\\x08\\x0E-\\x1F\\x7F]')) +
+      |    len(regexp_extract_all(hp.t, '[' || chr(194) || chr(195) ||
+      |      '][' || chr(128) || '-' || chr(191) || ']'))) * 1000
+      |   > length(hp.t) * 2) AS moji,
+      |  trim(regexp_replace(regexp_replace(lower(
+      |    trim(regexp_replace(regexp_extract(hp.html,
+      |      '(?is)<title[^>]*>(.*?)</title>', 1),
+      |      '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))),
+      |    '[!-/:-@\\[-`{-~]+', ' ', 'g'),
+      |    '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS tkey
+      |  FROM hp LEFT JOIN (SELECT url, allow FROM bestr WHERE rnr = 1) b
+      |    ON hp.url = b.url),
+      |fl2 AS (SELECT *,
+      |  (NOT noindex AND NOT blocked AND NOT soft404 AND NOT moji) AS pass
+      |  FROM fl),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY host, tkey
+      |    ORDER BY pass DESC, url) AS rn FROM fl2)
+      |$finalSelect""".stripMargin
+
   /** The q_near_dup_clusters configuration, shared with the keep-best
     * election query: length≥200 docs plus planted one-word-appended copies
     * (%25==7, id+3000000) through the full LSH → verify → CC path.
@@ -2630,6 +2797,26 @@ object SparkEntry {
         |SELECT trap_key, count(*) AS n_urls,
         |  count(DISTINCT url) AS n_distinct
         |FROM k GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    // mirrors q_web_funnel: the full chain replayed — robots parse with
+    // Allow precedence (q_robots_gate's CTEs), noindex/soft404/mojibake
+    // flags, titleOf + normalText key, and the survivors-first window
+    "q_web_funnel" -> webFunnelOracle("""SELECT url,
+        |  CASE WHEN noindex THEN 'noindex'
+        |       WHEN blocked THEN 'robots_blocked'
+        |       WHEN soft404 THEN 'soft404'
+        |       WHEN moji THEN 'mojibake'
+        |       WHEN tkey <> '' AND rn > 1 THEN 'title_dup'
+        |       ELSE 'kept' END AS verdict
+        |FROM rk""".stripMargin),
+    "q_web_funnel_stats" -> webFunnelOracle("""SELECT verdict,
+        |  count(*) AS n FROM (SELECT
+        |  CASE WHEN noindex THEN 'noindex'
+        |       WHEN blocked THEN 'robots_blocked'
+        |       WHEN soft404 THEN 'soft404'
+        |       WHEN moji THEN 'mojibake'
+        |       WHEN tkey <> '' AND rn > 1 THEN 'title_dup'
+        |       ELSE 'kept' END AS verdict
+        |FROM rk) GROUP BY 1""".stripMargin),
     // mirrors q_incremental_near: EXHAUSTIVE batch×corpus 5-word-shingle
     // Jaccard via the token-unnest join (the setsim oracle shape — no
     // quadratic list materialization), best match per batch url with the

@@ -147,7 +147,23 @@ object QualityFilters {
     * gate before any text operator trusts the bytes.
     *
     * One codegen'd projection (three `regexp_count` scans over the row) —
-    * linear, shuffle-free, rides the corpus scan at 100 TB. */
+    * linear, shuffle-free, rides the corpus scan at 100 TB.
+    *
+    * The three patterns live in the constants below, shared with the
+    * Column-level [[mojibakeFlag]] so a funnel can fuse the same verdict
+    * into its own projection. */
+  private val ReplPattern = "\uFFFD"
+  private val CtrlPattern = "[\\x00-\\x08\\x0E-\\x1F\\x7F]"
+  private val DblPattern = "[\\u00C2\\u00C3][\\u0080-\\u00BF]"
+
+  /** Row-local form of the [[mojibake]] verdict — for fusing into a
+    * funnel projection without the counts frame. Same integer rule. */
+  def mojibakeFlag(text: Column, thresholdPermille: Int = 2): Column =
+    (regexp_count(text, lit(ReplPattern)) +
+      regexp_count(text, lit(CtrlPattern)) +
+      regexp_count(text, lit(DblPattern))) * 1000L >
+      length(text) * thresholdPermille
+
   def mojibake(
       df: DataFrame,
       id: String = "doc_id",
@@ -163,11 +179,9 @@ object QualityFilters {
     df.select(
         col(id),
         length(col(text)).cast("long").as("n_chars"),
-        regexp_count(col(text), lit("\uFFFD")).cast("long").as("n_repl"),
-        regexp_count(col(text), lit("[\\x00-\\x08\\x0E-\\x1F\\x7F]"))
-          .cast("long").as("n_ctrl"),
-        regexp_count(col(text), lit("[\\u00C2\\u00C3][\\u0080-\\u00BF]"))
-          .cast("long").as("n_dbl"))
+        regexp_count(col(text), lit(ReplPattern)).cast("long").as("n_repl"),
+        regexp_count(col(text), lit(CtrlPattern)).cast("long").as("n_ctrl"),
+        regexp_count(col(text), lit(DblPattern)).cast("long").as("n_dbl"))
       .withColumn("mojibake",
         (col("n_repl") + col("n_ctrl") + col("n_dbl")) * 1000L >
           col("n_chars") * thresholdPermille)
