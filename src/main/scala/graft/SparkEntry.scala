@@ -1874,6 +1874,21 @@ object SparkEntry {
           col("unique_permille") - col("soft404_permille"))
     }),
 
+    // ---- mirror retirement verdicts (the action half) ----
+    // same plant as q_mirror_hosts; every m{r}.example mirror host must
+    // retire against its h{r}.example origin (strictly smaller), origins
+    // and unmirrored hosts stay
+    "q_mirror_retire" -> ((s, dir) => {
+      def hostOf(p: String) = concat(lit(p),
+        (col("doc_id") % 40).cast("string"), lit(".example"))
+      val base = docs(s, dir).select(hostOf("h").as("host"), col("text"))
+      val planted = base.unionByName(
+        docs(s, dir).where(col("doc_id") % 9 === 5)
+          .select(hostOf("m").as("host"), col("text")))
+      Mirrors.retireMirrors(planted, maxHostsPerDigest = 8, minShared = 2,
+        minPermille = 800L)
+    }),
+
     // ---- link reciprocity (link-farm signal) ----
     // deterministic host graph: r → (7r+3)%40 and (13r+5)%40; the %5==0
     // slice plants reverse edges so reciprocated pairs exist
@@ -2907,6 +2922,38 @@ object SparkEntry {
         |  CAST(n_docs AS BIGINT) AS n_docs,
         |  (n * 1000) // CAST(n_docs AS BIGINT) AS purity_permille
         |FROM r WHERE rk = 1""".stripMargin,
+    // mirrors q_mirror_retire: the q_mirror_hosts pair table at >= 800
+    // permille, loser = smaller side (tie -> lexicographically larger),
+    // left join back onto all host sizes
+    "q_mirror_retire" ->
+      """WITH p AS (
+        |  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS host,
+        |    text FROM documents
+        |  UNION ALL
+        |  SELECT 'm' || CAST(doc_id % 40 AS VARCHAR) || '.example', text
+        |  FROM documents WHERE doc_id % 9 = 5),
+        |dh AS (SELECT DISTINCT text AS h, host FROM p),
+        |sz AS (SELECT host, count(*) AS n FROM dh GROUP BY 1),
+        |fan AS (SELECT h FROM (SELECT h, count(*) AS nh FROM dh GROUP BY 1)
+        |  WHERE nh <= 8),
+        |k AS (SELECT dh.h, dh.host FROM dh JOIN fan USING (h)),
+        |pr AS (SELECT a.host AS host_a, b.host AS host_b,
+        |    count(*) AS n_shared
+        |  FROM k a JOIN k b ON a.h = b.h AND a.host < b.host
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ov AS (SELECT pr.host_a, pr.host_b, sa.n AS n_a, sb.n AS n_b,
+        |    (pr.n_shared * 1000) // least(sa.n, sb.n) AS opm
+        |  FROM pr
+        |  JOIN sz sa ON pr.host_a = sa.host
+        |  JOIN sz sb ON pr.host_b = sb.host),
+        |losers AS (SELECT DISTINCT
+        |    CASE WHEN n_b < n_a THEN host_b
+        |         WHEN n_a < n_b THEN host_a
+        |         ELSE greatest(host_a, host_b) END AS host
+        |  FROM ov WHERE opm >= 800)
+        |SELECT sz.host, CAST(sz.n AS BIGINT) AS n_docs,
+        |  (losers.host IS NOT NULL) AS retired
+        |FROM sz LEFT JOIN losers ON sz.host = losers.host""".stripMargin,
     // mirrors q_reciprocity: same planted graph, distinct directed edges
     // minus self-loops, reverse-edge membership per out-neighbor
     "q_reciprocity" ->

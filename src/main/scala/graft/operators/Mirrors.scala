@@ -71,4 +71,49 @@ object Mirrors {
       .select(col("host_a"), col("host_b"), col("n_shared"),
         col("n_a"), col("n_b"), col("overlap_permille"))
   }
+
+  /** The action half: per-host retirement verdicts from the overlap
+    * pairs — the reference's keep/delete election
+    * (`ViewModels/MainViewModel.cs:1226-1240`) lifted to HOST grain. A
+    * host retires iff it LOSES any pair at `minPermille`+ containment:
+    * the loser is the side with fewer distinct documents (the mirror is
+    * almost always smaller than the origin); an exact size tie retires
+    * the lexicographically larger host — deterministic, like every other
+    * election in the engine. One-shot greedy rule, documented: a chain
+    * A⊃B⊃C retires both B and C against their respective winners (no
+    * transitive re-election pass — at crawl scale mirror chains are
+    * rare and a second pass over the host-grain table is cheap if one
+    * shows up).
+    *
+    * Output: one row per host seen in `pages` — (host, n_docs, retired).
+    * Scale shape: [[hostOverlap]]'s plan + one host-grain distinct-digest
+    * count + a broadcast-sized anti-join on the loser set (|losers| ≤
+    * |mirrored pairs|). */
+  def retireMirrors(
+      pages: DataFrame,
+      hostCol: String = "host",
+      textCol: String = "text",
+      maxHostsPerDigest: Int = 32,
+      minShared: Long = 2L,
+      minPermille: Long = 800L): DataFrame = {
+    require(minPermille >= 1L && minPermille <= 1000L,
+      s"minPermille must be in [1, 1000]: $minPermille")
+    val losers = hostOverlap(pages, hostCol, textCol,
+        maxHostsPerDigest, minShared)
+      .where(col("overlap_permille") >= minPermille)
+      .select(
+        when(col("n_b") < col("n_a"), col("host_b"))
+          .when(col("n_a") < col("n_b"), col("host_a"))
+          .otherwise(greatest(col("host_a"), col("host_b"))).as("__loser"))
+      .distinct()
+    pages
+      .select(sha2(col(textCol), 256).as("__h"), col(hostCol).as("host"))
+      .distinct()
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(losers.withColumn("__r", lit(true)),
+        col("host") === col("__loser"), "left")
+      .select(col("host"), col("n_docs"),
+        coalesce(col("__r"), lit(false)).as("retired"))
+  }
 }

@@ -38,6 +38,26 @@ class MirrorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("A", "B", 1L, 500L)), s"got ${got.toSeq}")
   }
 
+  test("retireMirrors: smaller side loses, ties break to the larger name, rest stay") {
+    import spark.implicits._
+    val pages = Seq(
+      // B mirrors 2 of A's 3 docs (B is smaller → retires)
+      ("A", "t1"), ("A", "t2"), ("A", "t3"),
+      ("B", "t1"), ("B", "t2"),
+      // C and D are identical twins (tie → D retires)
+      ("C", "x1"), ("C", "x2"), ("D", "x1"), ("D", "x2"),
+      // E is unmirrored
+      ("E", "y1"))
+      .toDF("host", "text")
+    val got = Mirrors.retireMirrors(pages, maxHostsPerDigest = 8,
+        minShared = 2, minPermille = 800L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      "A" -> ((3L, false)), "B" -> ((2L, true)),
+      "C" -> ((2L, false)), "D" -> ((2L, true)),
+      "E" -> ((1L, false))), s"got $got")
+  }
+
   test("hostOverlap validates its knobs") {
     import spark.implicits._
     val pages = Seq(("A", "t")).toDF("host", "text")
