@@ -1623,6 +1623,28 @@ object SparkEntry {
       LinkGraph.hostEdges(pages)
     }),
 
+    // ---- crawl-frontier discovery (the crawl-loop closure) ----
+    // every page links to its successor page (#fragment to strip; crawled
+    // unless it is the max id), an uncrawled /new page behind an
+    // uppercase host + utm param (canonicalization must fold both), and
+    // a relative link (drops); seen set = the crawled urls themselves
+    "q_frontier" -> ((s, dir) => {
+      val r = col("doc_id") % 40
+      val next = col("doc_id") + 1
+      val pages = docs(s, dir).select(
+        concat(lit("http://h"), r.cast("string"), lit(".example/p"),
+          col("doc_id").cast("string")).as("url"),
+        concat(lit("<html><body><a href=\"http://h"),
+          (next % 40).cast("string"), lit(".example/p"),
+          next.cast("string"),
+          lit("#sec\">n</a><a href='http://H"),
+          ((r * 13 + 5) % 40).cast("string"), lit(".example/new"),
+          (col("doc_id") % 7).cast("string"),
+          lit("?utm_source=x'>u</a><a href=\"/rel\">v</a></body></html>"))
+          .as("html"))
+      LinkGraph.frontier(pages, pages.select(col("url")))
+    }),
+
     // ---- anchor-text corpus (per-target rollup from raw html) ----
     // pages synthesized from documents: one anchor whose text varies by
     // doc_id%3 (with case/space mess the normalizer must collapse), one
@@ -3595,6 +3617,43 @@ object SparkEntry {
         |  regexp_extract(u2, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)
         |    <> ''""".stripMargin,
 
+    // mirrors q_frontier: same page synthesis, href regex, absolute-url
+    // filter, canonUrl chain (fragment → utm runs → lowercased head),
+    // canonical-url counts, anti-join vs the crawled set (whose canon is
+    // provably the identity here — no fragments, utm params, or
+    // uppercase heads in the crawled urls)
+    "q_frontier" ->
+      """WITH pages AS MATERIALIZED (SELECT doc_id,
+        |  'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.example/p' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  '<html><body><a href="http://h' ||
+        |    CAST((doc_id + 1) % 40 AS VARCHAR) || '.example/p' ||
+        |    CAST(doc_id + 1 AS VARCHAR) ||
+        |    '#sec">n</a><a href=''http://H' ||
+        |    CAST(((doc_id % 40) * 13 + 5) % 40 AS VARCHAR) ||
+        |    '.example/new' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '?utm_source=x''>u</a><a href="/rel">v</a></body></html>'
+        |    AS html
+        |  FROM documents),
+        |raw AS (SELECT
+        |  unnest(regexp_extract_all(html, 'href=["'']([^"'']+)["'']', 1))
+        |    AS u FROM pages),
+        |ab AS (SELECT u FROM raw
+        |  WHERE regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://')),
+        |c1 AS (SELECT regexp_replace(u, '#.*', '', 'g') AS nf FROM ab),
+        |c2 AS (SELECT regexp_replace(regexp_replace(nf,
+        |  '([?&])utm_[^&#]*(&utm_[^&#]*)*&', '\1', 'g'),
+        |  '[?&]utm_[^&#]*(&utm_[^&#]*)*$', '', 'g') AS nu FROM c1),
+        |c3 AS (SELECT
+        |  lower(regexp_extract(nu, '^[a-zA-Z]+://[^/]*', 0)) ||
+        |  substr(nu,
+        |    length(regexp_extract(nu, '^[a-zA-Z]+://[^/]*', 0)) + 1)
+        |    AS url FROM c2),
+        |d AS (SELECT url, count(*) AS n_refs FROM c3 GROUP BY 1),
+        |seen AS (SELECT DISTINCT url FROM pages)
+        |SELECT d.url, d.n_refs FROM d
+        |LEFT JOIN seen ON d.url = seen.url
+        |WHERE seen.url IS NULL""".stripMargin,
     // mirrors q_quantiles: same histogram + cumulative window + integer
     // permille rank rule — rank = (p·N + 999) // 1000, value = min v with
     // cum ≥ rank

@@ -129,6 +129,40 @@ object LinkGraph {
   def hostOf(url: Column): Column =
     regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
 
+  /** Crawl-frontier discovery — the loop closure a crawler runs every
+    * cycle: absolute hrefs discovered in the crawled pages, canonicalized
+    * ([[WebNormalize.canonUrl]]: fragment/utm drop, case-folded
+    * authority), deduplicated within the batch, then anti-joined against
+    * the already-crawled url set (canonicalized the same way). Returns
+    * (url, n_refs) — the candidate frontier with its in-batch citation
+    * count, the natural fetch-priority signal (ties broken by the
+    * scheduler downstream).
+    *
+    * Scale shape: one explode over hrefs + a map-side-combined groupBy on
+    * the canonical url + one LEFT ANTI join against the seen set. The
+    * seen-set side is the standing per-epoch table (the sha-digest-table
+    * argument, PLAN 21): persisted bucketed by url, read in place — per
+    * cycle only the discovered-link side exchanges. Relative links are
+    * out of the regex tier's scope and drop (documented; resolution
+    * against a base url is a per-row string rewrite that slots in front
+    * of canonUrl when needed). */
+  def frontier(
+      pages: DataFrame,
+      seenUrls: DataFrame,
+      urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame = {
+    val discovered = pages
+      .select(explode(extractLinks(col(htmlCol))).as("u"))
+      .where(col("u").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"))
+      .select(WebNormalize.canonUrl(col("u")).as("url"))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_refs"))
+    val seen = seenUrls
+      .select(WebNormalize.canonUrl(col(urlCol)).as("url"))
+      .distinct()
+    discovered.join(seen, Seq("url"), "left_anti")
+  }
+
   /** Host-grain edge list straight from raw pages: (page host → linked
     * host), relative links dropped, deduped. Feed [[pageRank]] with this
     * and the distinct-host node table for centrality end-to-end from the

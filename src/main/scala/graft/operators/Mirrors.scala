@@ -47,7 +47,11 @@ object Mirrors {
     require(maxHostsPerDigest >= 2,
       s"maxHostsPerDigest must allow pairs: $maxHostsPerDigest")
     require(minShared >= 1L, s"minShared must be positive: $minShared")
+    // null text/host rows carry no mirror evidence (and a null digest
+    // can never join) — drop them up front so host sizes count only
+    // comparable pages
     val dh = pages
+      .where(col(textCol).isNotNull && col(hostCol).isNotNull)
       .select(sha2(col(textCol), 256).as("__h"), col(hostCol).as("__host"))
       .distinct()
     val sizes = dh.groupBy(col("__host"))
@@ -107,6 +111,7 @@ object Mirrors {
           .otherwise(greatest(col("host_a"), col("host_b"))).as("__loser"))
       .distinct()
     pages
+      .where(col(textCol).isNotNull && col(hostCol).isNotNull)
       .select(sha2(col(textCol), 256).as("__h"), col(hostCol).as("host"))
       .distinct()
       .groupBy(col("host"))

@@ -169,4 +169,23 @@ class LinkGraphSpec extends AnyFunSuite {
       "t" -> ((5L, 3L, "beta", 2L)),
       "u" -> ((1L, 1L, "only", 1L))))
   }
+
+  test("frontier: canonicalized discovery minus the seen set, ref counts") {
+    import spark.implicits._
+    val pages = Seq(
+      ("http://a.x/p1",
+        "<a href=\"http://a.x/p2#frag\">s</a>" +          // seen after canon
+          "<a href='http://B.x/new?utm_source=f'>n</a>" + // new (case+utm fold)
+          "<a href=\"/rel\">r</a>"),                      // relative: drops
+      ("http://a.x/p2",
+        "<a href=\"http://b.x/new\">n</a>" +              // same new target
+          "<a href=\"http://c.x/other\">o</a>"))
+      .toDF("url", "html")
+    val seen = Seq("http://a.x/p1", "http://a.x/p2").toDF("url")
+    val got = LinkGraph.frontier(pages, seen).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "http://b.x/new" -> 2L,
+      "http://c.x/other" -> 1L), s"got $got")
+  }
 }
