@@ -43,6 +43,15 @@ object SparkEntry {
           .withColumn("source", concat(col("source"), lit("x"))))
   }
 
+  /** Planted soft-404 shell and mojibake tail shared by the q_soft404,
+    * q_crawl_budget, q_mojibake and q_web_funnel fixtures — their oracles
+    * inline the SAME bytes (via chr() for the damage chars), so these
+    * literals must never fork per fixture. */
+  private val Soft404Shell =
+    "Error 404 - page not found. The requested document is not available."
+  private val MojibakeTail =
+    " caf\uFFFD menu \u0001\u0002 na\u00C3\u00AFve stra\u00C3\u009Fe"
+
   /** The oracle-SQL mirror of [[docsPlanted]]. */
   private val plantedCte: String =
     """WITH docs AS (
@@ -1705,15 +1714,9 @@ object SparkEntry {
     // surface with near-1000 containment; natural cross-host exact dups
     // add organic pairs; digests on > 8 hosts are cap-dropped (mirrored
     // in the oracle)
-    "q_mirror_hosts" -> ((s, dir) => {
-      def hostOf(p: String) = concat(lit(p),
-        (col("doc_id") % 40).cast("string"), lit(".example"))
-      val base = docs(s, dir).select(hostOf("h").as("host"), col("text"))
-      val planted = base.unionByName(
-        docs(s, dir).where(col("doc_id") % 9 === 5)
-          .select(hostOf("m").as("host"), col("text")))
-      Mirrors.hostOverlap(planted, maxHostsPerDigest = 8, minShared = 2)
-    }),
+    "q_mirror_hosts" -> ((s, dir) =>
+      Mirrors.hostOverlap(mirrorPages(s, dir),
+        maxHostsPerDigest = 8, minShared = 2)),
 
     // ---- encoding-damage (mojibake) gate ----
     // %11==3 docs get a damaged tail: one U+FFFD, two C0 controls, two
@@ -1721,7 +1724,7 @@ object SparkEntry {
     // rule then flags exactly the short planted docs (len < 2500), so the
     // fixture exercises both verdicts
     "q_mojibake" -> ((s, dir) => {
-      val tail = " caf\uFFFD menu \u0001\u0002 na\u00C3\u00AFve stra\u00C3\u009Fe"
+      val tail = MojibakeTail
       QualityFilters.mojibake(
         docs(s, dir).select(col("doc_id"),
           when(col("doc_id") % 11 === 3, concat(col("text"), lit(tail)))
@@ -1760,8 +1763,7 @@ object SparkEntry {
     // everything else is clean prose
     "q_soft404" -> ((s, dir) => {
       val t = when(col("doc_id") % 17 === 5,
-          lit("Error 404 - page not found. The requested document " +
-            "is not available."))
+          lit(Soft404Shell))
         .when(col("doc_id") % 17 === 6,
           concat(lit("404 discussion: "), col("text")))
         .otherwise(col("text"))
@@ -1851,7 +1853,7 @@ object SparkEntry {
               concat(lit("b"),
                 (col("doc_id") + lit(7100000L)).cast("string")).as("url"),
               concat(col("text"), lit(" appended")).as("text")))
-      IncrementalNear.vsCorpus(s, batch, corpus)
+      IncrementalNear.vsCorpus(batch, corpus)
     }),
 
     // ---- dedup cluster-size histogram (run-audit report) ----
@@ -1882,8 +1884,7 @@ object SparkEntry {
         concat(lit("h"), (col("doc_id") % 40).cast("string"),
           lit(".example")).as("host"),
         when(col("doc_id") % 17 === 5,
-          lit("Error 404 - page not found. The requested document " +
-            "is not available."))
+          lit(Soft404Shell))
           .otherwise(col("text")).as("text"))
       withShells.groupBy(col("host"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1900,16 +1901,9 @@ object SparkEntry {
     // same plant as q_mirror_hosts; every m{r}.example mirror host must
     // retire against its h{r}.example origin (strictly smaller), origins
     // and unmirrored hosts stay
-    "q_mirror_retire" -> ((s, dir) => {
-      def hostOf(p: String) = concat(lit(p),
-        (col("doc_id") % 40).cast("string"), lit(".example"))
-      val base = docs(s, dir).select(hostOf("h").as("host"), col("text"))
-      val planted = base.unionByName(
-        docs(s, dir).where(col("doc_id") % 9 === 5)
-          .select(hostOf("m").as("host"), col("text")))
-      Mirrors.retireMirrors(planted, maxHostsPerDigest = 8, minShared = 2,
-        minPermille = 800L)
-    }),
+    "q_mirror_retire" -> ((s, dir) =>
+      Mirrors.retireMirrors(mirrorPages(s, dir),
+        maxHostsPerDigest = 8, minShared = 2, minPermille = 800L)),
 
     // ---- link reciprocity (link-farm signal) ----
     // deterministic host graph: r → (7r+3)%40 and (13r+5)%40; the %5==0
@@ -2343,11 +2337,10 @@ object SparkEntry {
         .otherwise(lit("/secret/p")),
       col("doc_id").cast("string"))
     val t = when(col("doc_id") % 17 === 5,
-        lit("Error 404 - page not found. The requested document " +
-          "is not available."))
+        lit(Soft404Shell))
       .when(col("doc_id") % 11 === 3,
         concat(col("text"),
-          lit(" caf\uFFFD menu \u0001\u0002 na\u00C3\u00AFve stra\u00C3\u009Fe")))
+          lit(MojibakeTail)))
       .otherwise(col("text"))
     val meta = when(col("doc_id") % 31 === 6,
       lit("<meta name=\"robots\" content=\"noindex\">")).otherwise(lit(""))
@@ -2368,6 +2361,39 @@ object SparkEntry {
         .as("robots_txt"))
     (pages, robots)
   }
+
+  /** Shared fixture for the q_mirror_* queries: docs on h{r}.example
+    * hosts plus every %9==5 doc re-planted on its m{r}.example mirror
+    * host. Mirrored in [[mirrorCte]]. */
+  private def mirrorPages(s: SparkSession, dir: String): DataFrame = {
+    def hostOf(p: String) = concat(lit(p),
+      (col("doc_id") % 40).cast("string"), lit(".example"))
+    docs(s, dir).select(hostOf("h").as("host"), col("text"))
+      .unionByName(
+        docs(s, dir).where(col("doc_id") % 9 === 5)
+          .select(hostOf("m").as("host"), col("text")))
+  }
+
+  /** SQL mirror of [[mirrorPages]] + the shared hostOverlap replay
+    * (digest key = the raw text; fan-out cap 8; pair floor 2), ending at
+    * the `pr` (pairs) and `sz` (host sizes) CTEs — callers append their
+    * final select. */
+  private lazy val mirrorCte: String =
+    """WITH p AS (
+      |  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS host,
+      |    text FROM documents
+      |  UNION ALL
+      |  SELECT 'm' || CAST(doc_id % 40 AS VARCHAR) || '.example', text
+      |  FROM documents WHERE doc_id % 9 = 5),
+      |dh AS (SELECT DISTINCT text AS h, host FROM p),
+      |sz AS (SELECT host, count(*) AS n FROM dh GROUP BY 1),
+      |fan AS (SELECT h FROM (SELECT h, count(*) AS nh FROM dh GROUP BY 1)
+      |  WHERE nh <= 8),
+      |k AS (SELECT dh.h, dh.host FROM dh JOIN fan USING (h)),
+      |pr AS (SELECT a.host AS host_a, b.host AS host_b,
+      |    count(*) AS n_shared
+      |  FROM k a JOIN k b ON a.h = b.h AND a.host < b.host
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
   /** Shared CTE chain for the q_web_funnel oracles: [[webFunnelPages]]
     * replayed — planted page builder, robots parse with Allow precedence
@@ -2734,21 +2760,7 @@ object SparkEntry {
     // the digest never reaches the output), fan-out cap 8, pure integer
     // containment permille
     "q_mirror_hosts" ->
-      """WITH p AS (
-        |  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS host,
-        |    text FROM documents
-        |  UNION ALL
-        |  SELECT 'm' || CAST(doc_id % 40 AS VARCHAR) || '.example', text
-        |  FROM documents WHERE doc_id % 9 = 5),
-        |dh AS (SELECT DISTINCT text AS h, host FROM p),
-        |sz AS (SELECT host, count(*) AS n FROM dh GROUP BY 1),
-        |fan AS (SELECT h FROM (SELECT h, count(*) AS nh FROM dh GROUP BY 1)
-        |  WHERE nh <= 8),
-        |k AS (SELECT dh.h, dh.host FROM dh JOIN fan USING (h)),
-        |pr AS (SELECT a.host AS host_a, b.host AS host_b,
-        |    count(*) AS n_shared
-        |  FROM k a JOIN k b ON a.h = b.h AND a.host < b.host
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      s"""$mirrorCte
         |SELECT pr.host_a, pr.host_b, CAST(pr.n_shared AS BIGINT) AS n_shared,
         |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
         |  (pr.n_shared * 1000) // least(sa.n, sb.n) AS overlap_permille
@@ -2948,21 +2960,7 @@ object SparkEntry {
     // permille, loser = smaller side (tie -> lexicographically larger),
     // left join back onto all host sizes
     "q_mirror_retire" ->
-      """WITH p AS (
-        |  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS host,
-        |    text FROM documents
-        |  UNION ALL
-        |  SELECT 'm' || CAST(doc_id % 40 AS VARCHAR) || '.example', text
-        |  FROM documents WHERE doc_id % 9 = 5),
-        |dh AS (SELECT DISTINCT text AS h, host FROM p),
-        |sz AS (SELECT host, count(*) AS n FROM dh GROUP BY 1),
-        |fan AS (SELECT h FROM (SELECT h, count(*) AS nh FROM dh GROUP BY 1)
-        |  WHERE nh <= 8),
-        |k AS (SELECT dh.h, dh.host FROM dh JOIN fan USING (h)),
-        |pr AS (SELECT a.host AS host_a, b.host AS host_b,
-        |    count(*) AS n_shared
-        |  FROM k a JOIN k b ON a.h = b.h AND a.host < b.host
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      s"""$mirrorCte,
         |ov AS (SELECT pr.host_a, pr.host_b, sa.n AS n_a, sb.n AS n_b,
         |    (pr.n_shared * 1000) // least(sa.n, sb.n) AS opm
         |  FROM pr

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -57,7 +57,6 @@ object IncrementalNear {
     * corpus match with exact shingle Jaccard ≥ tau (ties to min corpus
     * url) or null. */
   def vsCorpus(
-      spark: SparkSession,
       batch: DataFrame,
       corpus: DataFrame,
       cfg: Lsh.Config = Lsh.Config(),

@@ -18,7 +18,7 @@ class IncrementalNearSpec extends AnyFunSuite {
       ("b2", t3),           // novel
       ("b3", t2))           // exact copy of c2: J = 1.0
       .toDF("url", "text")
-    val got = IncrementalNear.vsCorpus(spark, batch, corpus).collect()
+    val got = IncrementalNear.vsCorpus(batch, corpus).collect()
       .map(r => r.getString(0) ->
         ((Option(r.getString(1)), Option(r.get(2)), r.getBoolean(3))))
       .toMap
@@ -37,7 +37,7 @@ class IncrementalNearSpec extends AnyFunSuite {
       ("cZ", t1 + " x y z w v"))   // strictly lower J vs the probe
       .toDF("url", "text")
     val batch = Seq(("b", t1)).toDF("url", "text")
-    val r = IncrementalNear.vsCorpus(spark, batch, corpus).head()
+    val r = IncrementalNear.vsCorpus(batch, corpus).head()
     assert(r.getString(1) == "cA", s"tie must break to min url: $r")
     assert(r.getDouble(2) == 1.0)
   }
@@ -48,10 +48,10 @@ class IncrementalNearSpec extends AnyFunSuite {
     // retires those buckets entirely
     val corpus = Seq(("c1", t1), ("c2", t1)).toDF("url", "text")
     val batch = Seq(("b", t1)).toDF("url", "text")
-    val dropped = IncrementalNear.vsCorpus(spark, batch, corpus,
+    val dropped = IncrementalNear.vsCorpus(batch, corpus,
       hotBucketCap = 1).head()
     assert(dropped.getBoolean(3), "capped buckets must not produce matches")
-    val kept = IncrementalNear.vsCorpus(spark, batch, corpus,
+    val kept = IncrementalNear.vsCorpus(batch, corpus,
       hotBucketCap = 2).head()
     assert(!kept.getBoolean(3) && kept.getString(1) == "c1")
   }
@@ -60,10 +60,10 @@ class IncrementalNearSpec extends AnyFunSuite {
     import spark.implicits._
     val d = Seq(("u", t1)).toDF("url", "text")
     intercept[IllegalArgumentException] {
-      IncrementalNear.vsCorpus(spark, d, d, tau = 0.0)
+      IncrementalNear.vsCorpus(d, d, tau = 0.0)
     }
     intercept[IllegalArgumentException] {
-      IncrementalNear.vsCorpus(spark, d, d, hotBucketCap = 0)
+      IncrementalNear.vsCorpus(d, d, hotBucketCap = 0)
     }
   }
 }
