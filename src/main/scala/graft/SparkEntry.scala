@@ -1965,6 +1965,25 @@ object SparkEntry {
       RobotsTxt.gate(pages, RobotsTxt.rules(robots))
     }),
 
+    // ---- robots Crawl-delay extraction (per-host rate limit) ----
+    // r%4==0 hosts declare a star-group delay (r%7+1) plus a bot-only 99
+    // that must NOT leak; r%4==1 is bot-only (no star delay); r%4==2 has
+    // a non-numeric value (drops); r%4==3 a star group with no delay
+    "q_crawl_delay" -> ((s, dir) => {
+      val hosts = docs(s, dir).select((col("doc_id") % 40).as("r")).distinct()
+      val robots = hosts.select(
+        concat(lit("h"), col("r").cast("string"), lit(".example")).as("host"),
+        when(col("r") % 4 === 0,
+          concat(lit("User-agent: *\nDisallow: /private\nCrawl-delay: "),
+            ((col("r") % 7) + 1).cast("string"),
+            lit("\n\nUser-agent: bot\nCrawl-delay: 99")))
+          .when(col("r") % 4 === 1, lit("User-agent: bot\nCrawl-delay: 5"))
+          .when(col("r") % 4 === 2, lit("User-agent: *\nCrawl-delay: fast"))
+          .otherwise(lit("User-agent: *\nDisallow:"))
+          .as("robots_txt"))
+      RobotsTxt.crawlDelays(robots)
+    }),
+
     // ---- per-doc distinctive terms (tf·idf, integer micro-nats) ----
     "q_tfidf" -> ((s, dir) =>
       operators.TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3)),
@@ -3026,6 +3045,41 @@ object SparkEntry {
     // Allow wins exact-length ties) re-derived from the raw text via a
     // per-url window over matching rules (the Spark side folds the same
     // order row-locally; the ScalaTest covers grammar corners)
+    // mirrors q_crawl_delay: same per-class robots synthesis, same line/
+    // group/star parse, strict integer filter, MAX per host
+    "q_crawl_delay" ->
+      """WITH robots AS (
+        |  SELECT 'h' || CAST(r AS VARCHAR) || '.example' AS host,
+        |    CASE WHEN r % 4 = 0 THEN 'User-agent: *' || chr(10) ||
+        |        'Disallow: /private' || chr(10) || 'Crawl-delay: ' ||
+        |        CAST(r % 7 + 1 AS VARCHAR) || chr(10) || chr(10) ||
+        |        'User-agent: bot' || chr(10) || 'Crawl-delay: 99'
+        |      WHEN r % 4 = 1 THEN 'User-agent: bot' || chr(10) ||
+        |        'Crawl-delay: 5'
+        |      WHEN r % 4 = 2 THEN 'User-agent: *' || chr(10) ||
+        |        'Crawl-delay: fast'
+        |      ELSE 'User-agent: *' || chr(10) || 'Disallow:' END AS txt
+        |  FROM (SELECT DISTINCT doc_id % 40 AS r FROM documents)),
+        |ln0 AS (SELECT host, unnest(list_zip(string_split(txt, chr(10)),
+        |    range(1, len(string_split(txt, chr(10))) + 1))) AS pr
+        |  FROM robots),
+        |ln AS (SELECT host, CAST(pr[2] AS BIGINT) AS pos, trim(pr[1]) AS line
+        |  FROM ln0),
+        |tag AS (SELECT host, pos, line,
+        |  sum(CASE WHEN line = '' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY host ORDER BY pos) AS grp,
+        |  CASE WHEN regexp_matches(lower(line), '^user-agent[ \t]*:')
+        |    THEN trim(regexp_replace(line, '(?i)^user-agent[ \t]*:', ''))
+        |    END AS ua,
+        |  CASE WHEN regexp_matches(lower(line), '^crawl-delay[ \t]*:')
+        |    THEN trim(regexp_replace(line, '(?i)^crawl-delay[ \t]*:', ''))
+        |    END AS cd
+        |  FROM ln),
+        |star AS (SELECT DISTINCT host, grp FROM tag WHERE ua = '*')
+        |SELECT t.host, max(CAST(t.cd AS BIGINT)) AS crawl_delay_s
+        |FROM tag t JOIN star s ON t.host = s.host AND t.grp = s.grp
+        |WHERE t.cd IS NOT NULL AND regexp_matches(t.cd, '^[0-9]+$')
+        |GROUP BY t.host""".stripMargin,
     "q_robots_gate" ->
       """WITH robots AS (
         |  SELECT 'h' || CAST(r AS VARCHAR) || '.example' AS host,

@@ -45,12 +45,12 @@ import org.apache.spark.sql.functions._
   */
 object RobotsTxt {
 
-  /** (host, prefix, allow) rules for the `*` agent from a frame of
-    * (host, robots_txt). Empty-value rules drop (they match nothing). */
-  def rules(
-      robots: DataFrame,
-      hostCol: String = "host",
-      txtCol: String = "robots_txt"): DataFrame = {
+  /** Lines of every robots file split, trimmed, numbered within host,
+    * assigned their blank-line group id, and tagged with the recognized
+    * field values (`ua`, `dis`, `al`, `cd`) — the shared front half of
+    * [[rules]] and [[crawlDelays]]. */
+  private def taggedLines(
+      robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
     val lines = robots.select(col(hostCol).as("host"),
         posexplode(split(col(txtCol), "\n")).as(Seq("pos", "line")))
       .select(col("host"), col("pos"), trim(col("line")).as("line"))
@@ -60,21 +60,54 @@ object RobotsTxt {
       when(lower(col("line")).rlike(s"^$name[ \\t]*:"),
         trim(regexp_replace(col("line"), s"(?i)^$name[ \\t]*:", "")))
         .otherwise(lit(null))
-    val tagged = lines
+    lines
       .withColumn("grp",
         sum(when(col("line") === "", 1).otherwise(0)).over(wByPos))
       .withColumn("ua", field("user-agent"))
       .withColumn("dis", field("disallow"))
       .withColumn("al", field("allow"))
-    val starGroups = tagged.where(col("ua") === "*")
+      .withColumn("cd", field("crawl-delay"))
+  }
+
+  /** The (host, grp) ids of groups naming the `*` agent. */
+  private def starGroups(tagged: DataFrame): DataFrame =
+    tagged.where(col("ua") === "*")
       .select(col("host"), col("grp")).distinct()
+
+  /** (host, prefix, allow) rules for the `*` agent from a frame of
+    * (host, robots_txt). Empty-value rules drop (they match nothing). */
+  def rules(
+      robots: DataFrame,
+      hostCol: String = "host",
+      txtCol: String = "robots_txt"): DataFrame = {
+    val tagged = taggedLines(robots, hostCol, txtCol)
     tagged
       .withColumn("prefix", coalesce(col("dis"), col("al")))
       .withColumn("allow", col("al").isNotNull)
       .where(col("prefix").isNotNull && col("prefix") =!= "")
-      .join(starGroups, Seq("host", "grp"))
+      .join(starGroups(tagged), Seq("host", "grp"))
       .select(col("host"), col("prefix"), col("allow"))
       .distinct()
+  }
+
+  /** (host, crawl_delay_s) for hosts whose `*` group declares a numeric
+    * `Crawl-delay` (the de-facto extension Bing/Yandex honor; RFC 9309
+    * leaves it out, so the parse is deliberately strict: integer seconds
+    * only, anything else drops). Several star-group declarations keep the
+    * MAX — the most conservative politeness wins, the same direction a
+    * crawl scheduler must round in anyway. Feed the host-grain result
+    * into the crawl-budget scoreboard: it is the per-host rate limit the
+    * fetch planner divides by. */
+  def crawlDelays(
+      robots: DataFrame,
+      hostCol: String = "host",
+      txtCol: String = "robots_txt"): DataFrame = {
+    val tagged = taggedLines(robots, hostCol, txtCol)
+    tagged
+      .where(col("cd").rlike("^[0-9]+$"))
+      .join(starGroups(tagged), Seq("host", "grp"))
+      .groupBy(col("host"))
+      .agg(max(col("cd").cast("long")).as("crawl_delay_s"))
   }
 
   /** Pages (urlCol) + rules → pages with a `blocked` flag: true iff the

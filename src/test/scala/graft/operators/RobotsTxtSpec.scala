@@ -77,6 +77,20 @@ class RobotsTxtSpec extends AnyFunSuite {
       "http://h6/other" -> false))
   }
 
+  test("crawlDelays: star-group numeric delays only, max wins, junk drops") {
+    import spark.implicits._
+    val r = Seq(
+      ("h1", "User-agent: *\nCrawl-delay: 4\n\nUser-agent: bot\nCrawl-delay: 99"),
+      ("h2", "User-agent: *\nCRAWL-DELAY: 2\n\nUser-agent: x\nUser-agent: *\nCrawl-delay: 7"),
+      ("h3", "User-agent: bot\nCrawl-delay: 5"),      // bot-only: absent
+      ("h4", "User-agent: *\nCrawl-delay: fast"),     // non-numeric: absent
+      ("h5", "User-agent: *\nDisallow: /x"))          // no delay: absent
+      .toDF("host", "robots_txt")
+    val got = RobotsTxt.crawlDelays(r).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == Map("h1" -> 4L, "h2" -> 7L), s"got $got")
+  }
+
   test("parsing is partitioning-invariant") {
     for (parts <- Seq(1, 4)) {
       val got = RobotsTxt.rules(robots.repartition(parts)).count()
