@@ -60,6 +60,34 @@ class WebFunnelSpec extends AnyFunSuite {
       "http://h/b" -> "kept"), s"got $got")
   }
 
+  test("funnel plans ONE page-side exchange (title window); flags fuse into the scan") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("wf_plan").toString
+    (1 to 50).map(i => (s"http://h${i % 4}/p$i", long + s" v$i",
+      s"<html><head><title>T${i % 6}</title></head><body>x</body></html>"))
+      .toDF("url", "text", "html")
+      .write.mode("overwrite").parquet(dir)
+    val robots = Seq(("h1", "User-agent: *\nDisallow: /private"))
+      .toDF("host", "robots_txt")
+    val out = WebFunnel.verdicts(spark.read.parquet(dir),
+      RobotsTxt.rules(robots))
+    out.collect()
+    // AQE's string carries the initial plan below the final one — assert
+    // on the FINAL section only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // page-side: ONE shuffle exchange (the (host, tkey) window) — the
+    // robots side contributes only its BroadcastExchange (rule arrays)
+    // plus its own KB-scale parse exchanges, which ride the tiny robots
+    // frame, not the pages
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val pageShuffles = "Exchange hashpartitioning\\(__host".r.findAllIn(plan).length
+    assert(pageShuffles == 1, s"want 1 page-side exchange, plan:\n$plan")
+    assert(shuffles <= 3, s"robots parse must stay KB-scale: $shuffles shuffles")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+  }
+
   test("stats roll the same verdicts up") {
     import spark.implicits._
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
