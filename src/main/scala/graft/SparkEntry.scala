@@ -1856,6 +1856,31 @@ object SparkEntry {
       IncrementalNear.vsCorpus(batch, corpus)
     }),
 
+    // ---- NEAR-dup decontamination (paraphrase-grade leakage) ----
+    // the 13-gram decontaminate catches verbatim leaks; this catches the
+    // near-verbatim tier by probing TRAIN docs against the benchmark as
+    // the [[IncrementalNear]] corpus. benchmark = the %37==3 long-doc
+    // slice; train = the rest + planted one-word-appended benchmark
+    // copies (J ≈ 0.97 — "paraphrased" leaks) that MUST flag; natural
+    // train↔benchmark near-dups flag too (both sides replay them)
+    "q_near_decontaminate" -> ((s, dir) => {
+      val base = docs(s, dir).where(length(col("text")) >= 200)
+      val bench = base.where(col("doc_id") % 37 === 3)
+        .select(concat(lit("bm"), col("doc_id").cast("string")).as("url"),
+          col("text"))
+      val train = base.where(col("doc_id") % 37 =!= 3)
+        .select(concat(lit("tr"), col("doc_id").cast("string")).as("url"),
+          col("text"))
+        .unionByName(base.where(col("doc_id") % 37 === 3)
+          .select(
+            concat(lit("tr"),
+              (col("doc_id") + lit(7300000L)).cast("string")).as("url"),
+            concat(col("text"), lit(" paraphrased")).as("text")))
+      IncrementalNear.vsCorpus(train, bench)
+        .select(col("url"), col("dup_of").as("leaks_benchmark"),
+          col("jaccard"), (!col("is_novel")).as("contaminated"))
+    }),
+
     // ---- dedup cluster-size histogram (run-audit report) ----
     // Engine-emitted: the exact-only DedupPipeline decisions rolled up to
     // (cluster_size → n_clusters, n_docs) over live docs — the first
@@ -2885,6 +2910,42 @@ object SparkEntry {
         |       WHEN tkey <> '' AND rn > 1 THEN 'title_dup'
         |       ELSE 'kept' END AS verdict
         |FROM rk) GROUP BY 1""".stripMargin),
+    // mirrors q_near_decontaminate: the q_incremental_near exhaustive
+    // truth with benchmark as the corpus side and the paraphrase plant
+    "q_near_decontaminate" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 200),
+        |corp AS (SELECT 'bm' || CAST(doc_id AS VARCHAR) AS url, text
+        |  FROM base WHERE doc_id % 37 = 3),
+        |bat AS (SELECT 'tr' || CAST(doc_id AS VARCHAR) AS url, text
+        |  FROM base WHERE doc_id % 37 <> 3
+        |  UNION ALL
+        |  SELECT 'tr' || CAST(doc_id + 7300000 AS VARCHAR),
+        |    text || ' paraphrased'
+        |  FROM base WHERE doc_id % 37 = 3),
+        |sb AS (SELECT url, list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 3),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))
+        |    AS s FROM bat),
+        |sc AS (SELECT url, list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 3),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))
+        |    AS s FROM corp),
+        |tb AS (SELECT url, len(s) AS n, unnest(s) AS w FROM sb),
+        |tc AS (SELECT url, len(s) AS n, unnest(s) AS w FROM sc),
+        |o AS (SELECT b.url AS url, c.url AS curl, b.n AS na, c.n AS nb,
+        |    count(*) AS ov
+        |  FROM tb b JOIN tc c ON b.w = c.w GROUP BY 1, 2, 3, 4),
+        |p AS (SELECT url, curl,
+        |    CAST(ov AS DOUBLE) / (na + nb - ov) AS jacraw FROM o
+        |  WHERE CAST(ov AS DOUBLE) / (na + nb - ov) >= 0.8),
+        |best AS (SELECT url, curl, jacraw,
+        |  row_number() OVER (PARTITION BY url
+        |    ORDER BY jacraw DESC, curl) AS rn FROM p)
+        |SELECT bat.url, b.curl AS leaks_benchmark, b.jaccard,
+        |  b.curl IS NOT NULL AS contaminated
+        |FROM bat LEFT JOIN (SELECT url, curl, round(jacraw, 6) AS jaccard
+        |  FROM best WHERE rn = 1) b ON bat.url = b.url""".stripMargin,
     // mirrors q_incremental_near: EXHAUSTIVE batch×corpus 5-word-shingle
     // Jaccard via the token-unnest join (the setsim oracle shape — no
     // quadratic list materialization), best match per batch url with the
