@@ -2020,6 +2020,25 @@ object SparkEntry {
       Quantiles.exactQuantiles(docs(s, dir), "n_chars",
         Seq(10, 100, 250, 500, 750, 900, 990, 1000))),
 
+    // ---- KMV sketch sizing: one-pass distinct / dedup-win / overlap ----
+    // forecast the exact-dedup win over the planted-duplicate corpus from
+    // a k=2048 sketch (no groupBy of the corpus). At sf0.001 the corpus has
+    // fewer distinct texts than k, so the sketch is under-full and the
+    // forecast is EXACT (dup_rate 1/26); at sf0.01 the estimator path runs
+    // with ~2.2% error — the two driver SFs exercise both branches
+    "q_kmv_distinct" -> ((s, dir) =>
+      Kmv.distinctReport(docsPlanted(s, dir), "text", 2048)),
+
+    // crawl-over-crawl content overlap: snapshot 1 vs snapshot 2 text sets
+    // (snap 2 rewrites every %3==1 doc, so true Jaccard ≈ 0.5)
+    "q_corpus_overlap" -> ((s, dir) => {
+      val snaps = snapshotPages(docs(s, dir))
+      Kmv.overlap(
+        snaps.where(col("ts_s") === 1),
+        snaps.where(col("ts_s") === 2),
+        "text", 128)
+    }),
+
     // ---- cross-snapshot (re-crawl) delta: WARC revisit-record rule ----
     // three synthetic snapshots from documents: snap 1 = every url; snap 2
     // = every url, %3==1 texts re-written; snap 3 = even urls only, %6==4
@@ -2769,6 +2788,50 @@ object SparkEntry {
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
+    // mirrors q_kmv_distinct: the KMV sketch is literally DISTINCT md5
+    // ORDER BY LIMIT k; the estimator replays the identical IEEE-double
+    // steps (60-bit hash slice, exact (k-1)*2^60 product, one division,
+    // floor), so est_distinct matches bit-for-bit
+    "q_kmv_distinct" ->
+      s"""$plantedCte,
+        |h AS (SELECT DISTINCT md5(text) AS h FROM docs WHERE text IS NOT NULL),
+        |s AS (SELECT h FROM h ORDER BY h LIMIT 2048),
+        |a AS (SELECT count(*) AS sketch_size, max(h) AS kth FROM s),
+        |t AS (SELECT count(text) AS rows_total FROM docs),
+        |e AS (SELECT sketch_size,
+        |  CASE WHEN sketch_size < 2048 THEN sketch_size
+        |       ELSE CAST(floor(2047.0 * 1152921504606846976.0 /
+        |         CAST(CAST('0x' || substr(kth, 1, 15) AS BIGINT) AS DOUBLE))
+        |         AS BIGINT) END AS est_distinct
+        |  FROM a)
+        |SELECT 2048 AS k, sketch_size, est_distinct, rows_total,
+        |  greatest(0, rows_total - est_distinct) AS est_dup_rows,
+        |  CAST(greatest(0, rows_total - est_distinct) AS DOUBLE) / rows_total
+        |    AS dup_rate_est
+        |FROM e, t""".stripMargin,
+    // mirrors q_corpus_overlap: union sketch = k smallest of S(A) ∪ S(B);
+    // Jaccard estimate = fraction of it present in BOTH side sketches
+    "q_corpus_overlap" ->
+      s"""$snapshotCte,
+        |ha AS (SELECT DISTINCT md5(text) AS h FROM caps WHERE ts_s = 1),
+        |hb AS (SELECT DISTINCT md5(text) AS h FROM caps WHERE ts_s = 2),
+        |sa AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+        |sb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+        |su AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) u
+        |       ORDER BY h LIMIT 128)
+        |SELECT 128 AS k,
+        |  (SELECT count(*) FROM su) AS union_sketch_size,
+        |  (SELECT count(*) FROM su
+        |   WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
+        |    AS both_in_union,
+        |  CAST((SELECT count(*) FROM su
+        |        WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
+        |    AS DOUBLE) / (SELECT count(*) FROM su) AS jaccard_est,
+        |  CASE WHEN (SELECT count(*) FROM su) < 128
+        |       THEN (SELECT count(*) FROM su)
+        |       ELSE CAST(floor(127.0 * 1152921504606846976.0 /
+        |         CAST(CAST('0x' || substr((SELECT max(h) FROM su), 1, 15)
+        |              AS BIGINT) AS DOUBLE)) AS BIGINT) END AS est_union""".stripMargin,
     // mirrors q_snapshot_delta: the shared three-snapshot CTE + lag-text
     // classification (engine compares xxhash64 digests; equality agrees)
     "q_snapshot_delta" ->

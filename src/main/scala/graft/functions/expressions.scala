@@ -359,6 +359,8 @@ object gf {
     col(BoundedTopK(expr(nkp), expr(id), expr(sim), cap).toAggregateExpression())
   def misra_gries(item: Column, cap: Int): Column =
     col(MisraGries(expr(item), cap).toAggregateExpression())
+  def kmv_sketch(hash: Column, k: Int): Column =
+    col(KmvSketch(expr(hash), k).toAggregateExpression())
   def unicode_norm(c: Column, form: String = "NFC"): Column =
     col(UnicodeNorm(expr(c), form))
 }

@@ -43,6 +43,7 @@ object GraftFunctions {
     "vec_simhash" -> (es => VecSimHash(es(0), intLit(es(1)), longLit(es(2)))),
     "bounded_topk" -> (es => BoundedTopK(es(0), es(1), es(2), intLit(es(3)))),
     "misra_gries" -> (es => MisraGries(es(0), intLit(es(1)))),
+    "kmv_sketch" -> (es => KmvSketch(es(0), intLit(es(1)))),
     "unicode_norm" -> (es => UnicodeNorm(es(0), es(1).eval(null).toString)))
 
   def register(spark: SparkSession): Unit = {
