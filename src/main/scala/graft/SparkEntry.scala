@@ -2039,6 +2039,22 @@ object SparkEntry {
         "text", 128)
     }),
 
+    // CDX capture index over the three-snapshot history, with realistic
+    // fetch-alias mess: snapshot-2 captures fetched via the www host
+    // alias, snapshot-3 captures carrying a fragment — surt+canon fold
+    // every capture of a page onto ONE contiguous key run
+    "q_cdx_index" -> ((s, dir) => {
+      val messy = snapshotPages(docs(s, dir)).select(
+        concat(
+          when(col("ts_s") === 2,
+            regexp_replace(col("url"), "^https://", "https://www."))
+            .otherwise(col("url")),
+          when(col("ts_s") === 3, lit("#fetched")).otherwise(lit("")))
+          .as("url"),
+        col("ts_s"), col("text"))
+      WebNormalize.cdxIndex(messy)
+    }),
+
     // ---- cross-snapshot (re-crawl) delta: WARC revisit-record rule ----
     // three synthetic snapshots from documents: snap 1 = every url; snap 2
     // = every url, %3==1 texts re-written; snap 3 = even urls only, %6==4
@@ -2832,6 +2848,34 @@ object SparkEntry {
         |       ELSE CAST(floor(127.0 * 1152921504606846976.0 /
         |         CAST(CAST('0x' || substr((SELECT max(h) FROM su), 1, 15)
         |              AS BIGINT) AS DOUBLE)) AS BIGINT) END AS est_union""".stripMargin,
+    // mirrors q_cdx_index: the same messy-capture build, then the canon
+    // chain (fragment, utm, lowercase head) and the SURT transform
+    // (reversed host labels, www fold) replayed step by step
+    "q_cdx_index" ->
+      s"""$snapshotCte,
+        |messy AS (SELECT
+        |  CASE WHEN ts_s = 2
+        |       THEN regexp_replace(url, '^https://', 'https://www.')
+        |       ELSE url END ||
+        |  CASE WHEN ts_s = 3 THEN '#fetched' ELSE '' END AS u,
+        |  ts_s, text FROM caps),
+        |c1 AS (SELECT ts_s, text, regexp_replace(u, '#.*', '', 'g') AS nf
+        |  FROM messy),
+        |c2 AS (SELECT ts_s, text, regexp_replace(regexp_replace(nf,
+        |  '([?&])utm_[^&#]*(&utm_[^&#]*)*&', '\\1', 'g'),
+        |  '[?&]utm_[^&#]*(&utm_[^&#]*)*$$', '', 'g') AS nu FROM c1),
+        |c3 AS (SELECT ts_s, text,
+        |  lower(regexp_extract(nu, '^[a-zA-Z]+://[^/]*', 0)) ||
+        |    substr(nu, length(regexp_extract(nu, '^[a-zA-Z]+://[^/]*', 0)) + 1,
+        |           length(nu)) AS cu FROM c2),
+        |c4 AS (SELECT ts_s, text, cu,
+        |  regexp_extract(cu, '^[a-z]+://[^/?#]*', 0) AS auth,
+        |  regexp_replace(regexp_extract(cu, '^[a-z]+://([^/?#]+)', 1),
+        |    '^www\\.', '') AS host FROM c3)
+        |SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+        |    || ')' || substr(cu, length(auth) + 1, length(cu)) AS surt,
+        |  ts_s, md5(text) AS digest, length(text) AS rec_len
+        |FROM c4""".stripMargin,
     // mirrors q_snapshot_delta: the shared three-snapshot CTE + lag-text
     // classification (engine compares xxhash64 digests; equality agrees)
     "q_snapshot_delta" ->

@@ -116,4 +116,44 @@ object WebNormalize {
     val head = regexp_extract(noUtm, "^[a-zA-Z]+://[^/]*", 0)
     concat(lower(head), noUtm.substr(length(head) + lit(1), length(noUtm)))
   }
+
+  /** SURT (Sort-friendly URI Reordering Transform) key over the
+    * [[canonUrl]] form: host labels reversed comma-joined, `)` separator,
+    * then path-and-query — `https://www.news.bbc.co.uk/a?b` →
+    * `uk,co,bbc,news)/a?b`. The leading `www.` is dropped (the standard
+    * alias fold), so apex and www captures of a page share one key.
+    *
+    * This is THE key web archives sort their CDX indexes by: under it,
+    * every page of a domain — and every subdomain under it — is one
+    * CONTIGUOUS key range (`uk,co,bbc` prefix ⊇ all of bbc.co.uk), so
+    * "everything under this domain" is a range scan over sorted files,
+    * not a filter over the corpus. Pure codegen'd projection. */
+  def surtKey(c: Column): Column = {
+    val u = canonUrl(c)
+    val auth = regexp_extract(u, "^[a-z]+://[^/?#]*", 0)
+    val host = regexp_replace(
+      regexp_extract(u, "^[a-z]+://([^/?#]+)", 1), "^www\\.", "")
+    concat(
+      concat_ws(",", reverse(split(host, "\\."))), lit(")"),
+      u.substr(length(auth) + lit(1), length(u)))
+  }
+
+  /** CDX-style capture index: one row per capture, `(surt, ts_s, digest,
+    * rec_len)`, globally sorted by `(surt, ts_s)` — the web-archive lookup
+    * artifact (a capture's history = one contiguous run; a domain = one
+    * key range). The global sort is a RANGE exchange + per-partition sort:
+    * exactly how a sorted artifact is written at 100 TB — each output file
+    * covers a disjoint key range, and a CDX range scan touches only the
+    * files whose range intersects the query prefix. */
+  def cdxIndex(
+      captures: org.apache.spark.sql.DataFrame,
+      urlCol: String = "url",
+      tsCol: String = "ts_s",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    captures.select(
+      surtKey(col(urlCol)).as("surt"),
+      col(tsCol),
+      md5(col(textCol)).as("digest"),
+      length(col(textCol)).cast("long").as("rec_len"))
+      .orderBy("surt", tsCol)
 }

@@ -123,4 +123,38 @@ class WebNormalizeSpec extends AnyFunSuite {
     assert(t("<html><body>no title here</body></html>") == "")
     assert(t("<title></title>") == "")
   }
+  test("surtKey: reversed host labels, www/alias + fragment fold, subdomain range containment") {
+    assert(one(WebNormalize.surtKey(lit("https://www.news.bbc.co.uk/a/b?q=1#frag")))
+      == "uk,co,bbc,news)/a/b?q=1")
+    // apex and www captures of one page share one key
+    assert(one(WebNormalize.surtKey(lit("https://example.org/p")))
+      == one(WebNormalize.surtKey(lit("HTTPS://WWW.EXAMPLE.ORG/p"))))
+    // every subdomain of a domain sorts inside the domain's key range:
+    // the domain key is a string prefix of the subdomain key's host part
+    val dom = one(WebNormalize.surtKey(lit("https://bbc.co.uk/")))
+    val sub = one(WebNormalize.surtKey(lit("https://news.bbc.co.uk/x")))
+    assert(sub.startsWith(dom.stripSuffix(")/") + ","))
+    // bare host, no path
+    assert(one(WebNormalize.surtKey(lit("https://a.example"))) == "example,a)")
+  }
+
+  test("cdxIndex: one contiguous sorted run per page across alias-messy captures") {
+    import spark.implicits._
+    val caps = Seq(
+      ("https://site.example/p1", 1L, "v1 body"),
+      ("https://www.site.example/p1", 2L, "v1 body"),     // www re-fetch
+      ("https://site.example/p1#frag", 3L, "v2 body"),    // fragment noise
+      ("https://other.example/p2", 1L, "other")).toDF("url", "ts_s", "text")
+    val idx = WebNormalize.cdxIndex(caps).collect()
+    // globally sorted by (surt, ts)
+    val keys = idx.map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(keys == keys.sorted)
+    // the three captures of p1 folded onto ONE surt, in ts order
+    val p1 = idx.filter(_.getString(0) == "example,site)/p1")
+    assert(p1.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    // digest tracks content: captures 1-2 equal, 3 differs
+    assert(p1(0).getString(2) == p1(1).getString(2))
+    assert(p1(2).getString(2) != p1(0).getString(2))
+    assert(p1.forall(_.getLong(3) == 7L))
+  }
 }
