@@ -2039,6 +2039,16 @@ object SparkEntry {
         "text", 128)
     }),
 
+    // corpus drift alarm: JS divergence (integer micro-nats, 256 hashed
+    // token buckets) between snapshot 1 and snapshot 3 — the rewrites +
+    // even-docs-only retention make a real distribution shift
+    "q_corpus_drift" -> ((s, dir) => {
+      val snaps = snapshotPages(docs(s, dir))
+      Drift.report(
+        snaps.where(col("ts_s") === 1),
+        snaps.where(col("ts_s") === 3))
+    }),
+
     // CDX capture index over the three-snapshot history, with realistic
     // fetch-alias mess: snapshot-2 captures fetched via the www host
     // alias, snapshot-3 captures carrying a fragment — surt+canon fold
@@ -2848,6 +2858,42 @@ object SparkEntry {
         |       ELSE CAST(floor(127.0 * 1152921504606846976.0 /
         |         CAST(CAST('0x' || substr((SELECT max(h) FROM su), 1, 15)
         |              AS BIGINT) AS DOUBLE)) AS BIGINT) END AS est_union""".stripMargin,
+    // mirrors q_corpus_drift: identical double shapes (left-assoc, totals
+    // precomputed, per-bucket micro-nat quantization, integer sums)
+    "q_corpus_drift" ->
+      s"""$snapshotCte,
+        |ab AS (
+        |  SELECT substr(md5(tok), 1, 2) AS bucket, 'a' AS side FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM caps
+        |    WHERE ts_s = 1) WHERE tok <> ''
+        |  UNION ALL
+        |  SELECT substr(md5(tok), 1, 2) AS bucket, 'b' AS side FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM caps
+        |    WHERE ts_s = 3) WHERE tok <> ''),
+        |c AS (SELECT bucket,
+        |  SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS a,
+        |  SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS b
+        |  FROM ab GROUP BY 1),
+        |t AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM c),
+        |m AS (SELECT ta, tb,
+        |  CASE WHEN a > 0 THEN CAST(round(
+        |    CAST(a AS DOUBLE) / CAST(ta AS DOUBLE) *
+        |    ln(2.0 * CAST(a AS DOUBLE) * CAST(tb AS DOUBLE) /
+        |      (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE) +
+        |       CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1000000.0)
+        |    AS BIGINT) ELSE 0 END AS mp,
+        |  CASE WHEN b > 0 THEN CAST(round(
+        |    CAST(b AS DOUBLE) / CAST(tb AS DOUBLE) *
+        |    ln(2.0 * CAST(b AS DOUBLE) * CAST(ta AS DOUBLE) /
+        |      (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE) +
+        |       CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1000000.0)
+        |    AS BIGINT) ELSE 0 END AS mq
+        |  FROM c, t)
+        |SELECT ta AS n_tokens_a, tb AS n_tokens_b,
+        |  count(*) AS buckets_active,
+        |  SUM(mp) AS kl_ab_micro, SUM(mq) AS kl_ba_micro,
+        |  SUM(mp) + SUM(mq) AS js2_micro
+        |FROM m GROUP BY ta, tb""".stripMargin,
     // mirrors q_cdx_index: the same messy-capture build, then the canon
     // chain (fragment, utm, lowercase head) and the SURT transform
     // (reversed host labels, www fold) replayed step by step

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DriftSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def docs(texts: Seq[String], parts: Int = 4) = {
+    import spark.implicits._
+    texts.toDF("text").repartition(parts)
+  }
+
+  private val corpus =
+    (0 until 200).map(i => s"alpha beta w$i gamma ${"delta " * (i % 3)}token$i".trim)
+
+  test("identical corpora read zero drift; totals and buckets are right") {
+    val r = Drift.report(docs(corpus), docs(corpus)).collect().head
+    assert(r.getAs[Long]("kl_ab_micro") == 0L)
+    assert(r.getAs[Long]("kl_ba_micro") == 0L)
+    assert(r.getAs[Long]("js2_micro") == 0L)
+    assert(r.getAs[Long]("n_tokens_a") == r.getAs[Long]("n_tokens_b"))
+    val nb = r.getAs[Long]("buckets_active")
+    assert(nb > 0 && nb <= Drift.Buckets)
+  }
+
+  test("disjoint BUCKET distributions saturate at 2*ln(2); hashing smooths disjoint vocab") {
+    // few distinct tokens → few buckets per side, no cross-side collision
+    // (verified by the assert): the one case where JS must hit its bound
+    val a = Seq.fill(300)("aquamarine")
+    val b = Seq.fill(300)("burgundy")
+    val r = Drift.report(docs(a), docs(b)).collect().head
+    val js2 = r.getAs[Long]("js2_micro")
+    val sat = math.round(2.0 * math.log(2.0) * 1e6) // 1,386,294
+    assert(r.getAs[Long]("buckets_active") == 2L)
+    assert(math.abs(js2 - sat) <= 2, s"js2=$js2 vs $sat")
+    // and the smoothing property itself: large disjoint vocabs spread over
+    // the SAME 256 buckets read far below saturation (hash-uniform mass)
+    val bigA = (0 until 400).map(i => s"left$i only$i here$i")
+    val bigB = (0 until 400).map(i => s"right$i other$i there$i")
+    val r2 = Drift.report(docs(bigA), docs(bigB)).collect().head
+    val js2big = r2.getAs[Long]("js2_micro")
+    assert(js2big > 0 && js2big < sat / 2, s"js2big=$js2big")
+  }
+
+  test("a real shift lands strictly between 0 and saturation; swap symmetry") {
+    val b = corpus.take(100) ++ (0 until 100).map(i => s"novel$i phrases$i")
+    val r1 = Drift.report(docs(corpus), docs(b)).collect().head
+    val js2 = r1.getAs[Long]("js2_micro")
+    assert(js2 > 10000 && js2 < 1386294, s"js2=$js2")
+    val r2 = Drift.report(docs(b), docs(corpus)).collect().head
+    assert(r2.getAs[Long]("js2_micro") == js2)
+    assert(r2.getAs[Long]("kl_ab_micro") == r1.getAs[Long]("kl_ba_micro"))
+    assert(r2.getAs[Long]("kl_ba_micro") == r1.getAs[Long]("kl_ab_micro"))
+  }
+
+  test("partition invariance: integer micro-nat sums are order-free") {
+    val b = corpus.drop(50) ++ Seq.fill(30)("extra padding words")
+    val base = Drift.report(docs(corpus, 1), docs(b, 1)).collect().head
+    for (parts <- Seq(3, 17, 32)) {
+      val r = Drift.report(docs(corpus, parts), docs(b, parts)).collect().head
+      assert(r.getAs[Long]("js2_micro") == base.getAs[Long]("js2_micro"),
+        s"parts=$parts")
+      assert(r.getAs[Long]("kl_ab_micro") == base.getAs[Long]("kl_ab_micro"))
+    }
+  }
+}
