@@ -2009,6 +2009,32 @@ object SparkEntry {
       RobotsTxt.crawlDelays(robots)
     }),
 
+    // ---- robots Sitemap discovery (standalone records, RFC 9309
+    // §2.2.4) ----
+    // r%4==0: one sitemap at top + one INSIDE a bot-only group (both
+    // count — standalone records ignore groups); r%4==1: duplicate lines
+    // collapse + a lowercase-key/uppercase-scheme variant; r%4==2:
+    // relative and ftp junk (drops); r%4==3: no sitemap
+    "q_sitemaps" -> ((s, dir) => {
+      val hosts = docs(s, dir).select((col("doc_id") % 40).as("r")).distinct()
+      val robots = hosts.select(
+        concat(lit("h"), col("r").cast("string"), lit(".example")).as("host"),
+        when(col("r") % 4 === 0,
+          concat(lit("Sitemap: https://h"), col("r").cast("string"),
+            lit(".example/sm.xml\nUser-agent: bot\nDisallow: /\n" +
+              "Sitemap: https://cdn.example/shared.xml")))
+          .when(col("r") % 4 === 1, lit(
+            "User-agent: *\nDisallow: /x\n\n" +
+              "Sitemap: https://mirror.example/a.xml\n" +
+              "Sitemap: https://mirror.example/a.xml\n" +
+              "sitemap: HTTPS://mirror.example/b.xml"))
+          .when(col("r") % 4 === 2,
+            lit("Sitemap: /sitemap.xml\nSitemap: ftp://no.example/x"))
+          .otherwise(lit("User-agent: *\nDisallow:"))
+          .as("robots_txt"))
+      RobotsTxt.sitemaps(robots)
+    }),
+
     // ---- per-doc distinctive terms (tf·idf, integer micro-nats) ----
     "q_tfidf" -> ((s, dir) =>
       operators.TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3)),
@@ -3283,10 +3309,10 @@ object SparkEntry {
         |  sum(CASE WHEN line = '' THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY host ORDER BY pos) AS grp,
         |  CASE WHEN regexp_matches(lower(line), '^user-agent[ \t]*:')
-        |    THEN trim(regexp_replace(line, '(?i)^user-agent[ \t]*:', ''))
+        |    THEN trim(regexp_replace(line, '(?i)^user-agent[ \t]*:[ \t]*', ''))
         |    END AS ua,
         |  CASE WHEN regexp_matches(lower(line), '^crawl-delay[ \t]*:')
-        |    THEN trim(regexp_replace(line, '(?i)^crawl-delay[ \t]*:', ''))
+        |    THEN trim(regexp_replace(line, '(?i)^crawl-delay[ \t]*:[ \t]*', ''))
         |    END AS cd
         |  FROM ln),
         |star AS (SELECT DISTINCT host, grp FROM tag WHERE ua = '*')
@@ -3294,6 +3320,31 @@ object SparkEntry {
         |FROM tag t JOIN star s ON t.host = s.host AND t.grp = s.grp
         |WHERE t.cd IS NOT NULL AND regexp_matches(t.cd, '^[0-9]+$')
         |GROUP BY t.host""".stripMargin,
+    // mirrors q_sitemaps: standalone-record extraction — group machinery
+    // deliberately absent (a bot-group sitemap still counts)
+    "q_sitemaps" ->
+      """WITH robots AS (
+        |  SELECT 'h' || CAST(r AS VARCHAR) || '.example' AS host,
+        |    CASE WHEN r % 4 = 0 THEN 'Sitemap: https://h' ||
+        |        CAST(r AS VARCHAR) || '.example/sm.xml' || chr(10) ||
+        |        'User-agent: bot' || chr(10) || 'Disallow: /' || chr(10) ||
+        |        'Sitemap: https://cdn.example/shared.xml'
+        |      WHEN r % 4 = 1 THEN 'User-agent: *' || chr(10) ||
+        |        'Disallow: /x' || chr(10) || chr(10) ||
+        |        'Sitemap: https://mirror.example/a.xml' || chr(10) ||
+        |        'Sitemap: https://mirror.example/a.xml' || chr(10) ||
+        |        'sitemap: HTTPS://mirror.example/b.xml'
+        |      WHEN r % 4 = 2 THEN 'Sitemap: /sitemap.xml' || chr(10) ||
+        |        'Sitemap: ftp://no.example/x'
+        |      ELSE 'User-agent: *' || chr(10) || 'Disallow:' END AS txt
+        |  FROM (SELECT DISTINCT doc_id % 40 AS r FROM documents)),
+        |ln AS (SELECT host, trim(unnest(string_split(txt, chr(10)))) AS line
+        |  FROM robots),
+        |sm AS (SELECT host,
+        |  trim(regexp_replace(line, '(?i)^sitemap[ \t]*:[ \t]*', '')) AS sitemap_url
+        |  FROM ln WHERE regexp_matches(lower(line), '^sitemap[ \t]*:'))
+        |SELECT DISTINCT host, sitemap_url FROM sm
+        |WHERE regexp_matches(sitemap_url, '(?i)^https?://')""".stripMargin,
     "q_robots_gate" ->
       """WITH robots AS (
         |  SELECT 'h' || CAST(r AS VARCHAR) || '.example' AS host,
@@ -3316,13 +3367,13 @@ object SparkEntry {
         |  sum(CASE WHEN line = '' THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY host ORDER BY pos) AS grp,
         |  CASE WHEN regexp_matches(lower(line), '^user-agent[ \t]*:')
-        |    THEN trim(regexp_replace(line, '(?i)^user-agent[ \t]*:', ''))
+        |    THEN trim(regexp_replace(line, '(?i)^user-agent[ \t]*:[ \t]*', ''))
         |    END AS ua,
         |  CASE WHEN regexp_matches(lower(line), '^disallow[ \t]*:')
-        |    THEN trim(regexp_replace(line, '(?i)^disallow[ \t]*:', ''))
+        |    THEN trim(regexp_replace(line, '(?i)^disallow[ \t]*:[ \t]*', ''))
         |    END AS dis,
         |  CASE WHEN regexp_matches(lower(line), '^allow[ \t]*:')
-        |    THEN trim(regexp_replace(line, '(?i)^allow[ \t]*:', ''))
+        |    THEN trim(regexp_replace(line, '(?i)^allow[ \t]*:[ \t]*', ''))
         |    END AS al
         |  FROM ln),
         |star AS (SELECT DISTINCT host, grp FROM tag WHERE ua = '*'),

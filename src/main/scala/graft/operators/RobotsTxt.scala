@@ -56,9 +56,11 @@ object RobotsTxt {
       .select(col("host"), col("pos"), trim(col("line")).as("line"))
     val wByPos = Window.partitionBy(col("host")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // value separator consumes post-colon blanks too (RFC 9309 allows
+    // tabs; `trim` alone is space-only in both engines)
     def field(name: String): Column =
       when(lower(col("line")).rlike(s"^$name[ \\t]*:"),
-        trim(regexp_replace(col("line"), s"(?i)^$name[ \\t]*:", "")))
+        trim(regexp_replace(col("line"), s"(?i)^$name[ \\t]*:[ \\t]*", "")))
         .otherwise(lit(null))
     lines
       .withColumn("grp",
@@ -67,6 +69,7 @@ object RobotsTxt {
       .withColumn("dis", field("disallow"))
       .withColumn("al", field("allow"))
       .withColumn("cd", field("crawl-delay"))
+      .withColumn("sm", field("sitemap"))
   }
 
   /** The (host, grp) ids of groups naming the `*` agent. */
@@ -109,6 +112,26 @@ object RobotsTxt {
       .groupBy(col("host"))
       .agg(max(col("cd").cast("long")).as("crawl_delay_s"))
   }
+
+  /** (host, sitemap_url) for every `Sitemap:` record in a robots file.
+    * Per the sitemaps.org protocol (and RFC 9309 §2.2.4's "other records"
+    * carve-out), Sitemap is a STANDALONE record: valid anywhere in the
+    * file and independent of user-agent groups — a line inside a
+    * bot-only group still counts, so unlike [[rules]]/[[crawlDelays]]
+    * there is no star-group join. Values must be absolute http(s) URLs
+    * (the protocol's requirement; relative or other-scheme junk drops);
+    * kept verbatim — case included — since sitemap paths are
+    * case-sensitive. Duplicates collapse per (host, url). This is the
+    * crawl scheduler's seed-discovery input, the third leg of the
+    * politeness family (gate / delay / discovery). */
+  def sitemaps(
+      robots: DataFrame,
+      hostCol: String = "host",
+      txtCol: String = "robots_txt"): DataFrame =
+    taggedLines(robots, hostCol, txtCol)
+      .where(col("sm").rlike("(?i)^https?://"))
+      .select(col("host"), col("sm").as("sitemap_url"))
+      .distinct()
 
   /** Pages (urlCol) + rules → pages with a `blocked` flag: true iff the
     * most specific matching rule for the url's path on the url's host is

@@ -97,4 +97,25 @@ class RobotsTxtSpec extends AnyFunSuite {
       assert(got == 8L, s"parts=$parts")
     }
   }
+
+  test("sitemaps: standalone records — group-independent, absolute-only, dedup, case kept") {
+    import spark.implicits._
+    val r = Seq(
+      // one at top + one INSIDE a bot-only group: both count
+      ("s1", "Sitemap: https://s1.example/a.xml\nUser-agent: bot\n" +
+        "Disallow: /\nSitemap: https://cdn.example/shared.xml"),
+      // duplicates collapse; lowercase key + uppercase scheme kept verbatim
+      ("s2", "sitemap: https://m.example/a.xml\nSitemap: https://m.example/a.xml\n" +
+        "Sitemap:\tHTTPS://m.example/B.xml"),
+      // relative and non-http junk drops; host vanishes entirely
+      ("s3", "Sitemap: /sitemap.xml\nSitemap: ftp://no.example/x"),
+      ("s4", "User-agent: *\nDisallow:")).toDF("host", "robots_txt")
+    val got = RobotsTxt.sitemaps(r).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got == Set(
+      ("s1", "https://s1.example/a.xml"),
+      ("s1", "https://cdn.example/shared.xml"),
+      ("s2", "https://m.example/a.xml"),
+      ("s2", "HTTPS://m.example/B.xml")))
+  }
 }
