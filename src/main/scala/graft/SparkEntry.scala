@@ -2009,6 +2009,13 @@ object SparkEntry {
       RobotsTxt.crawlDelays(robots)
     }),
 
+    // ---- keep-rate threshold calibration (corpus-derived gate cut) ----
+    // "keep the longest 30%" over the planted corpus: threshold from the
+    // exact permille machinery, actual keep rate reported next to the
+    // target (ties keep — a deterministic rule cannot split them)
+    "q_quality_calibrate" -> ((s, dir) =>
+      Quantiles.calibrateKeep(docsPlanted(s, dir), "n_chars", 300)),
+
     // ---- robots Sitemap discovery (standalone records, RFC 9309
     // §2.2.4) ----
     // r%4==0: one sitemap at top + one INSIDE a bot-only group (both
@@ -3320,6 +3327,25 @@ object SparkEntry {
         |FROM tag t JOIN star s ON t.host = s.host AND t.grp = s.grp
         |WHERE t.cd IS NOT NULL AND regexp_matches(t.cd, '^[0-9]+$')
         |GROUP BY t.host""".stripMargin,
+    // mirrors q_quality_calibrate: same histogram machinery as
+    // q_quantiles with the keep-rank formula n - ceil(300n/1000) + 1,
+    // then the verbatim keep rule
+    "q_quality_calibrate" ->
+      s"""$plantedCte,
+        |hist AS (SELECT n_chars AS v, COUNT(*) AS c FROM docs
+        |  WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+        |tot AS (SELECT SUM(c) AS n FROM hist),
+        |lr AS (SELECT n - ((300 * n + 999) // 1000) + 1 AS rank, n
+        |  FROM tot),
+        |th AS (SELECT MIN(v) AS threshold, n FROM lr
+        |  JOIN cum ON cum.cum >= lr.rank GROUP BY n),
+        |k AS (SELECT COUNT(*) AS kept FROM docs, th
+        |  WHERE docs.n_chars >= th.threshold)
+        |SELECT 300 AS target_permille, threshold, CAST(n AS BIGINT) AS n,
+        |  kept, CAST(kept * 1000 // n AS BIGINT) AS kept_permille
+        |FROM th, k""".stripMargin,
     // mirrors q_sitemaps: standalone-record extraction — group machinery
     // deliberately absent (a bot-group sitemap still counts)
     "q_sitemaps" ->

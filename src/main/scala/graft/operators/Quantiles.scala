@@ -68,4 +68,56 @@ object Quantiles {
       .select(col("p_mille").cast("int").as("p_mille"), col("value"),
         col("rank"), col("n"))
   }
+
+  /** Threshold calibration to a target keep-rate: the corpus-derived cut
+    * every "keep the best X%" gate needs. keepRank = ⌈kp·n/1000⌉ docs
+    * should keep; the threshold is the smallest value whose cumulative
+    * count reaches `n − keepRank + 1` for `higherIsBetter` scores (keep
+    * rule `score >= threshold`), or `keepRank` for lower-is-better
+    * (perplexity, spam odds; rule `score <= threshold`) — so a tie-free
+    * score keeps EXACTLY keepRank docs.
+    *
+    * One row out: `(target_permille, threshold, n, kept,
+    * kept_permille)`. `kept` counts the rule applied verbatim — with a
+    * tie-heavy score the actual keep rate overshoots the target (every
+    * tied doc at the threshold keeps; a deterministic rule cannot split a
+    * tie), which is why the ACTUAL rate ships next to the target instead
+    * of being assumed. All rank arithmetic is integer; `kept_permille`
+    * is integer floor-division — engine-exact.
+    *
+    * Same shape as [[exactQuantiles]] (histogram groupBy + bounded
+    * histogram window) plus the 1-row threshold broadcast back over the
+    * score column — no extra shuffle of the corpus. */
+  def calibrateKeep(
+      df: DataFrame,
+      scoreCol: String,
+      keepPermille: Int,
+      higherIsBetter: Boolean = true): DataFrame = {
+    require(keepPermille > 0 && keepPermille < 1000,
+      s"keepPermille must be in (0, 1000): $keepPermille")
+    val hist = df.select(col(scoreCol).as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = cum.agg(coalesce(max(col("cum")), lit(0L)).as("n"))
+      .withColumn("keep_rank", expr(s"($keepPermille * n + 999) div 1000"))
+      .withColumn("rank",
+        if (higherIsBetter) expr("n - keep_rank + 1") else col("keep_rank"))
+    val th = cum.crossJoin(broadcast(tot))
+      .where(col("cum") >= col("rank"))
+      .groupBy(col("n")).agg(min(col("v")).as("threshold"))
+    val cond =
+      if (higherIsBetter) col("v") >= col("threshold")
+      else col("v") <= col("threshold")
+    df.select(col(scoreCol).as("v")).where(col("v").isNotNull)
+      .crossJoin(broadcast(th))
+      .groupBy(col("threshold"), col("n"))
+      .agg(sum(when(cond, 1L).otherwise(0L)).as("kept"))
+      .select(
+        lit(keepPermille).as("target_permille"), col("threshold"),
+        col("n"), col("kept"),
+        expr("kept * 1000 div n").as("kept_permille"))
+  }
 }

@@ -55,6 +55,28 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got == Map(500 -> 2L, 1000 -> 3L))
   }
 
+  test("calibrateKeep: exact cut, tie overshoot, both directions, invariant to parts") {
+    import spark.implicits._
+    // 100 values 1..100, no ties: keep the top 30% → threshold 71, kept 30
+    val clean = (1 to 100).toDF("s")
+    val r = Quantiles.calibrateKeep(clean.repartition(7), "s", 300).collect().head
+    assert(r.getAs[Int]("target_permille") == 300)
+    assert(r.getAs[Int]("threshold") == 71)
+    assert(r.getAs[Long]("kept") == 30L)
+    assert(r.getAs[Long]("kept_permille") == 300L)
+    // lower-is-better (perplexity direction): keep the smallest 30%
+    val lo = Quantiles.calibrateKeep(clean, "s", 300, higherIsBetter = false)
+      .collect().head
+    assert(lo.getAs[Int]("threshold") == 30 && lo.getAs[Long]("kept") == 30L)
+    // tie-heavy: 90 copies of 1 + 10 copies of 2, keep "top 5%" → the
+    // threshold lands on 2 and ALL ten ties keep (overshoot reported)
+    val ties = (Seq.fill(90)(1) ++ Seq.fill(10)(2)).toDF("s")
+    val t = Quantiles.calibrateKeep(ties.repartition(5), "s", 50).collect().head
+    assert(t.getAs[Int]("threshold") == 2)
+    assert(t.getAs[Long]("kept") == 10L)
+    assert(t.getAs[Long]("kept_permille") == 100L)
+  }
+
   test("invalid levels are rejected") {
     import spark.implicits._
     val df = Seq(1L).toDF("x")
