@@ -44,7 +44,9 @@ object Bench {
     "q_heavy_hitters", "q_pagerank", "q_ngram_lm", "q_quantiles",
     // late round-5: batch-vs-corpus incremental near-dup and cross-host
     // mirror detection
-    "q_incremental_near", "q_mirror_hosts")
+    "q_incremental_near", "q_mirror_hosts",
+    // r5 third wave: the one-pass corpus sketch (scan-bound by design)
+    "q_kmv_distinct")
 
   private def session(cpus: Int): SparkSession = {
     val s = GraftSession.build(cpus, "graft-bench")
