@@ -2082,6 +2082,18 @@ object SparkEntry {
         snaps.where(col("ts_s") === 3))
     }),
 
+    // triage view: per-host drift between snapshots 1 and 3 — which
+    // hosts changed most (keys on one side only would drop; here every
+    // host survives snap 3's even-doc retention)
+    "q_host_drift" -> ((s, dir) => {
+      val snaps = snapshotPages(docs(s, dir))
+        .withColumn("host", Splits.host(col("url")))
+      Drift.reportBy(
+        snaps.where(col("ts_s") === 1),
+        snaps.where(col("ts_s") === 3),
+        "host")
+    }),
+
     // CDX capture index over the three-snapshot history, with realistic
     // fetch-alias mess: snapshot-2 captures fetched via the www host
     // alias, snapshot-3 captures carrying a fragment — surt+canon fold
@@ -2927,6 +2939,47 @@ object SparkEntry {
         |  SUM(mp) AS kl_ab_micro, SUM(mq) AS kl_ba_micro,
         |  SUM(mp) + SUM(mq) AS js2_micro
         |FROM m GROUP BY ta, tb""".stripMargin,
+    // mirrors q_host_drift: the corpus-drift arithmetic with the host key
+    // carried through counts, totals (both-sides HAVING), and sums
+    "q_host_drift" ->
+      s"""$snapshotCte,
+        |ab AS (
+        |  SELECT regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS key,
+        |    substr(md5(tok), 1, 2) AS bucket, 'a' AS side FROM (
+        |    SELECT url, unnest(string_split(text, ' ')) AS tok FROM caps
+        |    WHERE ts_s = 1) WHERE tok <> ''
+        |  UNION ALL
+        |  SELECT regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS key,
+        |    substr(md5(tok), 1, 2) AS bucket, 'b' AS side FROM (
+        |    SELECT url, unnest(string_split(text, ' ')) AS tok FROM caps
+        |    WHERE ts_s = 3) WHERE tok <> ''),
+        |c AS (SELECT key, bucket,
+        |  SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS a,
+        |  SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS b
+        |  FROM ab GROUP BY 1, 2),
+        |t AS (SELECT key, SUM(a) AS ta, SUM(b) AS tb FROM c GROUP BY 1
+        |  HAVING SUM(a) > 0 AND SUM(b) > 0),
+        |m AS (SELECT c.key, ta, tb,
+        |  CASE WHEN a > 0 THEN CAST(round(
+        |    CAST(a AS DOUBLE) / CAST(ta AS DOUBLE) *
+        |    ln(2.0 * CAST(a AS DOUBLE) * CAST(tb AS DOUBLE) /
+        |      (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE) +
+        |       CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1000000.0)
+        |    AS BIGINT) ELSE 0 END AS mp,
+        |  CASE WHEN b > 0 THEN CAST(round(
+        |    CAST(b AS DOUBLE) / CAST(tb AS DOUBLE) *
+        |    ln(2.0 * CAST(b AS DOUBLE) * CAST(ta AS DOUBLE) /
+        |      (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE) +
+        |       CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 1000000.0)
+        |    AS BIGINT) ELSE 0 END AS mq
+        |  FROM c JOIN t ON c.key = t.key)
+        |SELECT key AS host, ta AS n_tokens_a, tb AS n_tokens_b,
+        |  count(*) AS buckets_active,
+        |  SUM(mp) AS kl_ab_micro, SUM(mq) AS kl_ba_micro,
+        |  SUM(mp) + SUM(mq) AS js2_micro
+        |FROM m GROUP BY key, ta, tb""".stripMargin,
     // mirrors q_cdx_index: the same messy-capture build, then the canon
     // chain (fragment, utm, lowercase head) and the SURT transform
     // (reversed host labels, www fold) replayed step by step

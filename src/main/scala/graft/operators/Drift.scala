@@ -42,11 +42,14 @@ object Drift {
   /** Fixed bucket space: first 2 hex chars of md5(token) → 256 buckets. */
   val Buckets = 256
 
-  /** (bucket, side) stream for one corpus slice. */
-  private def sideBuckets(df: DataFrame, textCol: String, side: String) =
-    df.select(explode(split(col(textCol), " ")).as("tok"))
+  /** (key, bucket, side) stream for one corpus slice; `key` is a constant
+    * for the corpus-grain report. */
+  private def sideBuckets(
+      df: DataFrame, key: Column, textCol: String, side: String) =
+    df.select(key.as("key"), explode(split(col(textCol), " ")).as("tok"))
       .where(col("tok") =!= "")
-      .select(substring(md5(col("tok")), 1, 2).as("bucket"), lit(side).as("side"))
+      .select(col("key"), substring(md5(col("tok")), 1, 2).as("bucket"),
+        lit(side).as("side"))
 
   /** One-row drift report between corpora A and B: `n_tokens_a,
     * n_tokens_b, buckets_active, kl_ab_micro, kl_ba_micro, js2_micro`
@@ -57,14 +60,34 @@ object Drift {
     * never materializes p_i, q_i and stays in int64-exact double products
     * at any corpus size (counts ≤ 2^53 stay exact; beyond that the
     * products round identically in both engines). */
-  def report(dfA: DataFrame, dfB: DataFrame, textCol: String = "text"): DataFrame = {
-    val cnts = sideBuckets(dfA, textCol, "a")
-      .unionByName(sideBuckets(dfB, textCol, "b"))
-      .groupBy(col("bucket"))
+  def report(dfA: DataFrame, dfB: DataFrame, textCol: String = "text"): DataFrame =
+    keyedDrift(dfA, dfB, lit(""), textCol).drop("key")
+
+  /** Per-key drift — `reportBy(snapA, snapB, "host")` answers "WHICH hosts
+    * changed most between crawls", the triage view over [[report]]'s
+    * single alarm bit. Same single bounded-key pass with the key joined
+    * in (the groupBy key becomes (key, bucket): ≤ 256 rows per key
+    * through the exchange). Keys present in only one corpus are DROPPED —
+    * drift is defined between two non-empty distributions; appeared/
+    * vanished hosts are [[SnapshotDelta]]'s report, not a divergence. */
+  def reportBy(
+      dfA: DataFrame, dfB: DataFrame,
+      keyCol: String, textCol: String = "text"): DataFrame =
+    keyedDrift(dfA, dfB, col(keyCol), textCol)
+      .withColumnRenamed("key", keyCol)
+
+  private def keyedDrift(
+      dfA: DataFrame, dfB: DataFrame,
+      key: Column, textCol: String): DataFrame = {
+    val cnts = sideBuckets(dfA, key, textCol, "a")
+      .unionByName(sideBuckets(dfB, key, textCol, "b"))
+      .groupBy(col("key"), col("bucket"))
       .agg(
         sum(when(col("side") === "a", 1L).otherwise(0L)).as("a"),
         sum(when(col("side") === "b", 1L).otherwise(0L)).as("b"))
-    val tot = cnts.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    val tot = cnts.groupBy(col("key"))
+      .agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+      .where(col("ta") > 0 && col("tb") > 0)
     val da = col("a").cast("double"); val db = col("b").cast("double")
     val dta = col("ta").cast("double"); val dtb = col("tb").cast("double")
     val den = da * dtb + db * dta
@@ -74,14 +97,15 @@ object Drift {
     val mq = when(col("b") > 0,
       round(db / dtb * log(lit(2.0) * db * dta / den) * lit(1000000.0))
         .cast("long")).otherwise(0L)
-    cnts.crossJoin(tot)
-      .select(col("ta"), col("tb"), mp.as("mp"), mq.as("mq"))
-      .groupBy(col("ta"), col("tb"))
+    cnts.join(tot, "key")
+      .select(col("key"), col("ta"), col("tb"), mp.as("mp"), mq.as("mq"))
+      .groupBy(col("key"), col("ta"), col("tb"))
       .agg(
         count(lit(1)).as("buckets_active"),
         sum(col("mp")).as("kl_ab_micro"),
         sum(col("mq")).as("kl_ba_micro"))
       .select(
+        col("key"),
         col("ta").as("n_tokens_a"), col("tb").as("n_tokens_b"),
         col("buckets_active"),
         col("kl_ab_micro"), col("kl_ba_micro"),

@@ -72,6 +72,19 @@ object Kmv {
           .as("dup_rate_est"))
   }
 
+  /** Merge two KMV sketches into the sketch of the UNION corpus: the k
+    * smallest of S(A) ∪ S(B). Exact identity, not an approximation —
+    * every member of the union's true sketch is ≤ its side's k-th hash,
+    * so it is present in that side's sketch and survives the merge.
+    * This is what makes the sketch EPOCH-INCREMENTAL: store one ≤ k-row
+    * sketch per ingested batch (or one running sketch), merge on read,
+    * and corpus sizing never rescans history — the same
+    * persist-the-artifact discipline as the sha digest table, at 64 KB
+    * instead of 10¹² rows. Proven against a from-scratch union sketch in
+    * KmvSpec. */
+  def mergeSketches(sa: Column, sb: Column, k: Int): Column =
+    slice(array_sort(array_union(sa, sb)), 1, k)
+
   /** One-row corpus-overlap report between two keyed corpora: `k,
     * union_sketch_size, both_in_union, jaccard_est, est_union`. The union
     * sketch is the k smallest of S(A) ∪ S(B) (a valid KMV sketch of A ∪ B
@@ -84,7 +97,7 @@ object Kmv {
     val sa = dfA.agg(sketchAgg(col(keyCol), k).as("sa"))
     val sb = dfB.agg(sketchAgg(col(keyCol), k).as("sb"))
     sa.crossJoin(sb)
-      .withColumn("su", slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
+      .withColumn("su", mergeSketches(col("sa"), col("sb"), k))
       .select(
         lit(k).as("k"),
         size(col("su")).cast("long").as("union_sketch_size"),

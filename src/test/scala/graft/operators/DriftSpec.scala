@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class DriftSpec extends AnyFunSuite {
@@ -52,6 +53,27 @@ class DriftSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("js2_micro") == js2)
     assert(r2.getAs[Long]("kl_ab_micro") == r1.getAs[Long]("kl_ba_micro"))
     assert(r2.getAs[Long]("kl_ba_micro") == r1.getAs[Long]("kl_ab_micro"))
+  }
+
+  test("reportBy: per-key grain, one-sided keys drop, matches the single-key report") {
+    import spark.implicits._
+    val a = Seq(("h1", "alpha beta gamma"), ("h1", "alpha beta"),
+      ("h2", "delta epsilon"), ("h3", "only in a")).toDF("host", "text")
+    val b = Seq(("h1", "alpha beta gamma"), ("h1", "alpha beta"),
+      ("h2", "delta zeta eta theta"), ("h4", "only in b")).toDF("host", "text")
+    val got = Drift.reportBy(a.repartition(3), b.repartition(2), "host")
+      .collect().map(r => r.getAs[String]("host") -> r).toMap
+    // h3/h4 are one-sided → dropped; h1 unchanged → zero; h2 drifted
+    assert(got.keySet == Set("h1", "h2"))
+    assert(got("h1").getAs[Long]("js2_micro") == 0L)
+    assert(got("h2").getAs[Long]("js2_micro") > 0L)
+    // per-key result equals the single-corpus report restricted to that key
+    val h2solo = Drift.report(
+      a.where(col("host") === "h2"), b.where(col("host") === "h2"))
+      .collect().head
+    assert(got("h2").getAs[Long]("js2_micro") ==
+      h2solo.getAs[Long]("js2_micro"))
+    assert(got("h2").getAs[Long]("n_tokens_b") == 4L)
   }
 
   test("partition invariance: integer micro-nat sums are order-free") {

@@ -70,6 +70,21 @@ class KmvSpec extends AnyFunSuite {
     assert(math.abs(u - 6000L) < 6000 * 0.25, s"est_union=$u")
   }
 
+  test("mergeSketches equals the from-scratch union sketch (epoch-incremental identity)") {
+    import spark.implicits._
+    val a = (0 until 3000).map(i => s"epoch1-$i")
+    val b = (1500 until 4500).map(i => if (i < 3000) s"epoch1-$i" else s"epoch2-$i")
+    val k = 512
+    val merged = a.toDF("key").agg(Kmv.sketchAgg(col("key"), k).as("sa"))
+      .crossJoin(b.toDF("key").agg(Kmv.sketchAgg(col("key"), k).as("sb")))
+      .select(Kmv.mergeSketches(col("sa"), col("sb"), k).as("su"))
+      .collect().head.getSeq[String](0)
+    val scratch = (a ++ b).toDF("key")
+      .agg(Kmv.sketchAgg(col("key"), k).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(merged == scratch)
+  }
+
   test("kmv_sketch is SQL-registered and matches the Column API") {
     import spark.implicits._
     keyed.take(800).toDF("key").createOrReplaceTempView("kmv_in")
