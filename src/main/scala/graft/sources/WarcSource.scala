@@ -49,7 +49,12 @@ import graft.functions.gf
   */
 object WarcSource {
 
-  final case class WarcPage(url: String, warc_ts: Timestamp, html: Array[Byte])
+  /** `wtype` ∈ {response, conversion}: response records carry captured
+    * html (payload = bytes after the HTTP header block); conversion
+    * records (WET files — CC's extracted-text distribution) carry the
+    * plain text itself. */
+  final case class WarcPage(
+      url: String, warc_ts: Timestamp, html: Array[Byte], wtype: String)
 
   private val CRLF2 = Array[Byte]('\r', '\n', '\r', '\n')
 
@@ -151,19 +156,25 @@ object WarcSource {
             case Some(n) =>
               val body = in.readNBytes(n.toInt)
               if (body.length < n.toInt) { stop(); return } // truncated record
-              if (fields.get("warc-type").contains("response")) {
+              val wtype = fields.get("warc-type")
+              if (wtype.exists(t => t == "response" || t == "conversion")) {
                 val uri = fields.get("warc-target-uri")
                 val ts = fields.get("warc-date").flatMap(d =>
                   scala.util.Try(Timestamp.from(java.time.Instant.parse(d))).toOption)
-                // payload = bytes after the HTTP header block (if present)
+                // response payload = bytes after the HTTP header block (if
+                // present); conversion bodies are the text verbatim — the
+                // HTTP strip must NOT run on them (a text that starts with
+                // 'H' and contains a CRLF CRLF would be mangled)
                 val httpEnd = byteIndexOf(body, CRLF2, 0)
                 val payload =
-                  if (httpEnd >= 0 && body.nonEmpty && body(0) == 'H')
+                  if (wtype.contains("response") && httpEnd >= 0 &&
+                      body.nonEmpty && body(0) == 'H')
                     java.util.Arrays.copyOfRange(body, httpEnd + 4, body.length)
                   else body
                 (uri, ts) match {
-                  case (Some(u), Some(t)) => nextPage = WarcPage(u, t, payload)
-                  case _ => // response without uri/date: skip
+                  case (Some(u), Some(t)) =>
+                    nextPage = WarcPage(u, t, payload, wtype.get)
+                  case _ => // record without uri/date: skip
                 }
               }
               // consume the two record-terminating CRLFs when present
@@ -233,14 +244,68 @@ object WarcSource {
       .toDF()
   }
 
-  /** input_hint-shaped pages: text re-derived from the payload by the
-    * canonical extractor (byte-identity invariant by construction), lang
-    * unknown at ingest (null — language id is a downstream operator). */
+  /** input_hint-shaped pages: for response records text is re-derived
+    * from the payload by the canonical extractor (byte-identity invariant
+    * by construction); for conversion records (WET) the payload IS the
+    * text. lang unknown at ingest (null — language id is a downstream
+    * operator). */
   def pages(spark: SparkSession, path: String): DataFrame =
     records(spark, path).select(
       col("url"),
       col("warc_ts"),
       col("html"),
-      gf.extract_text(col("html")).as("text"),
+      when(col("wtype") === "conversion", decode(col("html"), "UTF-8"))
+        .otherwise(gf.extract_text(col("html"))).as("text"),
       lit(null).cast("string").as("lang"))
+
+  /** WET-style conversion sink — the emit half of the CC loop ([[pages]]
+    * is the ingest half): one `.warc.gz` file per non-empty partition,
+    * one gzip MEMBER per conversion record (Common Crawl's own WET
+    * framing — per-member gzip is what keeps byte offsets indexable into
+    * a compressed file and record skips cheap). Readable back by
+    * [[pages]] (the conversion branch) and by standard WARC tooling;
+    * null url/ts/text rows are skipped (a WET record cannot frame them).
+    *
+    * Scale shape: a pure per-partition streaming write — no shuffle, no
+    * driver involvement, one output file per task, records never
+    * co-buffered (one member in memory at a time). */
+  def writeWet(pages: DataFrame, outDir: String): Unit = {
+    val spark = pages.sparkSession
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    pages.select(col("url"), col("warc_ts"), col("text"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path =
+            new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.warc.gz")
+          val fs = path.getFileSystem(confBc.value.value)
+          val out = fs.create(path, true)
+          try it.foreach { r =>
+            val url = r.getString(0)
+            val ts = r.getTimestamp(1)
+            val text = r.getString(2)
+            if (url != null && ts != null && text != null) {
+              val body = text.getBytes(StandardCharsets.UTF_8)
+              val hdr = ("WARC/1.0\r\n" +
+                "WARC-Type: conversion\r\n" +
+                s"WARC-Target-URI: $url\r\n" +
+                "WARC-Date: " +
+                java.time.format.DateTimeFormatter.ISO_INSTANT
+                  .format(ts.toInstant) + "\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n")
+                .getBytes(StandardCharsets.UTF_8)
+              val member =
+                new java.io.ByteArrayOutputStream(hdr.length + body.length + 64)
+              val gz = new java.util.zip.GZIPOutputStream(member)
+              gz.write(hdr)
+              gz.write(body)
+              gz.write(Array[Byte]('\r', '\n', '\r', '\n'))
+              gz.close()
+              out.write(member.toByteArray)
+            }
+          } finally out.close()
+        }
+      }
+  }
 }
