@@ -2009,6 +2009,14 @@ object SparkEntry {
       RobotsTxt.crawlDelays(robots)
     }),
 
+    // ---- training-sequence chunking (sliding windows, tail rule) ----
+    // 40-token windows, stride 30: docs under 40 tokens stay whole, the
+    // tail extends the last window's overlap instead of spawning a
+    // subset window
+    "q_doc_chunks" -> ((s, dir) =>
+      Chunking.chunk(docsPlanted(s, dir), maxTokens = 40, stride = 30,
+        urlCol = "doc_id")),
+
     // ---- keep-rate threshold calibration (corpus-derived gate cut) ----
     // "keep the longest 30%" over the planted corpus: threshold from the
     // exact permille machinery, actual keep rate reported next to the
@@ -3380,6 +3388,21 @@ object SparkEntry {
         |FROM tag t JOIN star s ON t.host = s.host AND t.grp = s.grp
         |WHERE t.cd IS NOT NULL AND regexp_matches(t.cd, '^[0-9]+$')
         |GROUP BY t.host""".stripMargin,
+    // mirrors q_doc_chunks: the window rule replayed with range +
+    // list_filter (starts are a PREFIX of the stride multiples, so
+    // chunk_id = o // stride equals the position index)
+    "q_doc_chunks" ->
+      s"""$plantedCte,
+        |tk AS (SELECT doc_id AS url, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM docs WHERE text IS NOT NULL AND length(text) > 0),
+        |st AS (SELECT url, n, toks,
+        |  unnest(list_filter(range(0, n, 30),
+        |    o -> (o = 0) OR (o - 30 + 40 < n))) AS o FROM tk)
+        |SELECT url, o // 30 AS chunk_id,
+        |  least(40, n - o) AS n_chunk_tokens,
+        |  array_to_string(toks[o + 1 : o + 40], ' ') AS chunk_text
+        |FROM st""".stripMargin,
     // mirrors q_quality_calibrate: same histogram machinery as
     // q_quantiles with the keep-rank formula n - ceil(300n/1000) + 1,
     // then the verbatim keep rule
