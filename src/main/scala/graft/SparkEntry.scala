@@ -2090,6 +2090,15 @@ object SparkEntry {
         snaps.where(col("ts_s") === 3))
     }),
 
+    // per-host distinct-content estimate over the full capture history
+    // (k=32: bigger hosts take the estimator branch, small ones the
+    // exact under-full branch — both driver-checked in one query)
+    "q_host_distinct" -> ((s, dir) => {
+      val caps = snapshotPages(docs(s, dir))
+        .withColumn("host", Splits.host(col("url")))
+      Kmv.distinctReportBy(caps, "host", "text", 32)
+    }),
+
     // triage view: per-host drift between snapshots 1 and 3 — which
     // hosts changed most (keys on one side only would drop; here every
     // host survives snap 3's even-doc retention)
@@ -2947,6 +2956,27 @@ object SparkEntry {
         |  SUM(mp) AS kl_ab_micro, SUM(mq) AS kl_ba_micro,
         |  SUM(mp) + SUM(mq) AS js2_micro
         |FROM m GROUP BY ta, tb""".stripMargin,
+    // mirrors q_host_distinct: per-host DISTINCT md5 ranked, kth of the
+    // 32 smallest, the same IEEE estimator steps (31·2^60 exact product)
+    "q_host_distinct" ->
+      s"""$snapshotCte,
+        |hh AS (SELECT regexp_extract(url,
+        |    '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+        |  md5(text) AS h FROM caps WHERE text IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT host, h,
+        |  row_number() OVER (PARTITION BY host ORDER BY h) AS rn FROM hh),
+        |a AS (SELECT host, count(*) AS sketch_size, max(h) AS kth
+        |  FROM r WHERE rn <= 32 GROUP BY host),
+        |t AS (SELECT regexp_extract(url,
+        |    '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+        |  count(text) AS captures FROM caps GROUP BY 1)
+        |SELECT t.host, captures, sketch_size,
+        |  CASE WHEN sketch_size < 32 THEN sketch_size
+        |       ELSE CAST(floor(31.0 * 1152921504606846976.0 /
+        |         CAST(CAST('0x' || substr(kth, 1, 15) AS BIGINT) AS DOUBLE))
+        |         AS BIGINT) END AS est_distinct
+        |FROM a JOIN t USING (host)""".stripMargin,
     // mirrors q_host_drift: the corpus-drift arithmetic with the host key
     // carried through counts, totals (both-sides HAVING), and sums
     "q_host_drift" ->

@@ -72,6 +72,25 @@ object Kmv {
           .as("dup_rate_est"))
   }
 
+  /** Per-group sizing report: one row per group with `captures,
+    * sketch_size, est_distinct` — the grouped form of [[distinctReport]]
+    * ("how much duplicate mass does each HOST carry" feeds the crawl
+    * budget the way the corpus-grain report feeds the epoch plan). The
+    * aggregate stays map-side partial per group: a group's exchange
+    * payload is ≤ k hashes per map task regardless of its capture count,
+    * so a viral host costs the same network as a quiet one. */
+  def distinctReportBy(
+      df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        sketchAgg(col(keyCol), k).as("sketch"),
+        count(col(keyCol)).as("captures"))
+      .select(
+        col(groupCol),
+        col("captures"),
+        size(col("sketch")).cast("long").as("sketch_size"),
+        estimateDistinct(col("sketch"), k).as("est_distinct"))
+
   /** Merge two KMV sketches into the sketch of the UNION corpus: the k
     * smallest of S(A) ∪ S(B). Exact identity, not an approximation —
     * every member of the union's true sketch is ≤ its side's k-th hash,

@@ -70,6 +70,26 @@ class KmvSpec extends AnyFunSuite {
     assert(math.abs(u - 6000L) < 6000 * 0.25, s"est_union=$u")
   }
 
+  test("distinctReportBy: per-group sketches, both branches, partition invariance") {
+    import spark.implicits._
+    // group g0: 10 distinct (under-full at k=64 → exact); g1: 5000
+    // distinct with duplicates (estimator branch)
+    val rows = (0 until 10).map(i => ("g0", s"a$i")) ++
+      (0 until 5000).flatMap(i => Seq(("g1", s"b$i"), ("g1", s"b$i")))
+    for (parts <- Seq(1, 16)) {
+      val r = Kmv.distinctReportBy(
+        rows.toDF("host", "key").repartition(parts), "host", "key", 64)
+        .collect().map(x => x.getString(0) -> x).toMap
+      assert(r("g0").getAs[Long]("est_distinct") == 10L, s"parts=$parts")
+      assert(r("g0").getAs[Long]("captures") == 10L)
+      val est = r("g1").getAs[Long]("est_distinct")
+      assert(r("g1").getAs[Long]("captures") == 10000L)
+      assert(r("g1").getAs[Long]("sketch_size") == 64L)
+      // se ≈ 1/sqrt(62) ≈ 12.7%; 4 sigma
+      assert(math.abs(est - 5000L) < 5000 * 0.5, s"est=$est")
+    }
+  }
+
   test("mergeSketches equals the from-scratch union sketch (epoch-incremental identity)") {
     import spark.implicits._
     val a = (0 until 3000).map(i => s"epoch1-$i")
