@@ -121,6 +121,43 @@ object SparkEntry {
       |       ELSE 'changed' END AS status
       |  FROM caps WINDOW w AS (PARTITION BY url ORDER BY ts_s))""".stripMargin
 
+  /** Shared frontier-discovery CTE chain (href extract → canon → counts →
+    * seen anti-join), ending in `frontier(url, n_refs)` — the oracle
+    * mirror of [[LinkGraph.frontier]] over the q_frontier fixture; reused
+    * by the q_fetch_plan composition. */
+  private val frontierCte: String =
+    """WITH pages AS MATERIALIZED (SELECT doc_id,
+      |  'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.example/p' ||
+      |    CAST(doc_id AS VARCHAR) AS url,
+      |  '<html><body><a href="http://h' ||
+      |    CAST((doc_id + 1) % 40 AS VARCHAR) || '.example/p' ||
+      |    CAST(doc_id + 1 AS VARCHAR) ||
+      |    '#sec">n</a><a href=''http://H' ||
+      |    CAST(((doc_id % 40) * 13 + 5) % 40 AS VARCHAR) ||
+      |    '.example/new' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '?utm_source=x''>u</a><a href="/rel">v</a></body></html>'
+      |    AS html
+      |  FROM documents),
+      |raw AS (SELECT
+      |  unnest(regexp_extract_all(html, 'href=["'']([^"'']+)["'']', 1))
+      |    AS u FROM pages),
+      |ab AS (SELECT u FROM raw
+      |  WHERE regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://')),
+      |c1 AS (SELECT regexp_replace(u, '#.*', '', 'g') AS nf FROM ab),
+      |c2 AS (SELECT regexp_replace(regexp_replace(nf,
+      |  '([?&])utm_[^&#]*(&utm_[^&#]*)*&', '\1', 'g'),
+      |  '[?&]utm_[^&#]*(&utm_[^&#]*)*$', '', 'g') AS nu FROM c1),
+      |c3 AS (SELECT
+      |  lower(regexp_extract(nu, '^[a-zA-Z]+://[^/]*', 0)) ||
+      |  substr(nu,
+      |    length(regexp_extract(nu, '^[a-zA-Z]+://[^/]*', 0)) + 1)
+      |    AS url FROM c2),
+      |d AS (SELECT url, count(*) AS n_refs FROM c3 GROUP BY 1),
+      |seen AS (SELECT DISTINCT url FROM pages),
+      |frontier AS (SELECT d.url, d.n_refs FROM d
+      |  LEFT JOIN seen ON d.url = seen.url
+      |  WHERE seen.url IS NULL)""".stripMargin
+
   /** documents-shaped frame → input_hint-shaped pages (url, warc_ts, html,
     * text, lang); texts here are plain words so the html wrap round-trips
     * the canonical extractor exactly. */
@@ -1652,6 +1689,42 @@ object SparkEntry {
           lit("?utm_source=x'>u</a><a href=\"/rel\">v</a></body></html>"))
           .as("html"))
       LinkGraph.frontier(pages, pages.select(col("url")))
+    }),
+
+    // ---- crawl-loop capstone: discover → robots-filter → budget ----
+    // frontier candidates gated by RFC 9309 rules (even-numbered hosts
+    // disallow /new), then the per-host fetch cap: top-2 by in-degree —
+    // the next-fetch list a polite crawler hands its fetchers
+    "q_fetch_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val r = col("doc_id") % 40
+      val next = col("doc_id") + 1
+      val pages = docs(s, dir).select(
+        concat(lit("http://h"), r.cast("string"), lit(".example/p"),
+          col("doc_id").cast("string")).as("url"),
+        concat(lit("<html><body><a href=\"http://h"),
+          (next % 40).cast("string"), lit(".example/p"),
+          next.cast("string"),
+          lit("#sec\">n</a><a href='http://H"),
+          ((r * 13 + 5) % 40).cast("string"), lit(".example/new"),
+          (col("doc_id") % 7).cast("string"),
+          lit("?utm_source=x'>u</a><a href=\"/rel\">v</a></body></html>"))
+          .as("html"))
+      val hosts = docs(s, dir).select((col("doc_id") % 40).as("r")).distinct()
+      val robots = hosts.where(col("r") % 2 === 0).select(
+        concat(lit("h"), col("r").cast("string"), lit(".example")).as("host"),
+        lit("User-agent: *\nDisallow: /new").as("robots_txt"))
+      val allowed = RobotsTxt.gate(
+        LinkGraph.frontier(pages, pages.select(col("url"))),
+        RobotsTxt.rules(robots))
+        .where(!col("blocked"))
+        .withColumn("host", Splits.host(col("url")))
+      val w = Window.partitionBy(col("host"))
+        .orderBy(col("n_refs").desc, col("url"))
+      allowed.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 2)
+        .select(col("host"), col("url"), col("n_refs"),
+          col("rank").cast("long").as("rank"))
     }),
 
     // ---- anchor-text corpus (per-target rollup from raw html) ----
@@ -4072,37 +4145,26 @@ object SparkEntry {
     // provably the identity here — no fragments, utm params, or
     // uppercase heads in the crawled urls)
     "q_frontier" ->
-      """WITH pages AS MATERIALIZED (SELECT doc_id,
-        |  'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.example/p' ||
-        |    CAST(doc_id AS VARCHAR) AS url,
-        |  '<html><body><a href="http://h' ||
-        |    CAST((doc_id + 1) % 40 AS VARCHAR) || '.example/p' ||
-        |    CAST(doc_id + 1 AS VARCHAR) ||
-        |    '#sec">n</a><a href=''http://H' ||
-        |    CAST(((doc_id % 40) * 13 + 5) % 40 AS VARCHAR) ||
-        |    '.example/new' || CAST(doc_id % 7 AS VARCHAR) ||
-        |    '?utm_source=x''>u</a><a href="/rel">v</a></body></html>'
-        |    AS html
-        |  FROM documents),
-        |raw AS (SELECT
-        |  unnest(regexp_extract_all(html, 'href=["'']([^"'']+)["'']', 1))
-        |    AS u FROM pages),
-        |ab AS (SELECT u FROM raw
-        |  WHERE regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://')),
-        |c1 AS (SELECT regexp_replace(u, '#.*', '', 'g') AS nf FROM ab),
-        |c2 AS (SELECT regexp_replace(regexp_replace(nf,
-        |  '([?&])utm_[^&#]*(&utm_[^&#]*)*&', '\1', 'g'),
-        |  '[?&]utm_[^&#]*(&utm_[^&#]*)*$', '', 'g') AS nu FROM c1),
-        |c3 AS (SELECT
-        |  lower(regexp_extract(nu, '^[a-zA-Z]+://[^/]*', 0)) ||
-        |  substr(nu,
-        |    length(regexp_extract(nu, '^[a-zA-Z]+://[^/]*', 0)) + 1)
-        |    AS url FROM c2),
-        |d AS (SELECT url, count(*) AS n_refs FROM c3 GROUP BY 1),
-        |seen AS (SELECT DISTINCT url FROM pages)
-        |SELECT d.url, d.n_refs FROM d
-        |LEFT JOIN seen ON d.url = seen.url
-        |WHERE seen.url IS NULL""".stripMargin,
+      s"""$frontierCte
+        |SELECT url, n_refs FROM frontier""".stripMargin,
+    // mirrors q_fetch_plan: frontier → robots verdict → per-host cap.
+    // The fixture's single robots shape (even-numbered hosts Disallow
+    // /new) reduces the full RFC parse — already oracled by
+    // q_robots_gate — to one predicate, replayed here verbatim
+    "q_fetch_plan" ->
+      s"""$frontierCte,
+        |g AS (SELECT url, n_refs,
+        |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+        |  regexp_replace(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '') AS path FROM frontier),
+        |al AS (SELECT host, url, n_refs FROM g
+        |  WHERE NOT (TRY_CAST(regexp_extract(host, '^h([0-9]+)', 1) AS INT)
+        |    % 2 = 0 AND path LIKE '/new%')),
+        |rk AS (SELECT host, url, n_refs,
+        |  row_number() OVER (PARTITION BY host
+        |    ORDER BY n_refs DESC, url) AS rank FROM al)
+        |SELECT host, url, n_refs, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 2""".stripMargin,
     // mirrors q_quantiles: same histogram + cumulative window + integer
     // permille rank rule — rank = (p·N + 999) // 1000, value = min v with
     // cum ≥ rank
