@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -14,11 +12,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * strings seen so far, kept in a sorted set so duplicate keys (which share
   * a hash) occupy one slot — the property that makes the k-minimum-values
   * estimator a DISTINCT-count sketch rather than a row sample.
+  *
+  * Ordered as [[UTF8String]] (binary / code-point order) — the SAME order
+  * `array_sort`, `element_at`-based estimation and the DuckDB oracle use.
+  * A `java.util.TreeSet[String]` would order by UTF-16 code units, which
+  * diverges from binary order when U+E000–U+FFFF chars meet
+  * supplementary-plane chars; the operators feed md5 hex so it would never
+  * show there, but the aggregate is SQL-registered and a user may sketch
+  * raw keys.
   */
 final class KmvBuf(val k: Int) {
-  val set = new java.util.TreeSet[String]()
+  val set = new java.util.TreeSet[UTF8String]()
 
-  def add(h: String): Unit =
+  def add(h: UTF8String): Unit =
     if (set.size < k) { set.add(h); () }
     else if (h.compareTo(set.last()) < 0 && set.add(h)) { set.pollLast(); () }
 }
@@ -57,9 +63,9 @@ case class KmvSketch(
 
   override def update(buf: KmvBuf, input: InternalRow): KmvBuf = {
     val v = child.eval(input)
-    // .toString copies out of Spark's reused row buffer — required before
+    // .clone() copies out of Spark's reused row buffer — required before
     // retaining the value across rows
-    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].clone())
     buf
   }
 
@@ -73,7 +79,7 @@ case class KmvSketch(
     val out = new Array[Any](buf.set.size)
     val it = buf.set.iterator()
     var i = 0
-    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
 
@@ -83,7 +89,7 @@ case class KmvSketch(
     val it = buf.set.iterator()
     var i = 0
     while (it.hasNext) {
-      val b = it.next().getBytes(StandardCharsets.UTF_8)
+      val b = it.next().getBytes
       items(i) = b; total += 4 + b.length; i += 1
     }
     val bb = java.nio.ByteBuffer.allocate(total)
@@ -99,7 +105,7 @@ case class KmvSketch(
     var i = 0
     while (i < n) {
       val b = new Array[Byte](bb.getInt()); bb.get(b)
-      buf.add(new String(b, StandardCharsets.UTF_8))
+      buf.add(UTF8String.fromBytes(b))
       i += 1
     }
     buf

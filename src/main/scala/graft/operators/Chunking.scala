@@ -31,7 +31,13 @@ import org.apache.spark.sql.functions._
 object Chunking {
 
   /** One row per chunk: `url, chunk_id, n_chunk_tokens, chunk_text`.
-    * Tokens are the whitespace tokens of `textCol`; empty docs yield no
+    * Tokens are SINGLE-SPACE tokens — `split(text, " ")`, the same
+    * convention every token operator in this engine uses (token counts,
+    * vocab, drift, the LM), so chunk token counts agree with the budget
+    * solver's. Text carrying raw newlines/tabs (e.g. straight off the
+    * WET reader) counts a whole line as one token — normalize whitespace
+    * first ([[WebNormalize.normalText]], or a `regexp_replace` to
+    * spaces) when feeding unnormalized text. Empty/null docs yield no
     * rows (nothing to train on). */
   def chunk(
       df: DataFrame,

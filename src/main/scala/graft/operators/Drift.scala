@@ -60,8 +60,14 @@ object Drift {
     * never materializes p_i, q_i and stays in int64-exact double products
     * at any corpus size (counts ≤ 2^53 stay exact; beyond that the
     * products round identically in both engines). */
+  /** Corpus-grain report. If EITHER side contributes zero tokens the row
+    * still arrives (that is precisely when the drift alarm matters — an
+    * ingest failure), with the token counts telling which side died and
+    * the divergence columns NULL (a divergence between a distribution and
+    * nothing is undefined, not zero). Only when BOTH corpora are empty is
+    * there nothing to report and the frame is empty. */
   def report(dfA: DataFrame, dfB: DataFrame, textCol: String = "text"): DataFrame =
-    keyedDrift(dfA, dfB, lit(""), textCol).drop("key")
+    keyedDrift(dfA, dfB, lit(""), textCol, dropOneSided = false).drop("key")
 
   /** Per-key drift — `reportBy(snapA, snapB, "host")` answers "WHICH hosts
     * changed most between crawls", the triage view over [[report]]'s
@@ -73,30 +79,36 @@ object Drift {
   def reportBy(
       dfA: DataFrame, dfB: DataFrame,
       keyCol: String, textCol: String = "text"): DataFrame =
-    keyedDrift(dfA, dfB, col(keyCol), textCol)
+    keyedDrift(dfA, dfB, col(keyCol), textCol, dropOneSided = true)
       .withColumnRenamed("key", keyCol)
 
   private def keyedDrift(
       dfA: DataFrame, dfB: DataFrame,
-      key: Column, textCol: String): DataFrame = {
+      key: Column, textCol: String, dropOneSided: Boolean): DataFrame = {
     val cnts = sideBuckets(dfA, key, textCol, "a")
       .unionByName(sideBuckets(dfB, key, textCol, "b"))
       .groupBy(col("key"), col("bucket"))
       .agg(
         sum(when(col("side") === "a", 1L).otherwise(0L)).as("a"),
         sum(when(col("side") === "b", 1L).otherwise(0L)).as("b"))
-    val tot = cnts.groupBy(col("key"))
+    val tot0 = cnts.groupBy(col("key"))
       .agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
-      .where(col("ta") > 0 && col("tb") > 0)
+    val tot =
+      if (dropOneSided) tot0.where(col("ta") > 0 && col("tb") > 0) else tot0
+    val bothLive = col("ta") > 0 && col("tb") > 0
     val da = col("a").cast("double"); val db = col("b").cast("double")
     val dta = col("ta").cast("double"); val dtb = col("tb").cast("double")
     val den = da * dtb + db * dta
-    val mp = when(col("a") > 0,
+    val mp = when(bothLive && col("a") > 0,
       round(da / dta * log(lit(2.0) * da * dtb / den) * lit(1000000.0))
-        .cast("long")).otherwise(0L)
-    val mq = when(col("b") > 0,
+        .cast("long"))
+      .when(bothLive, 0L)
+      .otherwise(lit(null).cast("long"))
+    val mq = when(bothLive && col("b") > 0,
       round(db / dtb * log(lit(2.0) * db * dta / den) * lit(1000000.0))
-        .cast("long")).otherwise(0L)
+        .cast("long"))
+      .when(bothLive, 0L)
+      .otherwise(lit(null).cast("long"))
     cnts.join(tot, "key")
       .select(col("key"), col("ta"), col("tb"), mp.as("mp"), mq.as("mq"))
       .groupBy(col("key"), col("ta"), col("tb"))

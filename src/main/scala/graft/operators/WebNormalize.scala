@@ -118,10 +118,15 @@ object WebNormalize {
   }
 
   /** SURT (Sort-friendly URI Reordering Transform) key over the
-    * [[canonUrl]] form: host labels reversed comma-joined, `)` separator,
-    * then path-and-query — `https://www.news.bbc.co.uk/a?b` →
-    * `uk,co,bbc,news)/a?b`. The leading `www.` is dropped (the standard
-    * alias fold), so apex and www captures of a page share one key.
+    * [[canonUrl]] form: host labels reversed comma-joined, optional
+    * `:port` appended AFTER the labels, `)` separator, then
+    * path-and-query — `https://www.news.bbc.co.uk/a?b` →
+    * `uk,co,bbc,news)/a?b`, `https://example.com:8080/a` →
+    * `com,example:8080)/a`. Userinfo (`user@`) is dropped and the
+    * leading `www.` folds (the standard alias rules), so apex and www
+    * captures of a page share one key — and because the port rides
+    * BEHIND the reversed labels rather than inside them, ported
+    * captures still sort inside their domain's key range.
     *
     * This is THE key web archives sort their CDX indexes by: under it,
     * every page of a domain — and every subdomain under it — is one
@@ -130,12 +135,17 @@ object WebNormalize {
     * not a filter over the corpus. Pure codegen'd projection. */
   def surtKey(c: Column): Column = {
     val u = canonUrl(c)
-    val auth = regexp_extract(u, "^[a-z]+://[^/?#]*", 0)
+    val authFull = regexp_extract(u, "^[a-z]+://[^/?#]*", 0)
+    val hostPort = regexp_replace(
+      regexp_extract(u, "^[a-z]+://([^/?#]*)", 1), "^[^/@]*@", "")
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
     val host = regexp_replace(
-      regexp_extract(u, "^[a-z]+://([^/?#]+)", 1), "^www\\.", "")
+      regexp_replace(hostPort, ":[0-9]+$", ""), "^www\\.", "")
     concat(
-      concat_ws(",", reverse(split(host, "\\."))), lit(")"),
-      u.substr(length(auth) + lit(1), length(u)))
+      concat_ws(",", reverse(split(host, "\\."))),
+      when(port =!= "", concat(lit(":"), port)).otherwise(lit("")),
+      lit(")"),
+      u.substr(length(authFull) + lit(1), length(u)))
   }
 
   /** CDX-style capture index: one row per capture, `(surt, ts_s, digest,

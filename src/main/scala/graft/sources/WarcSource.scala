@@ -259,12 +259,24 @@ object WarcSource {
       lit(null).cast("string").as("lang"))
 
   /** WET-style conversion sink — the emit half of the CC loop ([[pages]]
-    * is the ingest half): one `.warc.gz` file per non-empty partition,
-    * one gzip MEMBER per conversion record (Common Crawl's own WET
-    * framing — per-member gzip is what keeps byte offsets indexable into
-    * a compressed file and record skips cheap). Readable back by
-    * [[pages]] (the conversion branch) and by standard WARC tooling;
-    * null url/ts/text rows are skipped (a WET record cannot frame them).
+    * is the ingest half): one `.warc.gz` file per partition that emits at
+    * least one record, one gzip MEMBER per conversion record (Common
+    * Crawl's own WET framing — per-member gzip is what keeps byte
+    * offsets indexable into a compressed file and record skips cheap).
+    * Records carry the ISO 28500 mandatory headers (including a
+    * DETERMINISTIC name-based `WARC-Record-ID` — a random uuid would
+    * break resume/retry idempotence) plus CC's `Content-Type:
+    * text/plain`, so the output validates under standard WARC tooling
+    * and reads back through [[pages]] (the conversion branch). Null
+    * url/ts/text rows are skipped (a WET record cannot frame them); a
+    * partition whose rows ALL skip writes no file (a zero-byte
+    * member-less `.gz` chokes gzip tooling).
+    *
+    * Retry-safe: each task attempt streams to an attempt-unique
+    * `.inprogress` temp file and renames into place only on success, so
+    * a retried or speculative duplicate attempt can never interleave
+    * bytes with — or truncate — a committed part file (the same
+    * temp+rename discipline as Spark's own file committers).
     *
     * Scale shape: a pure per-partition streaming write — no shuffle, no
     * driver involvement, one output file per task, records never
@@ -275,24 +287,33 @@ object WarcSource {
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     pages.select(col("url"), col("warc_ts"), col("text"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val path =
-            new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.warc.gz")
-          val fs = path.getFileSystem(confBc.value.value)
-          val out = fs.create(path, true)
-          try it.foreach { r =>
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val dest =
+          new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.warc.gz")
+        val tmp = new org.apache.hadoop.fs.Path(
+          outDir, f".part-$pid%05d.warc.gz.inprogress-${tc.taskAttemptId()}%d")
+        val fs = dest.getFileSystem(confBc.value.value)
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        try {
+          it.foreach { r =>
             val url = r.getString(0)
             val ts = r.getTimestamp(1)
             val text = r.getString(2)
             if (url != null && ts != null && text != null) {
+              if (out == null) out = fs.create(tmp, true)
               val body = text.getBytes(StandardCharsets.UTF_8)
+              val recId = java.util.UUID.nameUUIDFromBytes(
+                (url + " " + ts.toInstant.toString)
+                  .getBytes(StandardCharsets.UTF_8))
               val hdr = ("WARC/1.0\r\n" +
                 "WARC-Type: conversion\r\n" +
+                s"WARC-Record-ID: <urn:uuid:$recId>\r\n" +
                 s"WARC-Target-URI: $url\r\n" +
                 "WARC-Date: " +
                 java.time.format.DateTimeFormatter.ISO_INSTANT
                   .format(ts.toInstant) + "\r\n" +
+                "Content-Type: text/plain\r\n" +
                 s"Content-Length: ${body.length}\r\n\r\n")
                 .getBytes(StandardCharsets.UTF_8)
               val member =
@@ -304,7 +325,21 @@ object WarcSource {
               gz.close()
               out.write(member.toByteArray)
             }
-          } finally out.close()
+          }
+          if (out != null) {
+            out.close(); out = null
+            // last-committer-wins publish: a racing attempt that already
+            // renamed produces an identical file, so delete+rename is safe
+            if (!fs.rename(tmp, dest)) {
+              fs.delete(dest, false)
+              if (!fs.rename(tmp, dest))
+                throw new java.io.IOException(s"cannot publish $dest")
+            }
+          }
+        } finally {
+          if (out != null) out.close()
+          fs.delete(tmp, false)
+          ()
         }
       }
   }

@@ -55,6 +55,20 @@ class DriftSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("kl_ba_micro") == r1.getAs[Long]("kl_ab_micro"))
   }
 
+  test("empty-side alarm: the report row arrives with null divergences") {
+    import spark.implicits._
+    val dead = Seq.empty[String].toDF("text")
+      .unionByName(Seq("", null.asInstanceOf[String]).toDF("text"))
+    val r = Drift.report(docs(corpus), dead).collect()
+    assert(r.length == 1, "one row even when a side died")
+    assert(r.head.getAs[Long]("n_tokens_b") == 0L)
+    assert(r.head.getAs[Long]("n_tokens_a") > 0L)
+    assert(r.head.isNullAt(r.head.fieldIndex("kl_ab_micro")))
+    assert(r.head.isNullAt(r.head.fieldIndex("js2_micro")))
+    // both sides empty: nothing to report at all
+    assert(Drift.report(dead, dead).collect().isEmpty)
+  }
+
   test("reportBy: per-key grain, one-sided keys drop, matches the single-key report") {
     import spark.implicits._
     val a = Seq(("h1", "alpha beta gamma"), ("h1", "alpha beta"),

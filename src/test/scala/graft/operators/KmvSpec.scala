@@ -105,6 +105,21 @@ class KmvSpec extends AnyFunSuite {
     assert(merged == scratch)
   }
 
+  test("raw (un-hashed) keys order by UTF-8 binary, matching array_sort downstream") {
+    import spark.implicits._
+    // UTF-16 code units would sort the surrogate-pair emoji (U+1F600)
+    // BEFORE U+FFFD; UTF-8 binary order (Spark's) sorts it after
+    val keys = Seq("z", "\uFFFD", "\uD83D\uDE00", "a")
+    val sk = keys.toDF("key").repartition(2)
+      .agg(graft.functions.gf.kmv_sketch(col("key"), 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(sk == Seq("a", "z", "\uFFFD"))
+    // and the sketch is ascending under Spark's own sort
+    val sorted = Seq(1).toDF("x")
+      .select(array_sort(typedLit(sk)).as("s")).collect().head.getSeq[String](0)
+    assert(sk == sorted)
+  }
+
   test("kmv_sketch is SQL-registered and matches the Column API") {
     import spark.implicits._
     keyed.take(800).toDF("key").createOrReplaceTempView("kmv_in")

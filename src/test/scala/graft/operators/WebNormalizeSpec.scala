@@ -136,6 +136,19 @@ class WebNormalizeSpec extends AnyFunSuite {
     assert(sub.startsWith(dom.stripSuffix(")/") + ","))
     // bare host, no path
     assert(one(WebNormalize.surtKey(lit("https://a.example"))) == "example,a)")
+    // port rides BEHIND the reversed labels (stays inside the domain's
+    // key range); userinfo drops entirely
+    assert(one(WebNormalize.surtKey(lit("https://example.com:8080/a")))
+      == "com,example:8080)/a")
+    assert(one(WebNormalize.surtKey(lit("https://user@example.com/p")))
+      == "com,example)/p")
+    assert(one(WebNormalize.surtKey(lit("http://u:pw@www.example.com:81/x?y")))
+      == "com,example:81)/x?y")
+    // ported captures sort within the unported domain prefix
+    val dom0 = one(WebNormalize.surtKey(lit("https://example.com/")))
+    val ported = one(WebNormalize.surtKey(lit("https://example.com:8080/")))
+    assert(ported.startsWith("com,example"))
+    assert(dom0.startsWith("com,example"))
   }
 
   test("cdxIndex: one contiguous sorted run per page across alias-messy captures") {

@@ -62,6 +62,35 @@ class WetSinkSpec extends AnyFunSuite {
     assert(!urls.contains("https://bad.example/x") && urls.size == 3)
   }
 
+  test("records carry the ISO 28500 mandatory headers; all-skip partitions write NO file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wet_hdrs").toString
+    WarcSource.writeWet(fixture.coalesce(1), dir)
+    val f = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".warc.gz")).head
+    val raw = new String(
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(Files.readAllBytes(Paths.get(f))))
+        .readAllBytes(), "UTF-8")
+    assert(raw.contains("WARC-Record-ID: <urn:uuid:"))
+    assert(raw.contains("Content-Type: text/plain"))
+    // record ids are deterministic (resume/retry idempotence) + distinct
+    val ids = "urn:uuid:[0-9a-f-]+".r.findAllIn(raw).toSeq
+    assert(ids.size == 3 && ids.distinct.size == 3)
+    val dir2 = Files.createTempDirectory("wet_hdrs2").toString
+    WarcSource.writeWet(fixture.coalesce(1), dir2)
+    val f2 = Files.list(Paths.get(dir2)).toArray.map(_.toString)
+      .filter(_.endsWith(".warc.gz")).head
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(f)), Files.readAllBytes(Paths.get(f2))))
+    // a partition whose rows ALL skip must not leave a zero-byte file
+    val dir3 = Files.createTempDirectory("wet_empty").toString
+    val allNull = Seq(("u1", null.asInstanceOf[java.sql.Timestamp], "t"))
+      .toDF("url", "warc_ts", "text")
+    WarcSource.writeWet(allNull.coalesce(1), dir3)
+    assert(Files.list(Paths.get(dir3)).toArray.isEmpty)
+  }
+
   test("conversion records flow through the dedup-canonical pages schema") {
     val dir = Files.createTempDirectory("wet_pages").toString
     WarcSource.writeWet(fixture, dir)
