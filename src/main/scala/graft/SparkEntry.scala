@@ -568,6 +568,20 @@ object SparkEntry {
     // interacting in shared clusters, plus the corpus's natural near-dups.
     "q_dedup_decisions_full" -> (fullPlantedDecisions _),
 
+    // deterministic per-state audit sample: the human-QA workflow ("show
+    // me 3 examples of what you deleted / kept / ignored") as a md5-drawn
+    // reproducible draw — re-runs and the oracle pick the SAME rows
+    "q_audit_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("state"))
+        .orderBy(md5(col("url")), col("url"))
+      fullPlantedDecisions(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("state"), col("rk").cast("long").as("rk"),
+          col("url"), col("cluster_size"))
+    }),
+
     // ---- Manku SimHash-table retrieval (Hamming-defined near-dup) ----
     // Rows-only (signature internals): corpus simhashes ∪ planted ≤3-bit
     // flips; retrieval is PURELY by permuted-table key equality (Manku
@@ -2238,7 +2252,17 @@ object SparkEntry {
       ("q_deletions" ->
         s"""SELECT url, cluster_size, state FROM (
            |${m("q_dedup_decisions_full")}
-           |) t WHERE state = 'delete'""".stripMargin)
+           |) t WHERE state = 'delete'""".stripMargin) +
+      // per-state md5-drawn audit sample over the same decisions truth
+      ("q_audit_sample" ->
+        s"""WITH d AS (
+           |${m("q_dedup_decisions_full")}
+           |),
+           |r AS (SELECT state, url, cluster_size,
+           |  row_number() OVER (PARTITION BY state
+           |    ORDER BY md5(url), url) AS rk FROM d)
+           |SELECT state, CAST(rk AS BIGINT) AS rk, url, cluster_size
+           |FROM r WHERE rk <= 3""".stripMargin)
   }
 
   /** The exhaustive 200-gram span truth shared by `q_dup_spans` (winnowing
