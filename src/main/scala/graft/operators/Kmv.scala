@@ -91,6 +91,31 @@ object Kmv {
         size(col("sketch")).cast("long").as("sketch_size"),
         estimateDistinct(col("sketch"), k).as("est_distinct"))
 
+  /** Per-group overlap report — the grouped [[overlap]]: one row per key
+    * present in BOTH corpora (one-sided keys are [[SnapshotDelta]]'s
+    * appeared/vanished report, same contract as `Drift.reportBy`) with
+    * the same union-sketch columns plus the key. `overlapBy(snapA, snapB,
+    * "host", "text", k)` is the re-crawl scheduler's skip list: a host
+    * whose jaccard_est ≈ 1 did not change — don't re-fetch it. Cost: one
+    * grouped-sketch pass per corpus and a ≤ k-array join on the key. */
+  def overlapBy(
+      dfA: DataFrame, dfB: DataFrame,
+      groupCol: String, keyCol: String, k: Int): DataFrame = {
+    val sa = dfA.groupBy(col(groupCol)).agg(sketchAgg(col(keyCol), k).as("sa"))
+    val sb = dfB.groupBy(col(groupCol)).agg(sketchAgg(col(keyCol), k).as("sb"))
+    sa.join(sb, Seq(groupCol))
+      .withColumn("su", mergeSketches(col("sa"), col("sb"), k))
+      .select(
+        col(groupCol),
+        lit(k).as("k"),
+        size(col("su")).cast("long").as("union_sketch_size"),
+        size(array_intersect(array_intersect(col("su"), col("sa")), col("sb")))
+          .cast("long").as("both_in_union"),
+        (size(array_intersect(array_intersect(col("su"), col("sa")), col("sb")))
+          .cast("double") / size(col("su")).cast("double")).as("jaccard_est"),
+        estimateDistinct(col("su"), k).as("est_union"))
+  }
+
   /** Merge two KMV sketches into the sketch of the UNION corpus: the k
     * smallest of S(A) ∪ S(B). Exact identity, not an approximation —
     * every member of the union's true sketch is ≤ its side's k-th hash,
