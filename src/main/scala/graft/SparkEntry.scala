@@ -13,8 +13,44 @@ import graft.operators._
   */
 object SparkEntry {
 
+  /** Scale-adaptive scan parallelism (optimization guide §2.2/§6.1): a
+    * table smaller than one scan split arrives as ONE task (single parquet
+    * row group), serializing every explode/aggregate stage until the first
+    * exchange — at 32 cores the whole per-doc kernel ran on one of them.
+    * When the input is below `spark.sql.files.maxPartitionBytes`,
+    * round-robin repartition to `defaultParallelism`; above the threshold
+    * the scan already fans out and the plan is untouched — no repartition
+    * of a large corpus.
+    *
+    * Round-robin, NOT hash-on-key, deliberately: a hash repartition's
+    * partitioning claim propagates, and on this Spark build a union of
+    * branches sharing the co-partitioned subtree let a downstream
+    * groupBy(key-subset) run partition-locally without its exchange,
+    * splitting each group across the union's copies (reproduced: the
+    * pre-r6 gopherRepetition emitted 3 partial rows per doc through the
+    * parquet-write path while count() of the same plan read 500 — the
+    * column-pruned plan re-added the exchange). RoundRobinPartitioning
+    * never satisfies a clustered distribution, so every downstream
+    * aggregation keeps its exchange and no such claim can propagate;
+    * row-to-partition assignment stays deterministic via Spark's
+    * sort-before-repartition. */
+  private def readAdaptive(s: SparkSession, path: String): DataFrame = {
+    val df = s.read.parquet(path)
+    val small = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength <
+        s.sessionState.conf.filesMaxPartitionBytes
+    } catch { case _: Throwable => false }
+    if (small) df.repartition(s.sparkContext.defaultParallelism)
+    else df
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    readAdaptive(s, s"$dir/documents.parquet")
+  // the relational tables run row-narrow scans+aggregates with no
+  // per-row kernel to parallelize — an added exchange measured as a pure
+  // regression there (q1_agg 0.37 s → 0.73 s), so they read as-is
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
   private def orders(s: SparkSession, dir: String): DataFrame =
@@ -22,7 +58,7 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    readAdaptive(s, s"$dir/embeddings.parquet")
 
   /** documents ∪ two deterministic duplicate slices: same-source copies
     * (doc_id + 1e6) and cross-source copies (doc_id + 2e6, source suffixed
@@ -948,6 +984,7 @@ object SparkEntry {
         .withColumn("nk", gf.natural_sort_key(col("url")))
       val cfg = operators.SubstringDup.Config()
       val cands = operators.SubstringDup.candidatePairs(s, d, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       operators.SubstringDup.verifiedEdges(cands, d, cfg)
         .select(
           least(col("src"), col("dst")).as("a"),
@@ -1214,7 +1251,10 @@ object SparkEntry {
       val d = Lsh.withSignatures(
         docs(s, dir).selectExpr("cast(doc_id as string) as url", "text"), cfg)
         .withColumn("nk", gf.natural_sort_key(col("url")))
+      // two consumers inside verifiedEdges (touched-url scan + pair melt):
+      // pin the narrow candidate frame, as the pipeline's near stage does
       val cands = Lsh.candidatePairs(s, d, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Lsh.verifiedEdges(cands, d, cfg, tau = 0.8)
         .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))
     }),
@@ -1226,7 +1266,10 @@ object SparkEntry {
       val d = docs(s, dir)
         .selectExpr("cast(doc_id as string) as url", "text")
         .withColumn("nk", gf.natural_sort_key(col("url")))
-      SubstringDup.verifiedEdges(SubstringDup.candidatePairs(s, d, cfg), d, cfg)
+      // pin the two-consumer candidate frame (same shape as q_near_dup_pairs)
+      val cands = SubstringDup.candidatePairs(s, d, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      SubstringDup.verifiedEdges(cands, d, cfg)
         .select(
           least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Portable trigram-profile language identification (Cavnar & Trenkle
@@ -65,12 +64,25 @@ object LangId {
     }.mkString("\n|       ")
 
   /** Script tier as a single scalar column: first matching rule wins,
-    * null when no non-Latin script is present. */
-  def scriptLang(text: Column): Column =
-    scriptRules.foldLeft(when(lit(false), lit(""))) {
-      case (acc, (l, a, b)) =>
-        acc.when(regexp_count(text, lit(sparkRange(a, b))) > 0, lit(l))
-    }.otherwise(lit(null).cast("string"))
+    * null when no non-Latin script is present.
+    *
+    * A combined-range prefilter runs first: the dominant (Latin) case
+    * formerly paid all nine per-rule regex scans of the full text just
+    * to conclude null; one union-class scan now answers it, and the
+    * per-rule cascade (same precedence, same answers) only runs when
+    * some script character exists at all. */
+  def scriptLang(text: Column): Column = {
+    val combined = scriptRules
+      .map { case (_, a, b) => f"\\u$a%04X-\\u$b%04X" }
+      .mkString("[", "", "]")
+    when(
+      regexp_count(text, lit(combined)) > 0,
+      scriptRules.foldLeft(when(lit(false), lit(""))) {
+        case (acc, (l, a, b)) =>
+          acc.when(regexp_count(text, lit(sparkRange(a, b))) > 0, lit(l))
+      }.otherwise(lit(null).cast("string")))
+      .otherwise(lit(null).cast("string"))
+  }
 
   /** Profile table: (lang, gram) — the `profileSize` most frequent
     * character trigrams of each language's sample text, ranked
@@ -83,19 +95,31 @@ object LangId {
 
   /** The embedded 25-language trigram profile table (lang, gram): top
     * `profileSize` trigrams per language by count over the composed
-    * sample prose, ties broken lexicographically. */
+    * sample prose, ties broken lexicographically.
+    *
+    * Derived driver-side from the embedded constants (the [[graft.operators.Bpe]]
+    * model-as-literals precedent): the profiles depend on nothing but the
+    * fixture strings, so materializing them as a LocalRelation replaces
+    * the former explode→groupBy→window JOB with a zero-job broadcast
+    * build — two scheduler round trips saved per query. The ranking is
+    * the identical (count desc, gram asc) cut; all fixture text is BMP,
+    * so JVM code-unit indexing matches Spark's code-point `substr`. */
   def profileTable(spark: org.apache.spark.sql.SparkSession,
       profileSize: Int = 200): DataFrame = {
     import spark.implicits._
-    val src = LangProfiles.profileText.toDF("lang", "sample")
-    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))
-    src
-      .select(col("lang"), explode(Perplexity.charGrams(lower(col("sample")), 3)).as("gram"))
-      .groupBy(col("lang"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= profileSize)
-      .select(col("lang"), col("gram"))
+    val rows = LangProfiles.profileText.flatMap { case (lang, sample) =>
+      val s = sample.toLowerCase(java.util.Locale.ROOT)
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (i + 3 <= s.length) {
+        val g = s.substring(i, i + 3)
+        cnt.update(g, cnt.getOrElse(g, 0L) + 1L)
+        i += 1
+      }
+      cnt.toSeq.sortBy { case (g, c) => (-c, g) }
+        .take(profileSize).map { case (g, _) => (lang, g) }
+    }
+    rows.toDF("lang", "gram")
   }
 
   /** Classify every document: (idCol, pred_lang). `covNum`/`covDen`
@@ -115,25 +139,29 @@ object LangId {
       .withColumn("script_lang", scriptLang(col("__t")))
     val latin = scripted.where(col("script_lang").isNull)
     val grams = latin.select(id, explode(Perplexity.charGrams(lower(col("__t")), 3)).as("gram"))
-    val tot = grams.groupBy(id).agg(count(lit(1)).as("total"))
+    // ONE walk of the per-char gram stream (the former shape evaluated
+    // the explode twice — once for the total, once for the hits — and
+    // ranked votes with a window sort). The total trigram count is a
+    // pure length projection (|lower(t)| − 2 when ≥ 3 grams exist, and a
+    // doc with no hits votes "und" regardless), and the argmax-with-
+    // lowest-lang-tiebreak is min(struct(−h, lang)) — a map-side-
+    // combinable aggregate, no window, no rank filter.
     val hits = grams
       .join(broadcast(prof), Seq("gram"))
       .groupBy(id, col("lang"))
       .agg(count(lit(1)).as("h"))
-    val w = Window.partitionBy(id).orderBy(col("h").desc, col("lang"))
-    val vote = hits
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .join(tot, Seq(idCol))
-      .select(
-        id,
-        when(col("h") * covDen >= col("total") * covNum, col("lang"))
-          .otherwise(lit("und")).as("vote_lang"))
+    val best = hits
+      .groupBy(id)
+      .agg(min(struct((-col("h")).as("nh"), col("lang").as("lang"))).as("t"))
     scripted
-      .join(vote, Seq(idCol), "left")
+      .join(best, Seq(idCol), "left")
       .select(
         id,
-        coalesce(col("script_lang"), col("vote_lang"), lit("und")).as("pred_lang"))
+        coalesce(
+          col("script_lang"),
+          when((-col("t.nh")) * covDen >=
+            greatest(length(lower(col("__t"))) - 2, lit(0)) * covNum,
+            col("t.lang")).otherwise(lit("und"))).as("pred_lang"))
   }
 }
 

@@ -78,43 +78,137 @@ object LinkGraph {
     require(rounds >= 0 && rounds <= 64, s"rounds out of range: $rounds")
     require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct: $dampingPct")
 
+    // Static tables are built ONCE and persisted (the former shape re-ran
+    // the edge lineage — source scan + distinct — in every round, 10
+    // redundant passes for a 10-round run):
+    //   e       cleaned edges                  (host grain, ≤ ~10⁸ rows)
+    //   deg     exact outdeg per src
+    //   ed      edges with outdeg pre-attached — kills one join per round
+    //   nodeTbl distinct nodes
     val e = cleanEdges(edges)
-    // outdeg is exact (post-distinct) and bounded by the node count; it is
-    // reused every round, so materialize it once.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
-    val n = nodes.select(col("host")).distinct().count()
+    val ed = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodeTbl = nodes.select(col("host")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodeTbl.count()
     require(n > 0, "pageRank needs at least one node")
     val base = ((100L - dampingPct) * Scale / 100L) / n
 
-    var ranks = nodes.select(col("host")).distinct()
-      .select(col("host"), lit(Scale / n).as("rank_nano"))
+    // Danglingness (no out-edges) is a STATIC per-host property: stamping
+    // it on the node table once replaces the per-round ranks⊳deg
+    // anti-join with a plain filter over the rank vector.
+    val nodeFlag = nodeTbl
+      .join(deg.select(col("src").as("host"), lit(true).as("__o")),
+        Seq("host"), "left")
+      .select(col("host"), col("__o").isNull.as("is_dang"))
 
-    for (_ <- 1 to rounds) {
-      val inflow = e
-        .join(ranks, e("src") === ranks("host"))
-        .join(deg, "src")
-        .select(col("dst").as("host"),
-          expr("rank_nano div deg").as("c"))
-        .groupBy(col("host"))
-        .agg(sum(col("c")).as("inflow"))
-      // dangling mass: nodes with no out-edges spray uniformly
-      val dangling = ranks
-        .join(deg.select(col("src").as("host")), Seq("host"), "left_anti")
-        .agg(coalesce(sum(col("rank_nano")), lit(0L)).as("dang"))
-      val next = ranks.select(col("host"))
-        .join(inflow, Seq("host"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("host"),
-          (lit(base) + expr(
-            s"($dampingPct * (coalesce(inflow, 0L) + dang div ${n}L)) div 100"))
-            .as("rank_nano"))
-      // checkpointRounds=false keeps the round composition lazy — for
-      // plan audits and few-round small graphs only; production keeps
-      // the eager per-round truncation (see scaladoc)
-      ranks = if (checkpointRounds) next.localCheckpoint() else next
+    val spark = nodes.sparkSession
+
+    if (!checkpointRounds) {
+      // Lazy DataFrame composition — the plan-audit path (PLAN 25) and
+      // few-round small graphs. ONE exchange per round for both
+      // aggregates: edge contributions keyed by dst UNION the dangling
+      // mass keyed by a null host (hosts are non-null by contract, so
+      // null cannot collide; the null group collapses map-side like any
+      // other partial sum).
+      var ranks = nodeFlag.select(col("host"), col("is_dang"),
+        lit(Scale / n).as("rank_nano"))
+      for (_ <- 1 to rounds) {
+        val agg = ed
+          .join(ranks, ed("src") === ranks("host"))
+          .select(col("dst").as("host"), expr("rank_nano div deg").as("c"))
+          .unionByName(ranks.where(col("is_dang"))
+            .select(lit(null).cast("string").as("host"),
+              col("rank_nano").as("c")))
+          .groupBy(col("host"))
+          .agg(sum(col("c")).as("inflow"))
+        val dangling = agg.where(col("host").isNull)
+          .agg(coalesce(sum(col("inflow")), lit(0L)).as("dang"))
+        ranks = ranks.select(col("host"), col("is_dang"))
+          .join(agg.where(col("host").isNotNull), Seq("host"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("host"), col("is_dang"),
+            (lit(base) + expr(
+              s"($dampingPct * (coalesce(inflow, 0L) + dang div ${n}L)) div 100"))
+              .as("rank_nano"))
+      }
+      deg.unpersist(blocking = false)
+      ed.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      nodeTbl.unpersist(blocking = false)
+      return ranks.select(col("host"), col("rank_nano"))
     }
-    deg.unpersist()
-    ranks
+
+    // Production loop: co-partitioned RDD power iteration — the shape
+    // the r6 profile demanded. The Catalyst formulation paid a per-round
+    // planning pass plus one AQE materialization barrier PER EXCHANGE
+    // (profiled: 114 jobs / 437 stages for one 10-round run, ~40% of
+    // wall between jobs), and its sort-merge joins re-sorted the edge
+    // table every round. Here the edge table is hash-partitioned by src
+    // ONCE and every rank vector lands on the same partitioner, so each
+    // round is exactly one narrow join + one reduceByKey shuffle + one
+    // narrow leftOuterJoin, scheduled as a single job (the dangling-mass
+    // action that separates rounds — synchronous iteration needs a
+    // per-round barrier in any formulation). Arithmetic is unchanged
+    // pure-integer: Long `/` on non-negative values ≡ SQL `div`, and
+    // reduceByKey's map-side combine sums longs order-independently, so
+    // the oracle CTE replay stays bit-exact.
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val part = new HashPartitioner(spark.sparkContext.defaultParallelism)
+    val edR = ed.select(col("src"), col("dst"), col("deg")).rdd
+      .map(r => (r.getString(0), (r.getString(1), r.getLong(2))))
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeR = nodeFlag.rdd
+      .map(r => (r.getString(0), r.getBoolean(1)))
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val init = Scale / n
+    var ranksR = nodeR.mapValues(isDang => (init, isDang))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev = ranksR
+    val d = dampingPct.toLong
+    val nn = n
+    val bb = base
+    for (_ <- 1 to rounds) {
+      // the one action per round: the dangling scalar (materializes the
+      // current vector into cache as a side effect)
+      val dang = ranksR.filter(_._2._2).map(_._2._1)
+        .fold(0L)(_ + _)
+      val dShare = dang / nn
+      val contrib = edR.join(ranksR)
+        .map { case (_, ((dst, dg), (rk, _))) => (dst, rk / dg) }
+        .reduceByKey(part, _ + _)
+      val nextR = nodeR.leftOuterJoin(contrib)
+        .mapValues { case (isDang, inflow) =>
+          (bb + d * (inflow.getOrElse(0L) + dShare) / 100L, isDang)
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (!(prev eq ranksR)) prev.unpersist(blocking = false)
+      prev = ranksR
+      ranksR = nextR
+    }
+    // materialize the final vector, then release everything upstream
+    ranksR.count()
+    if (!(prev eq ranksR)) prev.unpersist(blocking = false)
+    edR.unpersist(blocking = false)
+    nodeR.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    nodeTbl.unpersist(blocking = false)
+    spark.createDataFrame(
+      ranksR.map { case (h, (rk, _)) =>
+        org.apache.spark.sql.Row(h, rk)
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("host",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("rank_nano",
+          org.apache.spark.sql.types.LongType, nullable = true))))
   }
 
   /** All quoted href values in an html string — the pragmatic regex tier

@@ -50,10 +50,13 @@ object Mirrors {
     // null text/host rows carry no mirror evidence (and a null digest
     // can never join) — drop them up front so host sizes count only
     // comparable pages
+    // three consumers (sizes, fan gate, kept pairs): pin the narrow
+    // (digest, host) frame so the page scan + sha2 + distinct runs once
     val dh = pages
       .where(col(textCol).isNotNull && col(hostCol).isNotNull)
       .select(sha2(col(textCol), 256).as("__h"), col(hostCol).as("__host"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = dh.groupBy(col("__host"))
       .agg(count(lit(1)).as("__n"))
     val fan = dh.groupBy(col("__h")).agg(count(lit(1)).as("__nh"))

@@ -72,17 +72,34 @@ object NgramLm {
 
   def train(train: DataFrame, textCol: String = "text",
       minCount: Long = 0L): Model = {
-    val c1 = gramCounts(train, 1, textCol, minCount)
-    // T counts ALL token instances (pre-pruning), V the pruned vocab —
-    // the smoothing denominator must cover the mass pruning removed
-    val t = train
-      .select(size(tokens(col(textCol))).cast("long").as("k"))
-      .agg(coalesce(sum(col("k")), lit(0L)).as("t_tokens"))
-    val v = c1.agg(count(lit(1)).as("v_words"))
+    // ONE pass over the training text for all three orders: the former
+    // shape exploded the slice three times (three scans, three
+    // exchanges); tagging each gram with its order folds them into a
+    // single map-side-combined groupBy whose persisted count table the
+    // three order tables (and both corpus scalars) filter for free.
+    // T = Σ pre-prune 1-gram counts ≡ total token instances; V counts
+    // the pruned vocab exactly as before.
+    val all = train
+      .select(explode(concat(
+        transform(tokens(col(textCol)),
+          w => struct(lit(1).as("n"), w.as("gram"))),
+        transform(wordGrams(col(textCol), 2),
+          g => struct(lit(2).as("n"), g.as("gram"))),
+        transform(wordGrams(col(textCol), 3),
+          g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+      .groupBy(col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def order(n: Int): DataFrame = all
+      .where(col("n") === n && col("cnt") >= minCount)
+      .select(col("gram"), col("cnt"))
+    val t = all.where(col("n") === 1)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("t_tokens"))
+    val v = order(1).agg(count(lit(1)).as("v_words"))
     Model(
-      c1 = c1,
-      c2 = gramCounts(train, 2, textCol, minCount),
-      c3 = gramCounts(train, 3, textCol, minCount),
+      c1 = order(1),
+      c2 = order(2),
+      c3 = order(3),
       totals = t.crossJoin(v))
   }
 
@@ -109,25 +126,30 @@ object NgramLm {
   def score(docs: DataFrame, model: Model, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val id = col(idCol)
-    // all five probe keys come straight off the token array in one
-    // projection (single-element slices: tokens are space-free by
-    // construction, so array_join(slice(ws,·,1), "") IS the token)
+    // A position's score depends on its trigram ALONE — all five probe
+    // keys are substrings of g3 — so the per-position stream collapses to
+    // per-doc (g3, multiplicity) BEFORE any model join (guide §2.3
+    // "aggregate before you shuffle"), and the five count lookups plus
+    // both log() calls run once per DISTINCT corpus trigram instead of
+    // once per token position. lm_micro = Σ k·s(g3) over exact longs ≡
+    // the former per-position integer sum; n_scored = Σ k.
     val pos = docs
       .select(id, tokens(col(textCol)).as("__ws"))
       .where(size(col("__ws")) >= 3)
       .select(id, explode(transform(
         sequence(lit(1), size(col("__ws")) - 2),
-        i => struct(
-          array_join(slice(col("__ws"), i, lit(3)), " ").as("g3"),
-          array_join(slice(col("__ws"), i, lit(2)), " ").as("g2ctx"),
-          array_join(slice(col("__ws"), i + 1, lit(2)), " ").as("g2"),
-          array_join(slice(col("__ws"), i + 1, lit(1)), "").as("g1ctx"),
-          array_join(slice(col("__ws"), i + 2, lit(1)), "").as("g1"))))
-        .as("p"))
-      .select(id, col("p.g3").as("g3"), col("p.g2ctx").as("g2ctx"),
-        col("p.g2").as("g2"), col("p.g1ctx").as("g1ctx"),
-        col("p.g1").as("g1"))
-    val joined = pos
+        i => array_join(slice(col("__ws"), i, lit(3)), " "))).as("g3"))
+    val perDoc = pos.groupBy(id, col("g3")).agg(count(lit(1)).as("k"))
+    // the four context/backoff keys re-derive from g3 by single-space
+    // splits (tokens are whitespace-free by construction)
+    val grams = perDoc.select(col("g3")).distinct()
+      .select(col("g3"),
+        substring_index(col("g3"), " ", 2).as("g2ctx"),
+        substring_index(col("g3"), " ", -2).as("g2"),
+        substring_index(substring_index(col("g3"), " ", -2), " ", 1)
+          .as("g1ctx"),
+        substring_index(col("g3"), " ", -1).as("g1"))
+    val gramScore = grams
       .join(model.c3.select(col("gram").as("g3"), col("cnt").as("n3")),
         Seq("g3"), "left")
       .join(model.c2.select(col("gram").as("g2ctx"), col("cnt").as("x2")),
@@ -139,11 +161,13 @@ object NgramLm {
       .join(model.c1.select(col("gram").as("g1"), col("cnt").as("n1")),
         Seq("g1"), "left")
       .crossJoin(broadcast(model.totals))
-    val scored = joined
-      .select(id, positionScore(col("n3"), col("x2"), col("n2"),
+      .select(col("g3"), positionScore(col("n3"), col("x2"), col("n2"),
         col("x1"), col("n1"), col("t_tokens"), col("v_words")).as("s"))
+    val scored = perDoc
+      .join(gramScore, Seq("g3"))
       .groupBy(id)
-      .agg(count(lit(1)).as("n_scored"), sum(col("s")).as("lm_micro"))
+      .agg(sum(col("k")).as("n_scored"),
+        sum(col("s") * col("k")).as("lm_micro"))
     docs.select(id).distinct()
       .join(scored, Seq(idCol), "left")
       .select(id,

@@ -80,15 +80,36 @@ object Perplexity {
       textCol: String = "text"): DataFrame = {
     val id = col(idCol)
     val grams = docs.select(id, explode(charGrams(col(textCol), 3)).as("gram"))
-    val lp = grams
-      .join(broadcast(tri), Seq("gram"), "left")
-      .join(broadcast(ctx), grams("gram").substr(1, 2) === col("g2"), "left")
+    // Per-gram log-probability precomputed on the MODEL side — one log()
+    // per distinct model entry instead of one per corpus character: a
+    // seen gram's lp from tri ⋈ ctx, an unseen gram with a seen 2-char
+    // prefix from ctx alone (c3 → 0), an unseen prefix is the constant
+    // log(1/V). Every branch keeps the original log-of-quotient
+    // expression on the same inputs, so each occurrence contributes the
+    // bit-identical double the per-row formulation produced (same
+    // broadcast-probe-then-partial-agg accumulation order too).
+    // tri is consumed three times below (directly, and inside the ctx
+    // plan twice) — persist it so the train pass runs once; the
+    // CacheManager substitutes the cached fragment inside ctx's plan.
+    val triP = tri.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def lpExpr(c3: Column, c2: Column): Column =
+      log(
+        (coalesce(c3, lit(0L)) + 1).cast("double") /
+          (coalesce(c2, lit(0L)) + col("v")).cast("double"))
+    val hitLp = triP
+      .join(ctx, substring(triP("gram"), 1, 2) === ctx("g2"))
       .crossJoin(broadcast(v))
-      .select(
-        id,
-        log(
-          (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
-            (coalesce(col("c2"), lit(0L)) + col("v")).cast("double")).as("lp"))
+      .select(triP("gram").as("gram"), lpExpr(col("c3"), col("c2")).as("lp"))
+    val missLp = ctx.crossJoin(broadcast(v))
+      .select(col("g2"),
+        lpExpr(lit(null).cast("long"), col("c2")).as("lp2"))
+    val defLp = v.select(
+      lpExpr(lit(null).cast("long"), lit(null).cast("long")).as("lp0"))
+    val lp = grams
+      .join(broadcast(hitLp), Seq("gram"), "left")
+      .join(broadcast(missLp), grams("gram").substr(1, 2) === col("g2"), "left")
+      .crossJoin(broadcast(defLp))
+      .select(id, coalesce(col("lp"), col("lp2"), col("lp0")).as("lp"))
       .groupBy(id)
       .agg(round(-sum(col("lp")) / count(lit(1)), 6).as("logppl"))
     docs.select(id)

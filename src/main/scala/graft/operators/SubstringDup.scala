@@ -108,7 +108,13 @@ object SubstringDup {
       docs: DataFrame,
       cfg: Config,
       scopeCol: org.apache.spark.sql.Column = lit("")): DataFrame = {
+    // the candidate frame feeds BOTH the touched-url semi-join and the
+    // pair melt; pin the narrow frame so the fingerprint bucketing runs
+    // once (the same three-consumer shape the pipeline's substr stage
+    // pins — tools/ReuseCheck measured AQE reuse alone recovering only
+    // part of the duplicate work)
     val candidates = candidatePairs(spark, docs, cfg, scopeCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val texts = touchedTexts(candidates, docs.select(col("url"), col("text")))
     val paired = pairedTexts(candidates, texts)
     // both directions from one kernel invocation pair; packed (s << 32) | e
@@ -182,7 +188,10 @@ object SubstringDup {
       docs: DataFrame,
       cfg: Config,
       scopeCol: org.apache.spark.sql.Column = lit("")): DataFrame = {
+    // two consumers (touched-url semi-join + pair melt): pin the narrow
+    // candidate frame rather than re-running fingerprint bucketing
     val candidates = candidatePairs(spark, docs, cfg, scopeCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val texts = touchedTexts(candidates, docs.select(col("url"), col("nk"), col("text")))
     // the pairedTexts melt, widened with each side's natural key
     val melted = candidates

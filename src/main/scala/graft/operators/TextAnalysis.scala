@@ -128,101 +128,104 @@ object TextAnalysis {
     *     beyond the first of every duplicated word n-gram, over text
     *     length (the standard non-overlap-corrected form).
     *
-    * Scale shape — the [[topBigramFraction]] discipline, widened: every
-    * family is explode → two partially-aggregated groupBys, linear in
-    * corpus size. Unit/gram TEXT never crosses a shuffle: group keys are
-    * (xxhash64(unit), length(unit)) and every output depends only on
-    * (count, length), so ties in the top-gram election cannot change the
-    * emitted fraction and the DuckDB oracle (which groups by the strings
-    * themselves) agrees exactly at any collision-free scale. */
+    * Scale shape — rewritten in r6 as a ZERO-EXCHANGE projection: every
+    * emitted number is a per-document statistic, so instead of five
+    * explode→groupBy families shuffling (id, hash, len) rows, each
+    * document computes run-length stats over its own sorted unit/gram
+    * arrays in one pass (the [[SubstringDup.mergeSpans]] sorted-fold
+    * precedent). All counts are exact integers and the two divisions are
+    * unchanged, so the emitted fractions are bit-identical to the
+    * aggregation formulation and the DuckDB oracle (which groups by the
+    * strings themselves) agrees exactly. Text never leaves the scan —
+    * there is no shuffle at all. */
   def gopherRepetition(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val id = col(idCol)
 
-    // duplicate-unit stats for one separator granularity
-    def unitStats(sep: String, pfx: String): DataFrame = {
-      val units = docs.select(
-        id,
-        explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("u"))
-      units
-        .groupBy(id, xxhash64(col("u")).as("uh"), length(col("u")).as("ul"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(id)
-        .agg(
-          sum(col("cnt")).as("n_units"),
-          count(lit(1)).as("n_distinct"),
-          sum(when(col("cnt") > 1, (col("cnt") - 1) * col("ul")).otherwise(0L))
-            .as("dup_chars"),
-          sum(col("cnt") * col("ul")).as("tot_chars"))
-        .select(
-          id,
-          round((col("n_units") - col("n_distinct")).cast("double") / col("n_units"), 6)
-            .as(s"dup_${pfx}_frac"),
-          when(col("tot_chars") === 0, lit(0.0))
-            .otherwise(round(col("dup_chars").cast("double") / col("tot_chars"), 6))
-            .as(s"dup_${pfx}_char_frac"))
+    // run-length fold over a sorted unit array:
+    // (n_distinct, dup_chars, tot_chars) in one pass
+    def unitAcc(units: Column): Column =
+      aggregate(
+        array_sort(units),
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("nd"),
+          lit(0L).as("dup"), lit(0L).as("tot")),
+        (acc, u) => {
+          val same =
+            acc.getField("prev").isNotNull && u === acc.getField("prev")
+          struct(
+            u.as("prev"),
+            (acc.getField("nd") + when(same, lit(0L)).otherwise(lit(1L)))
+              .as("nd"),
+            (acc.getField("dup") +
+              when(same, length(u).cast("long")).otherwise(lit(0L))).as("dup"),
+            (acc.getField("tot") + length(u).cast("long")).as("tot"))
+        })
+
+    // run-length fold over the sorted n-gram array: the top gram by
+    // (count, length) — the max_by(gl, struct(cnt, gl)) election — plus
+    // duplicated-occurrence characters, in one pass
+    def gramAcc(n: Int): Column = {
+      val w = split(col("__t"), " ")
+      val gs = when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + 1, lit(n)), " ")))
+      aggregate(
+        array_sort(gs),
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("bc"), lit(0L).as("bg"), lit(0L).as("dup")),
+        (acc, x) => {
+          val same =
+            acc.getField("prev").isNotNull && x === acc.getField("prev")
+          val run2 = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+          val gl = length(x).cast("long")
+          val better = struct(run2.as("c"), gl.as("g")) >
+            struct(acc.getField("bc").as("c"), acc.getField("bg").as("g"))
+          struct(
+            x.as("prev"), run2.as("run"),
+            when(better, run2).otherwise(acc.getField("bc")).as("bc"),
+            when(better, gl).otherwise(acc.getField("bg")).as("bg"),
+            (acc.getField("dup") + when(same, gl).otherwise(lit(0L)))
+              .as("dup"))
+        })
     }
 
-    // word n-gram stats for n = 2..4: (id, n, gram) counts on narrow
-    // (hash, len) keys, then a conditional-aggregation pivot. The short-doc
-    // guard mirrors Decontaminate.gramHashes — sequence(0, k) DESCENDS for
-    // negative k instead of emitting an empty array.
-    val ws = split(col(textCol), " ")
-    val grams = (2 to 4).map { n =>
-      docs
-        .select(id, ws.as("w"))
-        .select(
-          id, lit(n).as("n"),
-          explode(
-            when(size(col("w")) < n, array().cast("array<string>"))
-              .otherwise(transform(
-                sequence(lit(0), size(col("w")) - n),
-                i => array_join(slice(col("w"), i + 1, lit(n)), " ")))).as("g"))
-    }.reduce(_ unionByName _)
-    val gramCnt = grams
-      .groupBy(id, col("n"), xxhash64(col("g")).as("gh"), length(col("g")).as("gl"))
-      .agg(count(lit(1)).as("cnt"))
-    val gramAgg = gramCnt
-      .groupBy(id, col("n"))
-      .agg(
-        max(col("cnt")).as("top_cnt"),
-        max_by(col("gl"), struct(col("cnt"), col("gl"))).as("top_gl"),
-        sum(when(col("cnt") > 1, (col("cnt") - 1) * col("gl")).otherwise(0L))
-          .as("dup_chars"))
-      .select(
-        id, col("n"),
-        (col("top_cnt") * col("top_gl")).as("top_chars"), col("dup_chars"))
-    val pivotCols = (2 to 4).flatMap { n =>
-      Seq(
-        sum(when(col("n") === n, col("top_chars"))).as(s"top_${n}chars"),
-        sum(when(col("n") === n, col("dup_chars"))).as(s"dup_${n}chars"))
-    }
-    val pivoted = gramAgg
-      .groupBy(id)
-      .agg(pivotCols.head, pivotCols.tail: _*)
+    def q(sep: String): String = java.util.regex.Pattern.quote(sep)
+    val folded = docs
+      .select(id, col(textCol).as("__t"))
+      .withColumn("__len", length(col("__t")).cast("double"))
+      .withColumn("__nl", size(split(col("__t"), q("\n"))).cast("long"))
+      .withColumn("__np", size(split(col("__t"), q("\n\n"))).cast("long"))
+      .withColumn("__l", unitAcc(split(col("__t"), q("\n"))))
+      .withColumn("__p", unitAcc(split(col("__t"), q("\n\n"))))
+      .withColumn("__g2", gramAcc(2))
+      .withColumn("__g3", gramAcc(3))
+      .withColumn("__g4", gramAcc(4))
 
-    val base = docs.select(id, length(col(textCol)).cast("double").as("len"))
-    val out = base
-      .join(unitStats("\n", "line"), Seq(idCol), "left")
-      .join(unitStats("\n\n", "para"), Seq(idCol), "left")
-      .join(pivoted, Seq(idCol), "left")
-    def gfrac(c: String): Column =
-      when(col("len") === 0, lit(0.0))
-        .otherwise(round(coalesce(col(c), lit(0L)).cast("double") / col("len"), 6))
-    out.select(
-      id,
-      coalesce(col("dup_line_frac"), lit(0.0)).as("dup_line_frac"),
-      coalesce(col("dup_line_char_frac"), lit(0.0)).as("dup_line_char_frac"),
-      coalesce(col("dup_para_frac"), lit(0.0)).as("dup_para_frac"),
-      coalesce(col("dup_para_char_frac"), lit(0.0)).as("dup_para_char_frac"),
-      gfrac("top_2chars").as("top_2gram_char_frac"),
-      gfrac("top_3chars").as("top_3gram_char_frac"),
-      gfrac("top_4chars").as("top_4gram_char_frac"),
-      gfrac("dup_2chars").as("dup_2gram_char_frac"),
-      gfrac("dup_3chars").as("dup_3gram_char_frac"),
-      gfrac("dup_4chars").as("dup_4gram_char_frac"))
+    def unitFracs(acc: String, nUnits: String, pfx: String): Seq[Column] = Seq(
+      round((col(nUnits) - col(s"$acc.nd")).cast("double") / col(nUnits), 6)
+        .as(s"dup_${pfx}_frac"),
+      when(col(s"$acc.tot") === 0, lit(0.0))
+        .otherwise(
+          round(col(s"$acc.dup").cast("double") / col(s"$acc.tot"), 6))
+        .as(s"dup_${pfx}_char_frac"))
+    def gfrac(c: Column, name: String): Column =
+      when(col("__len") === 0, lit(0.0))
+        .otherwise(round(c.cast("double") / col("__len"), 6)).as(name)
+
+    folded.select(
+      Seq(id) ++
+        unitFracs("__l", "__nl", "line") ++
+        unitFracs("__p", "__np", "para") ++
+        Seq(
+          gfrac(col("__g2.bc") * col("__g2.bg"), "top_2gram_char_frac"),
+          gfrac(col("__g3.bc") * col("__g3.bg"), "top_3gram_char_frac"),
+          gfrac(col("__g4.bc") * col("__g4.bg"), "top_4gram_char_frac"),
+          gfrac(col("__g2.dup"), "dup_2gram_char_frac"),
+          gfrac(col("__g3.dup"), "dup_3gram_char_frac"),
+          gfrac(col("__g4.dup"), "dup_4gram_char_frac")): _*)
   }
 
   // ---- corpus-level novelty --------------------------------------------------
