@@ -36,6 +36,8 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see build(): bound per-action plan-string serialization
+      .config("spark.sql.maxPlanStringLength", "4096")
       .config("spark.executor.memory", s"${memMbPerExec}m")
       // ship this build's classes to executor JVMs
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
@@ -71,6 +73,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Every DF action serializes its FULL plan to a string for the SQL
+      // listener event (and AQE re-sends it per materialized stage) even
+      // with the UI off — thread dumps during the dedup pipeline showed
+      // the driver main thread inside QueryExecution.explainString
+      // growing megabyte ArrayLists, ~2.5 s of a 2.9 s warm run. Bound
+      // it; tools that need full explain output (PlanDump) raise the
+      // session value before dumping.
+      .config("spark.sql.maxPlanStringLength", "4096")
     localDir.foreach { d =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
       b.config("spark.local.dir", d)

@@ -25,6 +25,8 @@ object PlanDump {
     val spark = graft.GraftSession.build(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-plandump")
     spark.sparkContext.setLogLevel("ERROR")
+    // full plans wanted here — undo the session's listener-event bound
+    spark.conf.set("spark.sql.maxPlanStringLength", Int.MaxValue - 15)
     Files.createDirectories(Paths.get(outDir))
     names.foreach { n =>
       try {

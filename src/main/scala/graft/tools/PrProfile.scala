@@ -28,15 +28,20 @@ object PrProfile {
       graft.SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
     }
-    jobs = Nil
-    val t0 = System.nanoTime()
-    graft.SparkEntry.queries(name)(spark, dir)
-      .write.mode("overwrite").format("noop").save()
-    val wall = (System.nanoTime() - t0) / 1e9
-    val js = jobs.reverse
-    println(f"PROFILE $name wall=$wall%.2f s jobs=${js.size} " +
-      f"stages=${js.map(_._3).sum} jobms=${js.map(_._2).sum}")
-    js.foreach { case (id, ms, st) => println(f"  job $id%3d  $ms%5d ms  stages=$st") }
+    val profReps = sys.env.getOrElse("SPARK_GRAFT_PROF_REPS", "1").toInt
+    (0 until profReps).foreach { _ =>
+      jobs = Nil
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      df.write.mode("overwrite").format("noop").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val js = jobs.reverse
+      println(f"PROFILE $name wall=$wall%.2f s (build=$tBuild%.2f) " +
+        f"jobs=${js.size} stages=${js.map(_._3).sum} jobms=${js.map(_._2).sum}")
+      js.foreach { case (id, ms, st) =>
+        println(f"  job $id%3d  $ms%5d ms  stages=$st") }
+    }
     spark.stop()
   }
 }
