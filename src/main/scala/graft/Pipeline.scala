@@ -131,8 +131,11 @@ object DedupPipeline {
     // whatever the optimizer guesses, so reps/sigs persist lazily and the
     // small-corpus fixed cost drops two scheduler round trips.
     var eagerCounts = true
-    def stage(name: String, multiConsumer: Boolean = true)(build: => DataFrame): DataFrame =
-      ck.map(_.stage(name)(build)).getOrElse {
+    // env-gated per-stage build timing (driver-side cost forensics)
+    val stageLog = sys.env.get("SPARK_GRAFT_STAGE_LOG").contains("1")
+    def stage(name: String, multiConsumer: Boolean = true)(build: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = ck.map(_.stage(name)(build)).getOrElse {
         if (!multiConsumer) build
         else {
           val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -143,6 +146,10 @@ object DedupPipeline {
           df
         }
       }
+      if (stageLog)
+        println(f"STAGE_BUILD $name%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      out
+    }
 
     val mode = Scope.parse(cfg.scope)
     // Comparison-scope plan (round-2 completeness fix — see Scope.scala):

@@ -78,8 +78,18 @@ object ConnectedComponents {
 
     val tProbe = System.nanoTime()
     val probeLimit = math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt
-    if (edges.limit(probeLimit).count() <= maxDriverEdges)
-      return runOnDriver(spark, nodes, edges, driverNk)
+    // The probe COLLECTS (bounded) rather than counting: when the driver
+    // path wins — the common case at sandbox scale — the collected pairs
+    // feed the union-find directly, so the edge-union tree is planned and
+    // actioned ONCE instead of twice (count probe + collect re-plan cost
+    // ~0.6 s of warm pipeline wall). The collect is bounded by the same
+    // maxDriverEdges budget runOnDriver's own collect already accepted;
+    // a larger graph pays one discarded threshold-sized fetch and takes
+    // the distributed path as before.
+    val probed = edges.select(col("src"), col("dst")).limit(probeLimit).collect()
+    if (probed.length <= maxDriverEdges)
+      return runOnDriver(spark, nodes,
+        probed.map(r => (r.getString(0), r.getString(1))), driverNk)
     logT("probe", tProbe)
 
     // The iterative core is a co-partitioned RDD loop, not a DataFrame
@@ -204,11 +214,9 @@ object ConnectedComponents {
   private def runOnDriver(
       spark: SparkSession,
       nodes: DataFrame,
-      edges: DataFrame,
+      pairs: Array[(String, String)],
       driverNk: Option[String => Array[Byte]]): DataFrame = {
     import graft.functions.NaturalKey
-    val pairs = edges.select(col("src"), col("dst")).collect()
-      .map(r => (r.getString(0), r.getString(1)))
 
     val parent = new java.util.HashMap[String, String]()
     def find(x0: String): String = {
