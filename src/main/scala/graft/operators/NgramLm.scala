@@ -65,10 +65,13 @@ object NgramLm {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
 
-  /** The trained model: count tables for orders 1..3 plus the two corpus
-    * scalars the unigram base needs (T tokens, V distinct words). */
+  /** The trained model: the order-tagged pruned count table (n, gram,
+    * cnt) — the single join target [[score]] probes — plus the two corpus
+    * scalars the unigram base needs (T tokens, V distinct words). The
+    * per-order views c1/c2/c3 remain as filters of `tagged` for callers
+    * that want one order (lazy; no cost unless consumed). */
   final case class Model(c1: DataFrame, c2: DataFrame, c3: DataFrame,
-      totals: DataFrame)
+      totals: DataFrame, tagged: DataFrame)
 
   def train(train: DataFrame, textCol: String = "text",
       minCount: Long = 0L): Model = {
@@ -78,7 +81,8 @@ object NgramLm {
     // single map-side-combined groupBy whose persisted count table the
     // three order tables (and both corpus scalars) filter for free.
     // T = Σ pre-prune 1-gram counts ≡ total token instances; V counts
-    // the pruned vocab exactly as before.
+    // the pruned vocab exactly as before — both scalars in ONE aggregate
+    // pass over the n=1 slice (they were two jobs feeding a crossJoin).
     val all = train
       .select(explode(concat(
         transform(tokens(col(textCol)),
@@ -93,14 +97,16 @@ object NgramLm {
     def order(n: Int): DataFrame = all
       .where(col("n") === n && col("cnt") >= minCount)
       .select(col("gram"), col("cnt"))
-    val t = all.where(col("n") === 1)
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("t_tokens"))
-    val v = order(1).agg(count(lit(1)).as("v_words"))
+    val totals = all.where(col("n") === 1)
+      .agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("t_tokens"),
+        count(when(col("cnt") >= minCount, 1)).as("v_words"))
     Model(
       c1 = order(1),
       c2 = order(2),
       c3 = order(3),
-      totals = t.crossJoin(v))
+      totals = totals,
+      tagged = all.where(col("cnt") >= minCount))
   }
 
   /** Per-position micro-nat score under Stupid Backoff, as a Column over
@@ -140,26 +146,46 @@ object NgramLm {
         sequence(lit(1), size(col("__ws")) - 2),
         i => array_join(slice(col("__ws"), i, lit(3)), " "))).as("g3"))
     val perDoc = pos.groupBy(id, col("g3")).agg(count(lit(1)).as("k"))
-    // the four context/backoff keys re-derive from g3 by single-space
-    // splits (tokens are whitespace-free by construction)
-    val grams = perDoc.select(col("g3")).distinct()
-      .select(col("g3"),
-        substring_index(col("g3"), " ", 2).as("g2ctx"),
-        substring_index(col("g3"), " ", -2).as("g2"),
-        substring_index(substring_index(col("g3"), " ", -2), " ", 1)
-          .as("g1ctx"),
-        substring_index(col("g3"), " ", -1).as("g1"))
-    val gramScore = grams
-      .join(model.c3.select(col("gram").as("g3"), col("cnt").as("n3")),
-        Seq("g3"), "left")
-      .join(model.c2.select(col("gram").as("g2ctx"), col("cnt").as("x2")),
-        Seq("g2ctx"), "left")
-      .join(model.c2.select(col("gram").as("g2"), col("cnt").as("n2")),
-        Seq("g2"), "left")
-      .join(model.c1.select(col("gram").as("g1ctx"), col("cnt").as("x1")),
-        Seq("g1ctx"), "left")
-      .join(model.c1.select(col("gram").as("g1"), col("cnt").as("n1")),
-        Seq("g1"), "left")
+    // The four context/backoff keys re-derive from g3 by single-space
+    // splits (tokens are whitespace-free by construction). The five model
+    // lookups run as ONE join: each distinct trigram explodes into its
+    // five (order, key) probes tagged by role, probes join the
+    // order-tagged count table once, and a groupBy(g3) pivots the five
+    // roles back into columns. The former five sequential left joins cost
+    // five broadcast builds at fixture scale and, at model sizes past
+    // broadcast, five sequential shuffles of the widening gram row; this
+    // shape pays one probe exchange (the model side arrives already
+    // hash-partitioned by (n, gram) from its own groupBy) plus one narrow
+    // pivot. Each (g3, role) pair occurs exactly once, so max(when)
+    // selects the single matched count — null when unmatched, exactly the
+    // left-join semantics the score branches key on.
+    val probes = perDoc.select(col("g3")).distinct()
+      .select(col("g3"), explode(array(
+        struct(lit(1).as("r"), lit(1).as("n"),
+          substring_index(substring_index(col("g3"), " ", -2), " ", 1)
+            .as("k")),
+        struct(lit(2).as("r"), lit(1).as("n"),
+          substring_index(col("g3"), " ", -1).as("k")),
+        struct(lit(3).as("r"), lit(2).as("n"),
+          substring_index(col("g3"), " ", 2).as("k")),
+        struct(lit(4).as("r"), lit(2).as("n"),
+          substring_index(col("g3"), " ", -2).as("k")),
+        struct(lit(5).as("r"), lit(3).as("n"), col("g3").as("k"))))
+        .as("p"))
+      .select(col("g3"), col("p.r").as("r"), col("p.n").as("n"),
+        col("p.k").as("k"))
+    val gramScore = probes
+      .join(
+        model.tagged.select(
+          col("n"), col("gram").as("k"), col("cnt")),
+        Seq("n", "k"), "left")
+      .groupBy(col("g3"))
+      .agg(
+        max(when(col("r") === 5, col("cnt"))).as("n3"),
+        max(when(col("r") === 3, col("cnt"))).as("x2"),
+        max(when(col("r") === 4, col("cnt"))).as("n2"),
+        max(when(col("r") === 1, col("cnt"))).as("x1"),
+        max(when(col("r") === 2, col("cnt"))).as("n1"))
       .crossJoin(broadcast(model.totals))
       .select(col("g3"), positionScore(col("n3"), col("x2"), col("n2"),
         col("x1"), col("n1"), col("t_tokens"), col("v_words")).as("s"))
