@@ -41,39 +41,42 @@ object LineDedup {
     *        same way)
     * @return (url, kept_text, n_lines, n_stripped) for every input doc */
   def stripFrequentLines(docs: DataFrame, maxDf: Long, sep: String = "\n"): DataFrame = {
-    val lines = docs
-      .select(col("url"),
-        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
-          .as(Seq("pos", "line")))
+    val q = java.util.regex.Pattern.quote(sep)
     // document frequency per line; the WIDENED (hash, length) key keeps
-    // the shuffle narrow and the join build side compact (line text never
+    // the shuffle narrow and the strip set compact (line text never
     // enters this agg) while pushing the innocent-strip collision odds
     // from ~n²/2^65 (bare 64-bit hash) to requiring a same-length
     // same-hash collision — the production key promised by VERDICT r3
     // wrong.2; semantics vs the text-grouping oracle are unchanged (a
     // text match always matches (hash, length))
-    val freq = lines
+    val freq = docs
+      .select(col("url"), explode(split(col("text"), q)).as("line"))
       .groupBy(xxhash64(col("line")).as("lh"), length(col("line")).as("ll"))
       .agg(countDistinct(xxhash64(col("url"))).as("df"))
-      .where(col("df") >= maxDf) // join side: only the lines to strip
-    val marked = lines
-      .join(
-        freq.hint("shuffle_hash"),
-        xxhash64(col("line")) === col("lh") && length(col("line")) === col("ll"),
-        "left")
-      .select(col("url"), col("pos"), col("line"), col("df").isNotNull.as("strip"))
-    marked
-      .groupBy(col("url"))
-      .agg(
-        array_join(
-          transform(
-            filter(
-              sort_array(collect_list(struct(col("pos"), col("line"), col("strip")))),
-              x => !x.getField("strip")),
-            x => x.getField("line")),
-          sep).as("kept_text"),
-        count(lit(1)).as("n_lines"),
-        sum(when(col("strip"), 1L).otherwise(0L)).as("n_stripped"))
+      .where(col("df") >= maxDf)
+    // The strip set folds to ONE row (frequent lines only — bounded by
+    // the boilerplate population, tiny next to the corpus) broadcast back
+    // over the docs, and each document filters its own line array in
+    // place. Document text never crosses an Exchange: the former shape
+    // shuffled every line's text twice (through the strip join and again
+    // through the collect_list reassembly) to move per-line booleans
+    // derivable from the broadcast set; the in-place array filter keeps
+    // original order for free.
+    val strips = freq.agg(collect_list(struct(col("lh"), col("ll"))).as("strips"))
+    docs
+      .where(col("text").isNotNull) // explode of a null array emitted no rows
+      .crossJoin(broadcast(strips))
+      .withColumn("__ls", split(col("text"), q))
+      .withColumn("__kept", filter(col("__ls"), l =>
+        !coalesce(
+          exists(col("strips"), s =>
+            s.getField("lh") === xxhash64(l) && s.getField("ll") === length(l)),
+          lit(false))))
+      .select(
+        col("url"),
+        array_join(col("__kept"), sep).as("kept_text"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        (size(col("__ls")) - size(col("__kept"))).cast("long").as("n_stripped"))
   }
 
   /** Within-document repeated-line strip: keep only the FIRST occurrence
@@ -142,35 +145,38 @@ object LineDedup {
       sep: String = "\n"): DataFrame = {
     require(scope != "url" && scope != "text" && scope != "__fs",
       s"scope column collides with a reserved name: $scope")
-    val lines = docs
+    val q = java.util.regex.Pattern.quote(sep)
+    val freq = docs
       .select(col(scope), col("url"),
-        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
-          .as(Seq("pos", "line")))
-    val freq = lines
+        explode(split(col("text"), q)).as("line"))
       .groupBy(col(scope).as("__fs"),
         xxhash64(col("line")).as("lh"), length(col("line")).as("ll"))
       .agg(countDistinct(xxhash64(col("url"))).as("df"))
       .where(col("df") >= maxDf)
-      .select(col("__fs"), col("lh"), col("ll"))
-    val marked = lines
-      .join(
-        freq.hint("shuffle_hash"),
-        col(scope) === col("__fs") &&
-          xxhash64(col("line")) === col("lh") &&
-          length(col("line")) === col("ll"),
-        "left")
-      .select(col("url"), col("pos"), col("line"), col("lh").isNotNull.as("strip"))
-    marked
-      .groupBy(col("url"))
-      .agg(
-        array_join(
-          transform(
-            filter(
-              sort_array(collect_list(struct(col("pos"), col("line"), col("strip")))),
-              x => !x.getField("strip")),
-            x => x.getField("line")),
-          sep).as("kept_text"),
-        count(lit(1)).as("n_lines"),
-        sum(when(col("strip"), 1L).otherwise(0L)).as("n_stripped"))
+    // Per-scope strip sets (one row per scope that HAS frequent lines —
+    // the boilerplate population, small next to the corpus) re-attach
+    // through a plain equi-join the planner sizes itself (broadcast at
+    // fixture scale; a shuffle join AQE can skew-split when one host is
+    // hot at corpus scale), and each document filters its own line array
+    // in place. Document text crosses at most the one scope-keyed
+    // exchange of that join — the former shape shuffled every line's
+    // text twice (strip join + collect_list reassembly).
+    val strips = freq
+      .groupBy(col("__fs"))
+      .agg(collect_list(struct(col("lh"), col("ll"))).as("strips"))
+    docs
+      .where(col("text").isNotNull) // explode of a null array emitted no rows
+      .join(strips, col(scope) === col("__fs"), "left")
+      .withColumn("__ls", split(col("text"), q))
+      .withColumn("__kept", filter(col("__ls"), l =>
+        !coalesce(
+          exists(col("strips"), s =>
+            s.getField("lh") === xxhash64(l) && s.getField("ll") === length(l)),
+          lit(false))))
+      .select(
+        col("url"),
+        array_join(col("__kept"), sep).as("kept_text"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        (size(col("__ls")) - size(col("__kept"))).cast("long").as("n_stripped"))
   }
 }
