@@ -92,18 +92,25 @@ object Perplexity {
     // plan twice) — persist it so the train pass runs once; the
     // CacheManager substitutes the cached fragment inside ctx's plan.
     val triP = tri.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // v's subtree (char explode + countDistinct over the training slice)
+    // had THREE broadcast consumers (hitLp, missLp, defLp) and ctx's
+    // (prefix groupBy) two — each broadcast materialized its own copy of
+    // the subtree. Pinning both one-to-few-row frames runs each train
+    // pass once; every lp double is computed from the identical inputs.
+    val vP = v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctxP = ctx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def lpExpr(c3: Column, c2: Column): Column =
       log(
         (coalesce(c3, lit(0L)) + 1).cast("double") /
           (coalesce(c2, lit(0L)) + col("v")).cast("double"))
     val hitLp = triP
-      .join(ctx, substring(triP("gram"), 1, 2) === ctx("g2"))
-      .crossJoin(broadcast(v))
+      .join(ctxP, substring(triP("gram"), 1, 2) === ctxP("g2"))
+      .crossJoin(broadcast(vP))
       .select(triP("gram").as("gram"), lpExpr(col("c3"), col("c2")).as("lp"))
-    val missLp = ctx.crossJoin(broadcast(v))
+    val missLp = ctxP.crossJoin(broadcast(vP))
       .select(col("g2"),
         lpExpr(lit(null).cast("long"), col("c2")).as("lp2"))
-    val defLp = v.select(
+    val defLp = vP.select(
       lpExpr(lit(null).cast("long"), lit(null).cast("long")).as("lp0"))
     val lp = grams
       .join(broadcast(hitLp), Seq("gram"), "left")
