@@ -61,8 +61,11 @@ object MinHashImpl {
     })
 
   /** n-permutation MinHash signature over k-word shingles. */
-  def sig(text: String, k: Int, n: Int, seed: Long): Array[Long] = {
-    val sh = shingleHashes(text, k, seed)
+  def sig(text: String, k: Int, n: Int, seed: Long): Array[Long] =
+    sigFromShingles(shingleHashes(text, k, seed), n, seed)
+
+  /** MinHash fold over an already-computed shingle-hash array. */
+  def sigFromShingles(sh: Array[Long], n: Int, seed: Long): Array[Long] = {
     val (as, bs) = perms(n, seed)
     val out = new Array[Long](n)
     java.util.Arrays.fill(out, -1L) // unsigned max
@@ -78,6 +81,17 @@ object MinHashImpl {
       j += 1
     }
     out
+  }
+
+  /** MinHash signature and SimHash fingerprint from ONE tokenize+hash
+    * pass over the text — the two signature columns always travel
+    * together through the LSH stage, and computing them separately paid
+    * the UTF-8 decode and the per-shingle rolling hash twice. Both
+    * results are bit-identical to [[sig]]/[[simhash]] on the same text
+    * (the folds consume the identical shingle-hash array). */
+  def sigAndSimhash(text: String, k: Int, n: Int, seed: Long): (Array[Long], Long) = {
+    val sh = shingleHashes(text, k, seed)
+    (sigFromShingles(sh, n, seed), simhashFromShingles(sh))
   }
 
   /** Fraction of agreeing components — the Jaccard estimate. */
@@ -139,8 +153,11 @@ object MinHashImpl {
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over the same k-word shingles (frequency-weighted). */
-  def simhash(text: String, k: Int, seed: Long): Long = {
-    val sh = shingleHashes(text, k, seed)
+  def simhash(text: String, k: Int, seed: Long): Long =
+    simhashFromShingles(shingleHashes(text, k, seed))
+
+  /** SimHash fold over an already-computed shingle-hash array. */
+  def simhashFromShingles(sh: Array[Long]): Long = {
     val counters = new Array[Int](64)
     var j = 0
     while (j < sh.length) {

@@ -24,6 +24,12 @@ object codegenHelpers {
     UnsafeArrayData.fromPrimitiveArray(MinHashImpl.sig(u.toString, k, n, seed))
   def simhash(u: UTF8String, k: Int, seed: Long): Long =
     MinHashImpl.simhash(u.toString, k, seed)
+  def sigPair(u: UTF8String, k: Int, n: Int, seed: Long)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val (sig, sim) = MinHashImpl.sigAndSimhash(u.toString, k, n, seed)
+    new GenericInternalRow(
+      Array[Any](UnsafeArrayData.fromPrimitiveArray(sig), sim))
+  }
   def naturalKey(u: UTF8String): Array[Byte] =
     NaturalKey.key(u.toString)
   def nkPrefix64(key: Array[Byte]): Long = NaturalKey.prefix64(key)
@@ -129,6 +135,23 @@ case class SimHash64(child: Expression, k: Int, seed: Long) extends GraftUnary {
   override protected def staticCall(c: String): String = s"$H.simhash($c, $k, ${seed}L)"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "simhash64"
+}
+
+/** text → struct(sig: array<long>, simhash: long) from one tokenize+hash
+  * pass — [[MinHashSig]] and [[SimHash64]] fused for the signature stage,
+  * where the two columns always travel together and separate expressions
+  * paid the UTF-8 decode and shingle rolling hash twice per document.
+  * Field values are bit-identical to the standalone expressions. */
+case class SigPair(child: Expression, k: Int, n: Int, seed: Long) extends GraftUnary {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("simhash", LongType, nullable = false)))
+  override protected def nullSafeEval(v: Any): Any =
+    codegenHelpers.sigPair(v.asInstanceOf[UTF8String], k, n, seed)
+  override protected def staticCall(c: String): String =
+    s"$H.sigPair($c, $k, $n, ${seed}L)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "sig_pair"
 }
 
 /** minhash signature → per-band LSH bucket ids (array<long>, length bands). */
@@ -334,6 +357,8 @@ object gf {
   def minhash_sig(c: Column, k: Int, n: Int, seed: Long): Column =
     col(MinHashSig(expr(c), k, n, seed))
   def simhash64(c: Column, k: Int, seed: Long): Column = col(SimHash64(expr(c), k, seed))
+  def sig_pair(c: Column, k: Int, n: Int, seed: Long): Column =
+    col(SigPair(expr(c), k, n, seed))
   def band_buckets(c: Column, bands: Int, rowsPerBand: Int, seed: Long): Column =
     col(BandBuckets(expr(c), bands, rowsPerBand, seed))
   def sig_digest(c: Column): Column = col(SigDigest(expr(c)))

@@ -61,13 +61,20 @@ object Lsh {
       s"simhash tables cover Hamming ≤ ${tableBlocks - tableKeep} < hamMax=$hamMax")
   }
 
-  /** Adds sig / simhash / sigd columns to a docs frame with a text column. */
+  /** Adds sig / simhash / sigd columns to a docs frame with a text column.
+    * MinHash and SimHash come from ONE fused tokenize+hash pass
+    * (`sig_pair`) — the standalone expressions each paid the UTF-8 decode
+    * and per-shingle rolling hash; values are bit-identical. The struct
+    * lands as a real column first so both field extractions read one
+    * evaluation whatever the project-collapse rules decide. */
   def withSignatures(docs: DataFrame, cfg: Config): DataFrame = {
-    val sig = gf.minhash_sig(col("text"), cfg.shingleK, cfg.numHashes, cfg.seed)
     docs
-      .withColumn("sig", sig)
-      .withColumn("sigd", gf.sig_digest(col("sig")))
-      .withColumn("simhash", gf.simhash64(col("text"), cfg.shingleK, cfg.seed))
+      .withColumn("__sp",
+        gf.sig_pair(col("text"), cfg.shingleK, cfg.numHashes, cfg.seed))
+      .withColumn("sig", col("__sp.sig"))
+      .withColumn("sigd", gf.sig_digest(col("__sp.sig")))
+      .withColumn("simhash", col("__sp.simhash"))
+      .drop("__sp")
   }
 
   /** Candidate pairs from MinHash band buckets (∪ optional SimHash blocks /

@@ -110,8 +110,12 @@ object StreamingDedup {
       .withColumn("text", gf.extract_text(col("html")))
       .where(col("url").isNotNull && col("text").isNotNull)
       .where(length(col("text")) >= minLen)
-      .withColumn("sig", gf.minhash_sig(col("text"), cfg.shingleK, cfg.numHashes, cfg.seed))
-      .withColumn("simhash", gf.simhash64(col("text"), cfg.shingleK, cfg.seed))
+      // fused signature pass — see Lsh.withSignatures (bit-identical)
+      .withColumn("__sp",
+        gf.sig_pair(col("text"), cfg.shingleK, cfg.numHashes, cfg.seed))
+      .withColumn("sig", col("__sp.sig"))
+      .withColumn("simhash", col("__sp.simhash"))
+      .drop("__sp")
       .select(
         col("url"), col("sig"), col("simhash"),
         explode(gf.band_buckets(col("sig"), cfg.bands, cfg.rowsPerBand, cfg.seed))
