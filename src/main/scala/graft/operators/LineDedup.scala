@@ -62,6 +62,13 @@ object LineDedup {
     // through the collect_list reassembly) to move per-line booleans
     // derivable from the broadcast set; the in-place array filter keeps
     // original order for free.
+    //
+    // Scale bound: the broadcast caps the GLOBAL strip set at ~10^8
+    // (hash, length) entries (12 B each against Spark's 8 GB broadcast
+    // limit) — ample for any sane maxDf, but a corpus-scale run wanting
+    // an unbounded strip population should use the per-scope variant
+    // below, whose strip sets re-attach through a planner-sized equi-join
+    // (and which is the granularity CCNet actually deploys).
     val strips = freq.agg(collect_list(struct(col("lh"), col("ll"))).as("strips"))
     docs
       .where(col("text").isNotNull) // explode of a null array emitted no rows
